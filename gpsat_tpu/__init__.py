@@ -1,0 +1,38 @@
+"""gpsat_tpu — TPU-native local-expert optimal interpolation.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of CPOMUCL/GPSat
+(reference: /root/reference, see SURVEY.md): scalable interpolation of
+scattered satellite observations with batches of local Gaussian-process
+experts, executed as single jitted XLA programs vmapped over padded expert
+tiles and sharded over a TPU mesh.
+
+Layout
+------
+- ``gpsat_tpu.ops``      — kernels (Matern/RBF Gram), masked linear algebra,
+                           bijective parameter transforms, Pallas kernels.
+- ``gpsat_tpu.models``   — GP model zoo (GPR, SGPR, SVGP, VFF, ...) as pure
+                           functional cores + a host-facing per-expert API
+                           mirroring the reference ``BaseGPRModel`` contract
+                           (ref: GPSat/models/base_model.py:17-448).
+- ``gpsat_tpu.optim``    — batched L-BFGS / Adam drivers with per-expert
+                           convergence flags.
+- ``gpsat_tpu.parallel`` — expert tile padding/bucketing + mesh sharding.
+- ``gpsat_tpu.data``     — selection DSL, readers, binning, results store.
+- ``gpsat_tpu.experts``  — the orchestrator (ref: GPSat/local_experts.py).
+- ``gpsat_tpu.postprocess`` — hyperparameter smoothing + prediction gluing.
+"""
+
+__version__ = "0.1.0"
+
+
+def enable_x64():
+    """Enable float64 in JAX (call before tracing; used by CLIs and tests).
+
+    The reference stack (GPflow/TensorFlow) computes in float64
+    (ref: GPSat/models/gpflow_models.py uses gpflow default_float()==f64).
+    On TPU the default compute dtype is float32 with a jitter policy; use
+    x64 on CPU for validation against the reference tolerances.
+    """
+    import jax
+
+    jax.config.update("jax_enable_x64", True)

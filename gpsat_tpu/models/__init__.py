@@ -1,0 +1,35 @@
+"""Model zoo registry (ref: GPSat/models/__init__.py:3-28).
+
+Reference-name aliases are kept so existing GPSat configs
+(``"oi_model": "GPflowGPRModel"`` etc.) resolve to the TPU-native models.
+"""
+
+from gpsat_tpu.models.base import BaseGPRModel
+from gpsat_tpu.models.gpr import GPRModel
+
+
+def get_model(name: str):
+    from gpsat_tpu.models.sgpr import SGPRModel
+    from gpsat_tpu.models.svgp import SVGPModel
+    from gpsat_tpu.models.vff import VFFModel
+    from gpsat_tpu.models.sklearn_model import SklearnGPRModel
+
+    registry = {
+        # native names
+        "GPRModel": GPRModel,
+        "SGPRModel": SGPRModel,
+        "SVGPModel": SVGPModel,
+        "VFFModel": VFFModel,
+        "SklearnGPRModel": SklearnGPRModel,
+        # reference-name aliases (GPSat/models/__init__.py:3-28)
+        "GPflowGPRModel": GPRModel,
+        "GPflowSGPRModel": SGPRModel,
+        "GPflowSVGPModel": SVGPModel,
+        "GPflowVFFModel": VFFModel,
+        "sklearnGPRModel": SklearnGPRModel,
+    }
+    assert name in registry, f"model: {name} not in registry: {sorted(registry)}"
+    return registry[name]
+
+
+__all__ = ["BaseGPRModel", "GPRModel", "get_model"]

@@ -1,0 +1,292 @@
+"""Exact Gaussian-process regression — functional core + host-facing model.
+
+The functional core (``neg_lml``, ``predict``) is pure jnp on padded tiles
+and is what the batched expert engine vmaps/shards. The ``GPRModel`` class
+wraps it with the reference's single-expert contract
+(ref: GPSat/models/gpflow_models.py:26-663 — GPflowGPRModel): param names
+``lengthscales, kernel_variance, likelihood_variance``; predict returns the
+``{"f*", "f*_var", "y_var", "f_bar"}`` dict (plus ``f*_cov``/``y_cov`` when
+``full_cov=True``, gpflow_models.py:236-272); constraints are Sigmoid
+bijector reparameterizations (gpflow_models.py:416-494); optimization is
+L-BFGS to the same pgtol/factr tolerances as scipy's (gpflow_models.py:317-321).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpsat_tpu.models.base import BaseGPRModel
+from gpsat_tpu.ops import kernels as K
+from gpsat_tpu.ops import linalg as LA
+from gpsat_tpu.ops import transforms as T
+from gpsat_tpu.optim.lbfgs import minimize_lbfgs
+
+PARAM_NAMES = ["lengthscales", "kernel_variance", "likelihood_variance"]
+
+
+# --------------------------------------------------------------------------
+# functional core (single padded tile; vmap for batches)
+# --------------------------------------------------------------------------
+
+def neg_lml(uparams: dict, data: dict, *, kernel: str, bijectors: dict, jitter: float = 0.0):
+    """Negative log marginal likelihood on a padded tile.
+
+    uparams: unconstrained {"lengthscales": [D], "kernel_variance": [],
+    "likelihood_variance": []}; data: {"X": [N,D], "y": [N], "mask": [N]}.
+    """
+    p = T.forward_params(uparams, bijectors)
+    return -LA.masked_gpr_lml(
+        data["X"],
+        data["y"],
+        data["mask"],
+        p["lengthscales"],
+        p["kernel_variance"],
+        p["likelihood_variance"],
+        kernel=kernel,
+        jitter=jitter,
+    )
+
+
+def posterior_factors(cparams: dict, data: dict, *, kernel: str, jitter: float = 0.0):
+    """Cholesky factor and alpha = K^-1 y for a fitted tile."""
+    m = data["mask"].astype(data["X"].dtype)
+    Kf = K.gram(kernel, data["X"], data["X"], cparams["lengthscales"], cparams["kernel_variance"])
+    Kn = LA.add_diag(Kf, cparams["likelihood_variance"] + jitter)
+    Km = LA.mask_gram(Kn, m)
+    L = jnp.linalg.cholesky(Km)
+    alpha = LA.cho_solve(L, (data["y"] * m)[:, None])
+    return L, alpha
+
+
+def predict(
+    cparams: dict,
+    data: dict,
+    Xnew: jnp.ndarray,
+    *,
+    kernel: str,
+    jitter: float = 0.0,
+    full_cov: bool = False,
+):
+    """Posterior mean/variance at Xnew (already coords_scale'd).
+
+    Returns dict with f_mean [P], f_var [P], y_var [P] (and f_cov [P,P] when
+    full_cov). Padded training rows contribute nothing (zeroed cross-gram).
+    """
+    m = data["mask"].astype(Xnew.dtype)
+    L, alpha = posterior_factors(cparams, data, kernel=kernel, jitter=jitter)
+    Ks = K.gram(kernel, data["X"], Xnew, cparams["lengthscales"], cparams["kernel_variance"])
+    Ks = Ks * m[:, None]
+    f_mean = (Ks.T @ alpha)[:, 0]
+    v = LA.tri_solve(L, Ks)
+    kss_diag = K.gram_diag(kernel, Xnew, cparams["kernel_variance"])
+    f_var = kss_diag - jnp.sum(v * v, axis=0)
+    out = {
+        "f_mean": f_mean,
+        "f_var": f_var,
+        "y_var": f_var + cparams["likelihood_variance"],
+    }
+    if full_cov:
+        Kss = K.gram(kernel, Xnew, Xnew, cparams["lengthscales"], cparams["kernel_variance"])
+        out["f_cov"] = Kss - v.T @ v
+    return out
+
+
+def default_init_params(D: int, dtype=jnp.float64) -> dict:
+    """gpflow defaults: unit lengthscales/variances (gpflow_models.py:129-135)."""
+    return {
+        "lengthscales": jnp.ones((D,), dtype=dtype),
+        "kernel_variance": jnp.asarray(1.0, dtype=dtype),
+        "likelihood_variance": jnp.asarray(1.0, dtype=dtype),
+    }
+
+
+# --------------------------------------------------------------------------
+# host-facing single-expert model
+# --------------------------------------------------------------------------
+
+class GPRModel(BaseGPRModel):
+    """Exact GPR local-expert model (TPU-native analogue of GPflowGPRModel)."""
+
+    def __init__(
+        self,
+        data=None,
+        coords_col=None,
+        obs_col=None,
+        coords=None,
+        obs=None,
+        coords_scale=None,
+        obs_scale=None,
+        obs_mean=None,
+        verbose: bool = False,
+        *,
+        kernel: str = "Matern32",
+        kernel_kwargs: Optional[dict] = None,
+        noise_variance: Optional[float] = None,
+        jitter: float = 0.0,
+        **kwargs,
+    ):
+        super().__init__(
+            data=data,
+            coords_col=coords_col,
+            obs_col=obs_col,
+            coords=coords,
+            obs=obs,
+            coords_scale=coords_scale,
+            obs_scale=obs_scale,
+            obs_mean=obs_mean,
+            verbose=verbose,
+        )
+        assert kernel in K.KERNEL_NAMES, f"kernel: {kernel} not in {K.KERNEL_NAMES}"
+        self.kernel = kernel
+        self.kernel_kwargs = dict(kernel_kwargs or {})
+        self.jitter = jitter
+
+        D = self.coords.shape[1]
+        ls = np.asarray(self.kernel_kwargs.pop("lengthscales", np.ones(D)), dtype=float)
+        if ls.ndim == 0:
+            ls = np.full(D, float(ls))
+        self._params = {
+            "lengthscales": ls,
+            "kernel_variance": np.asarray(float(self.kernel_kwargs.pop("variance", 1.0))),
+            "likelihood_variance": np.asarray(
+                1.0 if noise_variance is None else float(noise_variance)
+            ),
+        }
+        self._bijectors = {name: T.POSITIVE for name in PARAM_NAMES}
+        self._last_opt_result = None
+
+    # ----- data for the functional core -----
+    def _data_dict(self):
+        X = jnp.asarray(self.coords)
+        return {
+            "X": X,
+            "y": jnp.asarray(self.obs[:, 0]),
+            "mask": jnp.ones((X.shape[0],), dtype=X.dtype),
+        }
+
+    @property
+    def param_names(self) -> List[str]:
+        return list(PARAM_NAMES)
+
+    # ----- optimise -----
+    def optimise_parameters(self, max_iter: int = 10_000, fixed_params=None, **opt_kwargs) -> bool:
+        fixed_params = list(fixed_params or [])
+        data = self._data_dict()
+        bijectors = self._bijectors
+        kernel = self.kernel
+        jitter = self.jitter
+
+        u_all = {k: bijectors[k].inverse(jnp.asarray(v)) for k, v in self._params.items()}
+        u_free = {k: v for k, v in u_all.items() if k not in fixed_params}
+        u_fixed = {k: v for k, v in u_all.items() if k in fixed_params}
+
+        def objective(u_free_):
+            u = {**u_free_, **u_fixed}
+            return neg_lml(u, data, kernel=kernel, bijectors=bijectors, jitter=jitter)
+
+        res = minimize_lbfgs(objective, u_free, max_iter=max_iter, **opt_kwargs)
+        u_opt = {**{k: np.asarray(v) for k, v in res.params.items()}, **u_fixed}
+        self._params = {k: np.asarray(bijectors[k].forward(jnp.asarray(v))) for k, v in u_opt.items()}
+        self._last_opt_result = res
+        return bool(np.asarray(res.converged))
+
+    def get_objective_function_value(self) -> float:
+        data = self._data_dict()
+        u = {k: self._bijectors[k].inverse(jnp.asarray(v)) for k, v in self._params.items()}
+        val = neg_lml(u, data, kernel=self.kernel, bijectors=self._bijectors, jitter=self.jitter)
+        # reference reports the *negative* lml for GPR (gpflow_models.py:334-337)
+        return float(np.asarray(val))
+
+    # ----- predict -----
+    def predict(self, coords, full_cov: bool = False, apply_scale: bool = True) -> Dict[str, np.ndarray]:
+        import pandas as pd
+
+        if isinstance(coords, (pd.Series, pd.DataFrame)):
+            coords = coords[self.coords_col].values if self.coords_col is not None else coords.values
+        coords = np.asarray(coords, dtype=float)
+        if coords.ndim == 1:
+            coords = coords[None, :]
+        if apply_scale:
+            coords = coords / self.coords_scale
+
+        cparams = {k: jnp.asarray(v) for k, v in self._params.items()}
+        pred = predict(
+            cparams,
+            self._data_dict(),
+            jnp.asarray(coords),
+            kernel=self.kernel,
+            jitter=self.jitter,
+            full_cov=full_cov,
+        )
+        out = {
+            "f*": np.asarray(pred["f_mean"]),
+            "f*_var": np.asarray(pred["f_var"]),
+            "y_var": np.asarray(pred["y_var"]),
+        }
+        if full_cov:
+            f_cov = np.asarray(pred["f_cov"])
+            out["f*_cov"] = f_cov
+            y_cov = f_cov.copy()
+            np.fill_diagonal(y_cov, np.diag(y_cov) + float(self._params["likelihood_variance"]))
+            out["y_cov"] = y_cov
+
+        f_bar = self.obs_mean[:, 0]
+        out["f_bar"] = np.repeat(f_bar, len(out["f*"])) if len(f_bar) != len(out["f*"]) else f_bar
+        return out
+
+    # ----- getters / setters (reflection contract) -----
+    def get_lengthscales(self) -> np.ndarray:
+        return np.asarray(self._params["lengthscales"])
+
+    def get_kernel_variance(self) -> float:
+        return float(self._params["kernel_variance"])
+
+    def get_likelihood_variance(self) -> float:
+        return float(self._params["likelihood_variance"])
+
+    def set_lengthscales(self, lengthscales):
+        ls = np.asarray(lengthscales, dtype=float)
+        if ls.ndim == 0:
+            ls = np.full(self.coords.shape[1], float(ls))
+        self._params["lengthscales"] = ls
+
+    def set_kernel_variance(self, kernel_variance):
+        self._params["kernel_variance"] = np.asarray(np.ravel(kernel_variance)[0], dtype=float)
+
+    def set_likelihood_variance(self, likelihood_variance):
+        self._params["likelihood_variance"] = np.asarray(np.ravel(likelihood_variance)[0], dtype=float)
+
+    # ----- constraints (sigmoid reparam; ref gpflow_models.py:416-494) -----
+    def _set_constraint(self, name, low, high, move_within_tol=True, tol=1e-8, scale=False, scale_magnitude=None):
+        cur = np.atleast_1d(np.asarray(self._params[name], dtype=float))
+        low = np.broadcast_to(np.atleast_1d(np.asarray(low, dtype=float)), cur.shape).copy()
+        high = np.broadcast_to(np.atleast_1d(np.asarray(high, dtype=float)), cur.shape).copy()
+        assert np.all(low <= high), "all high-constraint values must be >= low"
+        if scale:
+            if scale_magnitude is None:
+                low = low / self.coords_scale[0, :]
+                high = high / self.coords_scale[0, :]
+            else:
+                low = low / scale_magnitude
+                high = high / scale_magnitude
+        if move_within_tol:
+            cur = T.move_within_tol(cur, low, high, tol=tol)
+        if np.asarray(self._params[name]).ndim == 0:
+            self._params[name] = np.asarray(cur[0])
+            self._bijectors[name] = T.interval(low[0], high[0])
+        else:
+            self._params[name] = cur
+            self._bijectors[name] = T.interval(low, high)
+
+    def set_lengthscales_constraints(self, low, high, **kw):
+        self._set_constraint("lengthscales", low, high, **kw)
+
+    def set_kernel_variance_constraints(self, low, high, **kw):
+        self._set_constraint("kernel_variance", low, high, **kw)
+
+    def set_likelihood_variance_constraints(self, low, high, **kw):
+        self._set_constraint("likelihood_variance", low, high, **kw)

@@ -1,0 +1,7 @@
+"""Placeholder — implemented later this round."""
+
+
+class _NotYet:
+    def __init__(self, *a, **k):
+        raise NotImplementedError("model not yet implemented")
+SVGPModel = _NotYet
