@@ -1,0 +1,185 @@
+"""Ragged expert tiles -> padded shape buckets.
+
+The reference selects each expert's training data dynamically and fits one
+model at a time (ref: GPSat/local_experts.py:930-1260). The TPU design
+inverts this: all per-expert index sets are computed up front on host, then
+experts are grouped into *shape buckets* (padded to a shared Nmax per
+bucket) so each bucket is ONE jitted XLA program over a [B, Nmax, ...]
+batch. Bucket sizes are rounded up to multiples of the TPU lane width (128)
+to keep the MXU tiled; masked rows are neutralized by
+gpsat_tpu.ops.linalg.mask_gram so results are bit-identical to the ragged
+computation (tests/test_ops.py padding-invariance).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+LANE = 128
+
+
+def round_up(n: int, multiple: int = LANE) -> int:
+    return int(-(-n // multiple) * multiple)
+
+
+def bucket_size(n: int, multiple: int = LANE) -> int:
+    """Pad target for a tile of n rows: next power-of-two multiple of 128
+    (fewer distinct shapes => fewer XLA compilations)."""
+    m = round_up(max(n, 1), multiple)
+    # round up to power-of-two multiples of `multiple` to bound bucket count
+    p = multiple
+    while p < m:
+        p *= 2
+    return p
+
+
+@dataclasses.dataclass
+class TileBatch:
+    """One shape bucket of padded expert tiles."""
+
+    X: np.ndarray  # [B, Nmax, D]  scaled training coords
+    y: np.ndarray  # [B, Nmax]     scaled, de-meaned obs
+    mask: np.ndarray  # [B, Nmax]  1.0 valid / 0.0 padded
+    Xnew: np.ndarray  # [B, Pmax, D] scaled prediction coords
+    pred_mask: np.ndarray  # [B, Pmax]
+    obs_mean: np.ndarray  # [B] per-tile subtracted mean (0 unless obs_mean='local')
+    expert_index: np.ndarray  # [B] row index into the expert-locations table
+    num_obs: np.ndarray  # [B] true (unpadded) obs count
+
+    @property
+    def B(self) -> int:
+        return self.X.shape[0]
+
+    @property
+    def Nmax(self) -> int:
+        return self.X.shape[1]
+
+    @property
+    def Pmax(self) -> int:
+        return self.Xnew.shape[1]
+
+
+def assemble_tiles(
+    coords: np.ndarray,
+    obs: np.ndarray,
+    tile_indices: Sequence[np.ndarray],
+    pred_coords: Sequence[np.ndarray],
+    expert_index: Optional[np.ndarray] = None,
+    *,
+    coords_scale=None,
+    obs_mean: Optional[str] = None,
+    max_batch_size: Optional[int] = None,
+    dtype=np.float64,
+) -> List[TileBatch]:
+    """Build padded TileBatches from per-expert row-index sets.
+
+    Parameters
+    ----------
+    coords: [Ntot, D] raw observation coordinates (unscaled).
+    obs: [Ntot] raw observation values.
+    tile_indices: per-expert integer row indices into coords/obs.
+    pred_coords: per-expert [P_i, D] raw prediction coordinates.
+    expert_index: per-expert identifier carried into results (default arange).
+    coords_scale: optional [D] divisor applied to coords and pred coords
+        (ref: base_model.py:243 ``coords /= coords_scale``).
+    obs_mean: None (no de-meaning) or 'local' (subtract per-tile mean,
+        ref: base_model.py:195-198).
+    max_batch_size: optional cap on experts per batch (memory control).
+    """
+    E = len(tile_indices)
+    assert len(pred_coords) == E
+    if expert_index is None:
+        expert_index = np.arange(E)
+    expert_index = np.asarray(expert_index)
+
+    coords = np.asarray(coords, dtype=dtype)
+    obs = np.asarray(obs, dtype=dtype).reshape(len(coords))
+    if coords_scale is not None:
+        coords = coords / np.asarray(coords_scale, dtype=dtype)
+
+    sizes = np.array([len(ix) for ix in tile_indices])
+    order = np.argsort(sizes, kind="stable")  # group similar sizes together
+
+    batches: List[TileBatch] = []
+    current: List[int] = []
+    current_bucket = None
+
+    def flush(group: List[int]):
+        if not group:
+            return
+        nmax = bucket_size(int(max(sizes[g] for g in group)))
+        pmax = round_up(int(max(max(len(pred_coords[g]), 1) for g in group)), 8)
+        B = len(group)
+        D = coords.shape[1]
+        X = np.zeros((B, nmax, D), dtype=dtype)
+        y = np.zeros((B, nmax), dtype=dtype)
+        mask = np.zeros((B, nmax), dtype=dtype)
+        Xnew = np.zeros((B, pmax, D), dtype=dtype)
+        pmask = np.zeros((B, pmax), dtype=dtype)
+        mean = np.zeros((B,), dtype=dtype)
+        for b, g in enumerate(group):
+            ix = np.asarray(tile_indices[g])
+            n = len(ix)
+            X[b, :n] = coords[ix]
+            yy = obs[ix]
+            if obs_mean == "local" and n > 0:
+                mean[b] = yy.mean()
+                yy = yy - mean[b]
+            y[b, :n] = yy
+            mask[b, :n] = 1.0
+            pc = np.asarray(pred_coords[g], dtype=dtype).reshape(-1, D)
+            if coords_scale is not None:
+                pc = pc / np.asarray(coords_scale, dtype=dtype)
+            p = len(pc)
+            Xnew[b, :p] = pc
+            pmask[b, :p] = 1.0
+        batches.append(
+            TileBatch(
+                X=X,
+                y=y,
+                mask=mask,
+                Xnew=Xnew,
+                pred_mask=pmask,
+                obs_mean=mean,
+                expert_index=expert_index[np.asarray(group)],
+                num_obs=sizes[np.asarray(group)].astype(np.int64),
+            )
+        )
+
+    for gi in order:
+        bkt = bucket_size(int(sizes[gi]))
+        if current and (bkt != current_bucket or (max_batch_size and len(current) >= max_batch_size)):
+            flush(current)
+            current = []
+        current_bucket = bkt
+        current.append(int(gi))
+    flush(current)
+    return batches
+
+
+def pad_batch_to(batch: TileBatch, B_target: int) -> TileBatch:
+    """Pad the expert axis with dead tiles (mask all-zero) so batches can
+    share a compiled program / divide a device mesh evenly."""
+    B = batch.B
+    if B == B_target:
+        return batch
+    assert B_target > B
+    pad = B_target - B
+
+    def padB(a, fill=0.0):
+        shape = (pad,) + a.shape[1:]
+        return np.concatenate([a, np.full(shape, fill, dtype=a.dtype)], axis=0)
+
+    return TileBatch(
+        X=padB(batch.X),
+        y=padB(batch.y),
+        mask=padB(batch.mask),
+        Xnew=padB(batch.Xnew),
+        pred_mask=padB(batch.pred_mask),
+        obs_mean=padB(batch.obs_mean),
+        expert_index=padB(batch.expert_index, fill=-1),
+        num_obs=padB(batch.num_obs, fill=0),
+    )

@@ -20,3 +20,9 @@ import jax  # noqa: E402
 # backend initialization so tests never dial the TPU tunnel
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: the L-BFGS while_loop graphs take ~30-60s to
+# compile on CPU; cache them across test runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

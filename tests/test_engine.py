@@ -1,0 +1,125 @@
+"""Batched expert engine vs the serial single-expert model.
+
+The whole TPU design rests on: a vmapped/sharded batch of padded tiles must
+reproduce, expert for expert, what the reference's serial loop produces.
+Here the 'reference' is our own GPRModel (itself oracle-tested against
+sklearn at 1e-6 in test_gpr_oracle.py).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import jax
+
+from gpsat_tpu.models.gpr import GPRModel
+from gpsat_tpu.parallel import batching
+from gpsat_tpu.parallel.engine import default_mesh, make_batched_runner, run_tile_batch
+
+rng = np.random.default_rng(7)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    # scattered obs over a [0,10]^2 domain; experts on a 3x3 grid
+    Ntot = 600
+    coords = rng.uniform(0, 10, size=(Ntot, 2))
+    obs = np.sin(coords[:, 0]) * np.cos(coords[:, 1]) + 0.1 * rng.normal(size=Ntot)
+    experts = np.stack(np.meshgrid([2.5, 5.0, 7.5], [2.5, 5.0, 7.5]), -1).reshape(-1, 2)
+    radius = 3.0
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(coords)
+    tile_indices = [np.array(sorted(tree.query_ball_point(e, radius))) for e in experts]
+    pred_coords = [e[None, :] + np.array([[0.0, 0.0], [0.5, 0.0], [0.0, 0.5]]) for e in experts]
+    return dict(coords=coords, obs=obs, experts=experts, tile_indices=tile_indices, pred_coords=pred_coords)
+
+
+def serial_reference(problem, expert_ids):
+    """Fit each expert with the single-expert model (serial loop analogue)."""
+    out = {}
+    for e in expert_ids:
+        ix = problem["tile_indices"][e]
+        m = GPRModel(
+            coords=problem["coords"][ix],
+            obs=problem["obs"][ix],
+            verbose=False,
+        )
+        m.optimise_parameters(max_iter=500)
+        pred = m.predict(problem["pred_coords"][e], apply_scale=False)
+        out[e] = dict(params=m.get_parameters(), pred=pred, obj=m.get_objective_function_value())
+    return out
+
+
+class TestBatchedEngine:
+    def test_matches_serial(self, problem):
+        E = len(problem["tile_indices"])
+        batches = batching.assemble_tiles(
+            problem["coords"],
+            problem["obs"],
+            problem["tile_indices"],
+            problem["pred_coords"],
+        )
+        runner = make_batched_runner(max_iter=500)
+        ref = serial_reference(problem, range(E))
+
+        seen = 0
+        for b in batches:
+            res = run_tile_batch(b, {}, runner)
+            for i, e in enumerate(res["expert_index"]):
+                r = ref[e]
+                np.testing.assert_allclose(
+                    res["lengthscales"][i], r["params"]["lengthscales"], rtol=1e-5, atol=1e-7
+                )
+                np.testing.assert_allclose(
+                    res["kernel_variance"][i], r["params"]["kernel_variance"], rtol=1e-5
+                )
+                np.testing.assert_allclose(
+                    res["objective"][i], r["obj"], rtol=1e-8, atol=1e-8
+                )
+                P = len(problem["pred_coords"][e])
+                np.testing.assert_allclose(res["f_mean"][i][:P], r["pred"]["f*"], rtol=1e-6, atol=1e-9)
+                np.testing.assert_allclose(res["f_var"][i][:P], r["pred"]["f*_var"], rtol=1e-6, atol=1e-9)
+                np.testing.assert_allclose(res["y_var"][i][:P], r["pred"]["y_var"], rtol=1e-6, atol=1e-9)
+                seen += 1
+        assert seen == E
+
+    def test_sharded_over_mesh(self, problem):
+        # same results when sharded over the 8-device fake CPU mesh,
+        # including dead-tile padding to make B divide the mesh
+        assert len(jax.devices()) == 8
+        mesh = default_mesh()
+        batches = batching.assemble_tiles(
+            problem["coords"],
+            problem["obs"],
+            problem["tile_indices"],
+            problem["pred_coords"],
+        )
+        runner_plain = make_batched_runner(max_iter=500)
+        runner_mesh = make_batched_runner(max_iter=500, mesh=mesh)
+        for b in batches:
+            r0 = run_tile_batch(b, {}, runner_plain)
+            r1 = run_tile_batch(b, {}, runner_mesh, mesh=mesh)
+            assert list(r0["expert_index"]) == list(r1["expert_index"])
+            np.testing.assert_allclose(r0["lengthscales"], r1["lengthscales"], rtol=1e-9)
+            np.testing.assert_allclose(r0["f_mean"], r1["f_mean"], rtol=1e-9, atol=1e-12)
+
+    def test_bucketing(self):
+        assert batching.bucket_size(1) == 128
+        assert batching.bucket_size(128) == 128
+        assert batching.bucket_size(129) == 256
+        assert batching.bucket_size(600) == 1024
+
+    def test_dead_tile_padding(self, problem):
+        batches = batching.assemble_tiles(
+            problem["coords"],
+            problem["obs"],
+            problem["tile_indices"][:3],
+            problem["pred_coords"][:3],
+        )
+        b = batching.pad_batch_to(batches[0], batches[0].B + 2)
+        runner = make_batched_runner(max_iter=50)
+        res = run_tile_batch(b, {}, runner)
+        # dead tiles stripped; all results finite
+        assert len(res["expert_index"]) == 3
+        assert np.isfinite(res["f_mean"]).all()
+        assert np.isfinite(res["lengthscales"]).all()
