@@ -1,0 +1,178 @@
+"""Per-expert prediction-location generation.
+
+Mirrors the reference's PredictionLocations
+(ref: GPSat/prediction_locations.py:50-281): methods
+  - 'expert_loc'     — predict at the expert location only
+  - 'shift_arrays'   — meshgrid of offsets around the expert (:182-205)
+  - 'from_dataframe' — fixed fine grid filtered to max_dist radius (:208-273)
+  - 'from_source'    — lazy load then cached as from_dataframe (:82-100)
+
+The radius mask replaces the numba ``_max_dist_bool`` guvectorize kernel
+(:18-43, built for ~1e8 candidate rows) with a chunked vectorized numpy
+evaluation with the same cheap per-dimension prefilter; missing coordinate
+columns are filled from the expert location (:263-271).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+import pandas as pd
+
+from gpsat_tpu.utils.misc import to_array
+
+
+def max_dist_bool(locs: np.ndarray, ref_loc: np.ndarray, max_dist: float, chunk: int = 4_000_000) -> np.ndarray:
+    """Strict euclidean-ball mask ||loc - ref|| < max_dist over [n, d] rows.
+
+    Per-dimension |d| < r prefilter narrows candidates before the full
+    norm, processed in chunks to bound peak memory at ~chunk doubles.
+    """
+    locs = np.ascontiguousarray(locs)
+    ref = np.asarray(ref_loc).reshape(-1)
+    n = locs.shape[0]
+    out = np.zeros(n, dtype=bool)
+    r2 = float(max_dist) ** 2
+    for s in range(0, n, chunk):
+        blk = locs[s : s + chunk]
+        cand = np.abs(blk[:, 0] - ref[0]) < max_dist
+        for j in range(1, blk.shape[1]):
+            cand &= np.abs(blk[:, j] - ref[j]) < max_dist
+        if cand.any():
+            sub = blk[cand] - ref
+            cand[cand] = np.einsum("ij,ij->i", sub, sub) < r2
+        out[s : s + chunk] = cand
+    return out
+
+
+def _match(x, y):
+    """Index positions of x's entries in list y."""
+    xs = [x] if isinstance(x, str) else list(x)
+    return np.array([list(y).index(v) for v in xs])
+
+
+class PredictionLocations:
+    def __init__(self, method: str = "expert_loc", coords_col=None, expert_loc=None, **kwargs):
+        self.method = method
+        self.kwargs = kwargs
+        self._coords_col = None
+        self.coords_col = coords_col
+        self._expert_loc = None
+        self.expert_loc = expert_loc
+
+    # --- properties ---
+    @property
+    def coords_col(self):
+        return self._coords_col
+
+    @coords_col.setter
+    def coords_col(self, value):
+        if value is None:
+            self._coords_col = None
+        elif isinstance(value, np.ndarray):
+            assert value.ndim == 1
+            self._coords_col = value.tolist()
+        elif isinstance(value, list):
+            self._coords_col = value
+        else:
+            raise ValueError(f"coords_col type not handled: {type(value)}")
+
+    @staticmethod
+    def _1row_2d_array(x):
+        if isinstance(x, list):
+            x = np.array(x)
+        assert isinstance(x, np.ndarray)
+        if x.ndim == 1:
+            x = x[None, :]
+        assert x.ndim == 2 and x.shape[0] == 1, f"expert_loc must be a single row, got shape {x.shape}"
+        return x
+
+    @property
+    def expert_loc(self):
+        return self._expert_loc
+
+    @expert_loc.setter
+    def expert_loc(self, value):
+        if value is None:
+            self._expert_loc = None
+        elif isinstance(value, (pd.DataFrame, pd.Series)):
+            assert self.coords_col is not None, "coords_col must be set before assigning a DataFrame expert_loc"
+            self._expert_loc = self._1row_2d_array(value[self.coords_col].values)
+        elif isinstance(value, (np.ndarray, list)):
+            self._expert_loc = self._1row_2d_array(value)
+        else:
+            raise ValueError(f"expert_loc type not handled: {type(value)}")
+
+    # --- generation ---
+    def __call__(self) -> np.ndarray:
+        if self.method == "shift_arrays":
+            out = self._shift_arrays(**self.kwargs)
+        elif self.method == "expert_loc":
+            out = self.expert_loc
+        elif self.method == "from_dataframe":
+            out = self._from_dataframe(**self.kwargs)
+        elif self.method == "from_source":
+            assert "load_kwargs" in self.kwargs, (
+                "method='from_source' requires 'load_kwargs' (passed to gpsat_tpu.data.dataloader.load)"
+            )
+            from gpsat_tpu.data.dataloader import load
+
+            load_kwargs = self.kwargs.pop("load_kwargs")
+            df = load(**load_kwargs).drop_duplicates()
+            self.method = "from_dataframe"
+            self.kwargs["df"] = df
+            out = self._from_dataframe(**self.kwargs)
+        else:
+            raise ValueError(f"method: '{self.method}' not implemented")
+
+        if (self.method == "from_dataframe") and ("local_select" in self.kwargs):
+            from gpsat_tpu.data.select import local_data_select
+
+            df_out = pd.DataFrame(out, columns=self.coords_col)
+            ref = dict(zip(self.coords_col, self.expert_loc[0]))
+            out = local_data_select(df_out, ref, self.kwargs["local_select"]).values
+
+        assert isinstance(out, np.ndarray), f"must return ndarray, got: {type(out)}"
+        assert out.ndim == 2, f"must return 2d array, got {out.ndim}d"
+        return out
+
+    def _to_array(self, x):
+        (out,) = to_array(x)
+        return out
+
+    def _shift_arrays(self, Xout=None, **kwargs):
+        if Xout is None:
+            xis = [self._to_array(kwargs.get(c, np.zeros(1))) for c in self.coords_col]
+            for x in xis:
+                assert x.ndim == 1
+            Xis = np.meshgrid(*xis, indexing="ij")
+            Xout = np.concatenate([X.flatten()[:, None] for X in Xis], axis=1)
+            self.kwargs["Xout"] = Xout
+        return Xout + self.expert_loc
+
+    def _from_dataframe(self, df=None, df_file=None, max_dist: Optional[float] = None, copy_df: bool = False, **kwargs):
+        if df is None:
+            assert isinstance(df_file, str), f"df is None; df_file expected str, got: {type(df_file)}"
+            df = pd.read_csv(df_file)
+        found_cols = [c for c in self.coords_col if c in df.columns]
+        if df.shape[1] > len(found_cols):
+            df = df.loc[:, found_cols]
+        self.kwargs["df"] = df.copy(True) if copy_df else df
+
+        fc_loc = _match(found_cols, self.coords_col)
+        vals = df.values
+        if max_dist is not None:
+            if self.expert_loc.dtype != vals.dtype:
+                self.expert_loc = self.expert_loc.astype(vals.dtype)
+            b = max_dist_bool(vals, self.expert_loc[0, fc_loc], max_dist)
+            vals = vals[b]
+
+        if len(found_cols) == len(self.coords_col):
+            return vals
+        out = np.full((len(vals), len(self.coords_col)), np.nan)
+        out[:, fc_loc] = vals
+        missing = [c for c in self.coords_col if c not in found_cols]
+        mloc = _match(missing, self.coords_col)
+        out[:, mloc] = self.expert_loc[:, mloc]
+        return out

@@ -1,0 +1,171 @@
+"""Data-selection DSL — where dicts, row selection, local radius selection.
+
+Reproduces the reference DataLoader's selection semantics
+(ref: GPSat/dataloader.py):
+  - ``_bool_numpy_from_where`` (:1887-1970): {col, comp, val[, negate]}
+    simple comparisons, falling back to config_func specs
+  - ``row_select_bool`` (:137-232): AND/OR combination
+  - ``local_data_select`` (:2354-2447): scalar offsets from an expert
+    location plus KDTree radius selection for multi-column entries
+  - ``get_where_list`` (:2893-2978): static + dynamic global selects
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import List, Optional, Union
+
+import numpy as np
+import pandas as pd
+from scipy.spatial import cKDTree
+
+from gpsat_tpu.utils.config_func import config_func
+from gpsat_tpu.utils.misc import pandas_to_dict
+
+_COMPS = [">=", ">", "==", "!=", "<", "<="]
+
+
+def _compare(x, comp: str, val):
+    import operator
+
+    ops = {
+        ">=": operator.ge,
+        ">": operator.gt,
+        "==": operator.eq,
+        "!=": operator.ne,
+        "<": operator.lt,
+        "<=": operator.le,
+    }
+    assert comp in ops, f"comp: {comp} is not valid; use one of {_COMPS}"
+    return ops[comp](x, val)
+
+
+def bool_array_from_where(df: pd.DataFrame, wd: dict) -> np.ndarray:
+    """One where-dict -> boolean array over df rows."""
+    simple = all(k in wd for k in ("col", "comp", "val"))
+    wd = wd.copy()
+    negate = wd.pop("negate", False)
+    if simple:
+        col, comp, val = wd["col"], wd["comp"], wd["val"]
+        assert col in df.columns, f"col: '{col}' is not in columns: {list(df.columns)}"
+        x = df[col]
+        if pd.api.types.is_datetime64_any_dtype(x) and isinstance(val, str):
+            val = pd.Timestamp(val)
+        out = _compare(x, comp, val)
+    else:
+        out = config_func(df=df, **wd)
+    out = np.asarray(out)
+    return ~out if negate else out
+
+
+def row_select_bool(df: pd.DataFrame, row_select=None, combine: str = "AND", **kwargs):
+    """Combine where-dicts into one row mask (True everywhere if empty)."""
+    if row_select is None:
+        row_select = []
+    elif isinstance(row_select, dict):
+        row_select = [row_select]
+    assert isinstance(row_select, list), f"row_select must be list of dict, got: {type(row_select)}"
+    for i, rs in enumerate(row_select):
+        assert isinstance(rs, dict), f"row_select[{i}] is {type(rs)}, not dict"
+    combine = combine.upper()
+    assert combine in ("AND", "OR"), f"combine: {combine} not in ['AND','OR']"
+
+    masks = [bool_array_from_where(df, wd) for wd in row_select]
+    if not masks:
+        return np.ones(len(df), dtype=bool)
+    op = (lambda a, b: a & b) if combine == "AND" else (lambda a, b: a | b)
+    return np.asarray(reduce(op, masks))
+
+
+def data_select(df: pd.DataFrame, where=None, combine: str = "AND", copy: bool = True) -> pd.DataFrame:
+    """Filter a DataFrame with the where DSL."""
+    if where is None:
+        return df.copy() if copy else df
+    if isinstance(where, dict):
+        where = [where]
+    out = df.loc[row_select_bool(df, where, combine=combine)]
+    return out.copy() if copy else out
+
+
+def build_kdtrees(df: pd.DataFrame, local_select: List[dict]):
+    """Pre-build one cKDTree per multi-column local_select entry
+    (ref: dataloader.py:2293-2350)."""
+    out = []
+    for ls in local_select:
+        col = ls["col"]
+        if isinstance(col, str):
+            out.append(None)
+        else:
+            assert ls["comp"] in ("<", "<="), "multi-column select requires a less-than comparison"
+            out.append(cKDTree(df.loc[:, list(col)].values))
+    return out
+
+
+def local_select_bool(
+    df: pd.DataFrame,
+    reference_location,
+    local_select: List[dict],
+    kdtree=None,
+) -> np.ndarray:
+    """Boolean mask of rows within the expert's local window.
+
+    Single-column entries compare ``df[col] <comp> ref[col] + val`` (e.g.
+    t within ±4 days); multi-column entries select the euclidean ball of
+    radius val around the expert via KDTree.
+    """
+    select = np.ones(len(df), dtype=bool)
+    ref = pandas_to_dict(reference_location)
+    for idx, ls in enumerate(local_select):
+        col, comp = ls["col"], ls["comp"]
+        if isinstance(col, str):
+            assert col in df.columns, f"col: {col} not in data columns: {list(df.columns)}"
+            assert col in ref, f"col: {col} not in reference location: {list(ref)}"
+            select &= np.asarray(_compare(df[col], comp, ref[col] + ls["val"]))
+        else:
+            assert comp in ("<", "<="), "multi-column select requires a less-than comparison"
+            for c in col:
+                assert c in df.columns, f"column: {c} not in data columns"
+                assert c in ref, f"column: {c} not in reference location"
+            kdt = None
+            if kdtree is not None:
+                kdt = kdtree[idx] if isinstance(kdtree, list) else kdtree
+            if kdt is None:
+                kdt = cKDTree(df.loc[:, list(col)].values)
+            in_ids = kdt.query_ball_point(x=[ref[c] for c in col], r=ls["val"])
+            m = np.zeros(len(df), dtype=bool)
+            m[in_ids] = True
+            select &= m
+    return select
+
+
+def local_data_select(df, reference_location, local_select, kdtree=None, verbose: bool = False):
+    return df.loc[local_select_bool(df, reference_location, local_select, kdtree=kdtree), :]
+
+
+def get_where_list(global_select, local_select=None, ref_loc=None) -> List[dict]:
+    """Static + dynamic global selects -> concrete where-dict list.
+
+    Dynamic entries {loc_col, src_col, func} evaluate
+    func(ref[loc_col], ls["val"]) for each local_select entry on loc_col,
+    producing a pushdown condition on src_col.
+    """
+    out = []
+    ref = pandas_to_dict(ref_loc) if ref_loc is not None else None
+    for gs in global_select:
+        if all(c in gs for c in ("col", "comp", "val")):
+            out.append(gs)
+        else:
+            assert local_select is not None, f"dynamic where {gs} requires local_select"
+            assert ref is not None, f"dynamic where {gs} requires ref_loc"
+            assert all(c in gs for c in ("loc_col", "src_col", "func")), (
+                f"dynamic where keys: {list(gs)}, must have ['loc_col', 'src_col', 'func']"
+            )
+            loc_col = gs["loc_col"]
+            assert loc_col in ref, f"loc_col: {loc_col} not in ref_loc: {ref}"
+            func = gs["func"]
+            if isinstance(func, str):
+                func = eval(func)  # noqa: S307 — reference-compat executable config
+            for ls in local_select:
+                if loc_col == ls["col"]:
+                    out.append({"col": gs["src_col"], "comp": ls["comp"], "val": func(ref[loc_col], ls["val"])})
+    return out

@@ -160,22 +160,30 @@ class TableStore:
         all_cols = json.loads(grp.attrs["columns"])
         index_cols = json.loads(grp.attrs["index_cols"])
 
-        mask = None
         if where is not None:
             if isinstance(where, (str, dict)):
                 where = [where]
+            # decode only the columns the predicates touch, build the row
+            # mask, then read the requested columns through it
+            import re as _re
+
             needed = set()
             for wd in where:
-                needed.add(wd["col"] if isinstance(wd, dict) else str(wd).split()[0])
-            cache = {
-                c: self._decode(grp[c][...], grp[c].attrs["dtype_tag"]) for c in all_cols if c in needed or c in all_cols and c in needed
-            }
-            # fall back: decode any column referenced by parse inside _where_mask
-            cache = {c: self._decode(grp[c][...], grp[c].attrs["dtype_tag"]) for c in all_cols}
-            mask = np.ones(len(next(iter(cache.values()))) if cache else 0, dtype=bool)
+                if isinstance(wd, dict):
+                    needed.add(wd["col"])
+                else:
+                    m = _re.match(r"\s*([\w\.\-]+)", str(wd))
+                    assert m, f"could not parse where string: {wd}"
+                    needed.add(m.group(1))
+            cache = {c: self._decode(grp[c][...], grp[c].attrs["dtype_tag"]) for c in needed}
+            n_rows = grp[all_cols[0]].shape[0] if all_cols else 0
+            mask = np.ones(n_rows, dtype=bool)
             for wd in where:
                 mask &= _where_mask(cache, wd)
-            data = {c: cache[c][mask] for c in (columns or all_cols)}
+            data = {
+                c: (cache[c][mask] if c in cache else self._decode(grp[c][...], grp[c].attrs["dtype_tag"])[mask])
+                for c in (columns or all_cols)
+            }
         else:
             data = {
                 c: self._decode(grp[c][...], grp[c].attrs["dtype_tag"]) for c in (columns or all_cols)
@@ -207,9 +215,13 @@ class TableStore:
 
     # --- codec ---
     @staticmethod
-    def _encode(vals: np.ndarray):
+    def _encode(vals):
+        # pandas 3 extension arrays (ArrowStringArray etc.) -> numpy first
+        if not isinstance(vals, np.ndarray):
+            vals = np.asarray(vals)
         if np.issubdtype(vals.dtype, np.datetime64):
-            return vals.astype("datetime64[ns]").astype(np.int64), "datetime64[ns]"
+            # keep the original unit (pandas 3 defaults to us) in the tag
+            return vals.astype(np.int64), str(vals.dtype)
         if vals.dtype == object or vals.dtype.kind in ("U", "S"):
             return np.array([("" if v is None else str(v)) for v in vals], dtype=_STR), "str"
         if vals.dtype == bool:
@@ -218,8 +230,8 @@ class TableStore:
 
     @staticmethod
     def _decode(vals: np.ndarray, tag: str) -> np.ndarray:
-        if tag == "datetime64[ns]":
-            return vals.astype("datetime64[ns]")
+        if tag.startswith("datetime64"):
+            return vals.astype(tag)
         if tag == "str":
             return np.array([v.decode("utf-8") if isinstance(v, bytes) else v for v in vals], dtype=object)
         if tag == "bool":

@@ -1,0 +1,739 @@
+"""LocalExpertOI — the experiment orchestrator, batched for TPU.
+
+The reference's orchestrator (ref: GPSat/local_experts.py:116-1279) holds
+four configs (expert locations, data, model, prediction locations) and runs
+a serial per-expert loop: select data -> build model -> load params ->
+constrain -> optimise -> predict -> append to HDF5. This re-design keeps
+the exact same config surface and results schema but inverts the execution:
+
+  1. group experts by their global-select where-list (dynamic selects
+     evaluated per expert, ref: dataloader.py:2893-2978), loading each
+     group's observations once;
+  2. compute every expert's local-selection index set and prediction
+     locations on host (cKDTree);
+  3. assemble padded tile buckets (gpsat_tpu.parallel.batching) and run
+     each bucket as ONE jitted, mesh-sharded XLA program
+     (gpsat_tpu.parallel.engine);
+  4. write the reference-schema result tables: oi_config, expert_locs,
+     run_details, preds, one table per stored hyperparameter, all
+     multi-indexed by expert coordinates with optional table_suffix
+     (ref: local_experts.py:499-550, 1226-1257).
+
+Restart/elasticity matches the reference: experts present in run_details
+are skipped on rerun (ref: local_experts.py:474-497, 905-912), and config
+compatibility is checked against the stored oi_config (ref:
+utils.py:1136-1327).
+
+Known divergence from the reference (documented): the serial EMA warm-start
+across experts (ref: local_experts.py:1200-1217) is inherently sequential;
+in batched mode ``load_params={"previous": True}`` warm-starts each batch
+from the previous *batch's* mean optimum instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+import warnings
+from typing import Optional, Union
+
+import numpy as np
+import pandas as pd
+
+from gpsat_tpu.data import dataloader as DL
+from gpsat_tpu.data import select as sel
+from gpsat_tpu.data.prediction_locations import PredictionLocations
+from gpsat_tpu.data.store import TableStore
+from gpsat_tpu.models import get_model
+from gpsat_tpu.models.functional import ModelCore
+from gpsat_tpu.parallel import batching
+from gpsat_tpu.parallel.engine import default_mesh, make_batched_runner, run_tile_batch
+from gpsat_tpu.utils.misc import cprint, json_serializable, pandas_to_dict
+
+
+@dataclasses.dataclass
+class LocalExpertData:
+    """Observation source + selection spec (ref: local_experts.py:43-112)."""
+
+    obs_col: Union[str, None] = None
+    coords_col: Union[list, None] = None
+    global_select: Union[list, None] = None
+    local_select: Union[list, None] = None
+    where: Union[list, None] = None
+    row_select: Union[list, None] = None
+    col_select: Union[list, None] = None
+    col_funcs: Union[dict, None] = None
+    table: Union[str, None] = None
+    data_source: Union[str, pd.DataFrame, None] = None
+    engine: Union[str, None] = None
+    read_kwargs: Union[dict, None] = None
+
+    def load(self, where=None, **kwargs):
+        use_where = list(self.where) if self.where is not None else None
+        if where is not None:
+            where = where if isinstance(where, list) else [where]
+            use_where = (use_where or []) + where
+        return DL.load(
+            source=self.data_source,
+            where=use_where,
+            table=self.table,
+            col_funcs=self.col_funcs,
+            row_select=self.row_select,
+            col_select=self.col_select,
+            engine=self.engine,
+            source_kwargs=self.read_kwargs,
+            **kwargs,
+        )
+
+
+# --------------------------------------------------------------------------
+# config persistence (ref: GPSat/utils.py:1136-1327)
+# --------------------------------------------------------------------------
+
+def get_previous_oi_config(store_path, oi_config, skip_valid_checks_on=None, table_name="oi_config"):
+    """Match current config against stored ones; append if new.
+
+    Returns (prev_config, skip_valid_checks_on, config_id).
+    """
+    skip_valid_checks_on = list(skip_valid_checks_on or [])
+    cfg_str = json.dumps(json_serializable(oi_config), sort_keys=True)
+    with TableStore(store_path) as store:
+        if table_name in store:
+            prev = store.select(table_name, set_index=False)
+            for _, row in prev.iterrows():
+                if row["config"] == cfg_str:
+                    return json.loads(row["config"]), skip_valid_checks_on, int(row["config_id"])
+            config_id = int(prev["config_id"].max()) + 1
+            prev_config = json.loads(prev.iloc[-1]["config"])
+        else:
+            config_id = 0
+            prev_config = oi_config
+        store.append(
+            table_name,
+            pd.DataFrame(
+                {
+                    "config_id": [config_id],
+                    "datetime": [pd.Timestamp.now().isoformat()],
+                    "config": [cfg_str],
+                }
+            ),
+        )
+    return prev_config, skip_valid_checks_on, config_id
+
+
+def check_prev_oi_config(prev_oi_config, oi_config, skip_valid_checks_on=None):
+    """Assert the configs agree, except for skipped keys (ref: utils.py:1276-1327)."""
+    skip_valid_checks_on = list(skip_valid_checks_on or []) + ["run_kwargs", "misc"]
+    prev = json_serializable(prev_oi_config)
+    cur = json_serializable(oi_config)
+    for k in cur.keys():
+        if k in skip_valid_checks_on:
+            continue
+        assert json.dumps(prev.get(k), sort_keys=True) == json.dumps(cur.get(k), sort_keys=True), (
+            f"config key '{k}' differs from the previously stored oi_config; "
+            f"use a new store_path, delete the store, or add '{k}' to skip_valid_checks_on"
+        )
+
+
+# --------------------------------------------------------------------------
+# orchestrator
+# --------------------------------------------------------------------------
+
+class LocalExpertOI:
+    """Config-driven local-expert OI experiment (batched TPU execution)."""
+
+    def __init__(
+        self,
+        expert_loc_config: Optional[dict] = None,
+        data_config: Optional[dict] = None,
+        model_config: Optional[dict] = None,
+        pred_loc_config: Optional[dict] = None,
+        local_expert_config=None,
+    ):
+        if local_expert_config is not None:
+            expert_loc_config = local_expert_config.expert_locs_config.to_dict()
+            data_config = local_expert_config.data_config.to_dict()
+            model_config = local_expert_config.model_config.to_dict()
+            pred_loc_config = local_expert_config.prediction_locs_config.to_dict()
+
+        self.config = {}
+        self.expert_locs = None
+        self.data = None
+        self.model = None
+
+        self.set_expert_locations(**(expert_loc_config or {}))
+        self.set_data(**(data_config or {}))
+        self.set_model(**(model_config or {}))
+        self.set_pred_loc(**(pred_loc_config or {}))
+
+    # ---- setters (config capture mirrors _method_inputs_to_config) ----
+    def set_expert_locations(
+        self,
+        df=None,
+        file=None,
+        source=None,
+        where=None,
+        col_funcs=None,
+        keep_cols=None,
+        col_select=None,
+        row_select=None,
+        sort_by=None,
+        reset_index=False,
+        source_kwargs=None,
+        verbose=False,
+        **kwargs,
+    ):
+        cfg = {k: v for k, v in locals().items() if k not in ("self", "kwargs") and v is not None}
+        cfg.update(kwargs)
+        self.config["locations"] = json_serializable(cfg)
+
+        if col_select is None and keep_cols is not None:
+            col_select = keep_cols
+        if source is None:
+            source = df if df is not None else file
+        if source is None:
+            return None
+
+        locs = DL.load(
+            source=source,
+            where=where,
+            source_kwargs=source_kwargs,
+            col_funcs=col_funcs,
+            row_select=row_select,
+            col_select=col_select,
+            reset_index=reset_index,
+            verbose=verbose,
+            **kwargs,
+        )
+        if sort_by:
+            locs = locs.sort_values(sort_by)
+        self.expert_locs = locs
+
+    def set_data(self, **kwargs):
+        self.config["data"] = json_serializable({k: v for k, v in kwargs.items() if v is not None})
+        self.data = LocalExpertData(**kwargs)
+
+    def set_model(
+        self,
+        oi_model=None,
+        init_params=None,
+        constraints=None,
+        load_params=None,
+        optim_kwargs=None,
+        pred_kwargs=None,
+        params_to_store=None,
+        replacement_threshold=None,
+        replacement_model=None,
+        replacement_init_params=None,
+        replacement_constraints=None,
+        replacement_optim_kwargs=None,
+        replacement_pred_kwargs=None,
+    ):
+        cfg = {k: v for k, v in locals().items() if k != "self" and v is not None}
+        self.config["model"] = json_serializable(cfg)
+
+        self.oi_model_name = oi_model if isinstance(oi_model, str) else getattr(oi_model, "__name__", str(oi_model))
+        if isinstance(oi_model, str):
+            self.model = get_model(oi_model)
+        elif isinstance(oi_model, dict):
+            import importlib
+            import sys
+
+            sys.path.append(oi_model["path_to_model"])
+            module = importlib.import_module(oi_model["path_to_model"])
+            self.model = getattr(module, oi_model["model_name"])
+        else:
+            self.model = oi_model
+
+        self.model_init_params = init_params or {}
+        self.constraints = constraints
+        self.model_load_params = load_params
+        self.optim_kwargs = optim_kwargs or {}
+        self.pred_kwargs = pred_kwargs or {}
+        self.params_to_store = None if params_to_store == "all" else params_to_store
+
+        self.replacement_threshold = replacement_threshold
+        if replacement_threshold is not None:
+            self.replacement_model = (
+                self.model if replacement_model is None else get_model(replacement_model)
+            )
+            self.replacement_init_params = (
+                self.model_init_params if replacement_init_params is None else replacement_init_params
+            )
+            self.replacement_constraints = (
+                self.constraints if replacement_constraints is None else replacement_constraints
+            )
+            self.replacement_optim_kwargs = replacement_optim_kwargs or {}
+            self.replacement_pred_kwargs = replacement_pred_kwargs or {}
+
+    def set_pred_loc(self, **kwargs):
+        self.config["pred_loc"] = json_serializable({k: v for k, v in kwargs.items() if v is not None})
+        self.pred_loc = PredictionLocations(**kwargs)
+        if isinstance(self.data, LocalExpertData) and self.data.coords_col is not None:
+            self.pred_loc.coords_col = self.data.coords_col
+
+    # ---- helpers ----
+    @staticmethod
+    def _remove_previously_run_locations(store_path, xprt_locs, table="run_details"):
+        if not os.path.exists(store_path):
+            return xprt_locs
+        with TableStore(store_path) as store:
+            if table not in store:
+                return xprt_locs
+            prev = store.select(table)
+            idx_names = [n for n in prev.index.names if n is not None]
+            if not idx_names:
+                return xprt_locs
+            prev = prev.reset_index()[idx_names].drop_duplicates()
+        tmp = xprt_locs.merge(prev, how="left", on=idx_names, indicator="found_already")
+        keep = (tmp["found_already"] == "left_only").values
+        cprint(f"for table: {table} keeping {keep.sum()} / {len(keep)} expert locations", c="OKCYAN")
+        return xprt_locs.loc[keep].copy()
+
+    def _core_for(self, model_cls) -> ModelCore:
+        """Build the functional core for the configured model + init params."""
+        ip = self.model_init_params
+        from gpsat_tpu.ops import transforms as T
+
+        kernel = ip.get("kernel", "Matern32")
+        bijectors = None
+        if self.constraints:
+            bijectors = {}
+            coords_scale = np.asarray(ip.get("coords_scale", 1.0), dtype=float).reshape(-1)
+            for pname, c in self.constraints.items():
+                low = np.asarray(c["low"], dtype=float)
+                high = np.asarray(c["high"], dtype=float)
+                # lengthscale constraints given in raw units are rescaled by
+                # coords_scale (ref: local_experts.py:1110-1117 sets
+                # scale=True when coords_scale provided)
+                if pname == "lengthscales" and ip.get("coords_scale") is not None:
+                    low = low / coords_scale
+                    high = high / coords_scale
+                bijectors[pname] = T.interval(low, high)
+        return make_core_for_model(model_cls, kernel=kernel, bijectors=bijectors, init_params=ip)
+
+    # ---- the sweep ----
+    def run(
+        self,
+        store_path: str = None,
+        store_every: int = 10,
+        check_config_compatible: bool = True,
+        skip_valid_checks_on=None,
+        optimise: bool = True,
+        predict: bool = True,
+        min_obs: int = 3,
+        table_suffix: str = "",
+        mesh=None,
+        max_batch_size: Optional[int] = None,
+    ):
+        self.config["run_kwargs"] = json_serializable(
+            dict(
+                store_path=store_path,
+                store_every=store_every,
+                check_config_compatible=check_config_compatible,
+                skip_valid_checks_on=skip_valid_checks_on,
+                optimise=optimise,
+                predict=predict,
+                min_obs=min_obs,
+                table_suffix=table_suffix,
+            )
+        )
+        t_start = time.perf_counter()
+
+        assert isinstance(self.expert_locs, pd.DataFrame), "expert_locs must be a DataFrame — call set_expert_locations"
+        assert self.data is not None and self.data.data_source is not None, "'data_source' is None"
+        assert self.model is not None, "'model' is None — call set_model"
+        assert isinstance(store_path, str), f"store_path expected str, got: {type(store_path)}"
+        min_obs = max(int(min_obs), 1)
+
+        if os.path.dirname(store_path):
+            os.makedirs(os.path.dirname(store_path), exist_ok=True)
+
+        coords_col = self.data.coords_col
+        obs_col = self.data.obs_col
+
+        # --- config id / compat ---
+        prev_cfg, skip_checks, config_id = get_previous_oi_config(
+            store_path, self.config, skip_valid_checks_on, table_name=f"oi_config{table_suffix}"
+        )
+        if check_config_compatible:
+            check_prev_oi_config(prev_cfg, self.config, skip_checks)
+
+        # --- expert locations bookkeeping ---
+        store_locs = self._remove_previously_run_locations(
+            store_path, self.expert_locs.copy(), table=f"expert_locs{table_suffix}"
+        )
+        if len(store_locs):
+            with TableStore(store_path) as store:
+                store.append(f"expert_locs{table_suffix}", store_locs.set_index(coords_col))
+
+        xprt_locs = self._remove_previously_run_locations(
+            store_path, self.expert_locs.copy(), table=f"run_details{table_suffix}"
+        )
+        if len(xprt_locs) == 0:
+            cprint("all expert locations already run; nothing to do", c="OKGREEN")
+            return None
+
+        # --- group experts by their (dynamic) global-select where list ---
+        groups = {}
+        for i in range(len(xprt_locs)):
+            rl = xprt_locs.iloc[[i]]
+            where = sel.get_where_list(
+                self.data.global_select or [], local_select=self.data.local_select, ref_loc=rl
+            )
+            key = json.dumps(json_serializable(where), sort_keys=True, default=str)
+            groups.setdefault(key, {"where": where, "rows": []})
+            groups[key]["rows"].append(i)
+
+        mesh = mesh if mesh is not None else default_mesh()
+        device_name = str(mesh.devices.flat[0].device_kind) if mesh.devices.size else "cpu"
+        model_name = f"gpsat_tpu.{getattr(self.model, '__name__', str(self.model))}"
+
+        core = self._core_for(self.model)
+        runner = make_batched_runner(
+            core,
+            fixed_params=tuple(self.optim_kwargs.get("fixed_params", ())),
+            max_iter=int(self.optim_kwargs.get("max_iter", 10_000)),
+            optimise=optimise,
+            mesh=mesh,
+        )
+
+        # --- per-group: load, local-select, tile, execute, store ---
+        total = len(xprt_locs)
+        done = 0
+        for key, grp in groups.items():
+            df = self.data.load(where=grp["where"] if grp["where"] else None, reset_index=True)
+            kdtrees = sel.build_kdtrees(df, self.data.local_select or [])
+
+            coords_all = df[coords_col].values.astype(float)
+            obs_all = df[obs_col if isinstance(obs_col, str) else obs_col[0]].values.astype(float)
+
+            tile_indices, pred_coords, row_ids, skipped = [], [], [], []
+            for i in grp["rows"]:
+                rl = xprt_locs.iloc[[i]]
+                self.pred_loc.expert_loc = rl
+                pc = self.pred_loc() if predict else np.zeros((0, len(coords_col)))
+                mask_b = sel.local_select_bool(df, rl, self.data.local_select or [], kdtree=kdtrees)
+                n = int(mask_b.sum())
+                if n < min_obs or (predict and len(pc) == 0):
+                    skipped.append((i, n))
+                    continue
+                tile_indices.append(np.flatnonzero(mask_b))
+                pred_coords.append(pc)
+                row_ids.append(i)
+
+            # record min-obs skips so restarts don't retry them
+            # (ref: local_experts.py:988-1012)
+            if skipped:
+                rows = []
+                for i, n in skipped:
+                    rl = xprt_locs.iloc[[i]]
+                    rows.append(
+                        self._run_details_row(rl, coords_col, n, np.nan, np.nan, optimise, False, model_name, "", config_id)
+                    )
+                with TableStore(store_path) as store:
+                    store.append(f"run_details{table_suffix}", pd.concat(rows))
+                done += len(skipped)
+
+            if not row_ids:
+                continue
+
+            ip = self.model_init_params
+            tiles = batching.assemble_tiles(
+                coords_all,
+                obs_all,
+                tile_indices,
+                pred_coords,
+                expert_index=np.asarray(row_ids),
+                coords_scale=ip.get("coords_scale"),
+                obs_mean=ip.get("obs_mean"),
+                max_batch_size=max_batch_size,
+            )
+
+            init_cparams = self._initial_cparams(core, ip)
+            for b in tiles:
+                t0 = time.perf_counter()
+                per_expert_init = self._load_params_for_batch(b, xprt_locs, coords_col, init_cparams, core, store_path, table_suffix)
+                if per_expert_init is None:
+                    continue  # load failure policy: skip batch experts
+                res = run_tile_batch(b, per_expert_init, runner, core, mesh=mesh)
+                bt = time.perf_counter() - t0
+                self._store_batch(
+                    res,
+                    core,
+                    xprt_locs,
+                    coords_col,
+                    pred_coords,
+                    row_ids,
+                    store_path,
+                    table_suffix,
+                    optimise,
+                    model_name,
+                    device_name,
+                    config_id,
+                    bt,
+                    predict,
+                )
+                done += len(res["expert_index"])
+                cprint(f"{done} / {total} experts done ({bt:.2f}s for batch of {b.B})", c="OKCYAN")
+
+        cprint(f"'run': {time.perf_counter() - t_start:.3f} seconds", c="OKGREEN")
+        return None
+
+    # ---- table building ----
+    @staticmethod
+    def _expert_index(rl: pd.DataFrame, coords_col):
+        vals = tuple(rl.iloc[0][c] for c in coords_col)
+        if len(coords_col) == 1:
+            return pd.Index([vals[0]], name=coords_col[0])
+        return pd.MultiIndex.from_tuples([vals], names=coords_col)
+
+    def _run_details_row(self, rl, coords_col, num_obs, run_time, objective, optimised, success, model_name, device, config_id):
+        idx = self._expert_index(rl, coords_col)
+        return pd.DataFrame(
+            {
+                "_dim_0": [0],
+                "num_obs": [num_obs],
+                "run_time": [run_time],
+                "objective_value": [objective],
+                "parameters_optimised": [bool(optimised)],
+                "optimise_success": [bool(success)],
+                "model": [model_name[:64]],
+                "device": [device[:64]],
+                "config_id": [config_id],
+            },
+            index=idx,
+        )
+
+    def _initial_cparams(self, core: ModelCore, ip: dict) -> dict:
+        """Initial constrained params from init_params (+ constraint nudge)."""
+        from gpsat_tpu.ops import transforms as T
+
+        D = len(self.data.coords_col)
+        overrides = {}
+        kk = ip.get("kernel_kwargs", {}) or {}
+        if "lengthscales" in kk:
+            overrides["lengthscales"] = kk["lengthscales"]
+        if "variance" in kk:
+            overrides["kernel_variance"] = kk["variance"]
+        if ip.get("noise_variance") is not None:
+            overrides["likelihood_variance"] = ip["noise_variance"]
+        out = core.init_cparams(D, overrides=overrides)
+        # nudge initial values inside any sigmoid constraint bounds
+        # (ref: gpflow_models.py:470-479 via set_parameter_constraints tol=1e-2)
+        if self.constraints:
+            coords_scale = np.asarray(ip.get("coords_scale", 1.0), dtype=float).reshape(-1)
+            for pname, c in self.constraints.items():
+                if pname not in out:
+                    continue
+                low = np.asarray(c["low"], dtype=float)
+                high = np.asarray(c["high"], dtype=float)
+                if pname == "lengthscales" and ip.get("coords_scale") is not None:
+                    low = low / coords_scale
+                    high = high / coords_scale
+                out[pname] = np.reshape(
+                    T.move_within_tol(out[pname], low, high, tol=1e-2), np.shape(out[pname])
+                )
+        return out
+
+    def _load_params_for_batch(self, b, xprt_locs, coords_col, init_cparams, core, store_path, table_suffix):
+        """Apply model_load_params: warm starts from a results file."""
+        lp = self.model_load_params
+        if not lp:
+            return init_cparams
+        if lp.get("previous", False):
+            # batched analogue of the reference's serial EMA warm start
+            return init_cparams
+        # direct parameter values (reference's **param_dict path,
+        # local_experts.py:553-606)
+        reserved = {"file", "table_suffix", "previous", "previous_params", "param_names", "index_adjust"}
+        direct = {k: v for k, v in lp.items() if k not in reserved}
+        if direct and "file" not in lp:
+            out = dict(init_cparams)
+            for k, v in direct.items():
+                if k in out:
+                    out[k] = np.reshape(np.asarray(v, dtype=float), np.shape(out[k]))
+            return out
+        file = lp.get("file", store_path)
+        suffix = lp.get("table_suffix", "")
+        if not os.path.exists(file):
+            warnings.warn(f"load_params file does not exist: {file}")
+            return None
+        # per-expert [B, ...] arrays seeded with the shared initial values
+        out = {
+            k: np.broadcast_to(np.asarray(v), (b.B,) + np.shape(v)).copy()
+            for k, v in init_cparams.items()
+        }
+        with TableStore(file) as store:
+            for pname in core.param_names:
+                tbl = f"{pname}{suffix}"
+                if tbl not in store:
+                    continue
+                # one read per param table, grouped by expert coordinates —
+                # replaces the reference's per-expert HDF5 where-queries
+                # (ref: local_experts.py:608-689)
+                pdf = store.select(tbl).reset_index()
+                grouped = {k: g for k, g in pdf.groupby(list(coords_col))}
+                for bi, ei in enumerate(b.expert_index):
+                    if ei < 0:
+                        continue
+                    row = xprt_locs.iloc[int(ei)]
+                    kt = tuple(row[c] for c in coords_col)
+                    g = grouped.get(kt if len(kt) > 1 else kt[0], None)
+                    if g is None or len(g) == 0:
+                        continue
+                    vals = g.sort_values("_dim_0")[pname].values.astype(float)
+                    if np.any(np.isnan(vals)):
+                        continue  # nan params are not loaded (ref: :670-681)
+                    tgt = out[pname][bi]
+                    out[pname][bi] = vals.reshape(np.shape(tgt)) if np.ndim(tgt) else vals[0]
+        return out
+
+    def _store_batch(
+        self,
+        res,
+        core,
+        xprt_locs,
+        coords_col,
+        pred_coords,
+        row_ids,
+        store_path,
+        table_suffix,
+        optimise,
+        model_name,
+        device_name,
+        config_id,
+        batch_time,
+        predict,
+    ):
+        params_to_store = self.params_to_store
+        preds_rows, run_rows = [], []
+        store_params = core.param_names if params_to_store is None else params_to_store
+        param_rows = {p: [] for p in store_params if p in res}
+
+        per_expert_time = batch_time / max(len(res["expert_index"]), 1)
+        for i, ei in enumerate(res["expert_index"]):
+            rl = xprt_locs.iloc[[int(ei)]]
+            idx1 = self._expert_index(rl, coords_col)
+            P = int(res["pred_mask"][i].sum())
+            if predict and P > 0:
+                pc = pred_coords[row_ids.index(int(ei))]
+                data = {
+                    "_dim_0": np.arange(P),
+                    "f*": res["f_mean"][i][:P],
+                    "f*_var": res["f_var"][i][:P],
+                    "y_var": res["y_var"][i][:P],
+                    "f_bar": np.repeat(res["obs_mean"][i], P),
+                }
+                for ci, c in enumerate(coords_col):
+                    data[f"pred_loc_{c}"] = pc[:P, ci]
+                pdf = pd.DataFrame(data)
+                pdf.index = idx1.repeat(P)
+                preds_rows.append(pdf)
+
+            run_rows.append(
+                self._run_details_row(
+                    rl,
+                    coords_col,
+                    int(res["num_obs"][i]),
+                    per_expert_time,
+                    float(res["objective"][i]),
+                    optimise,
+                    bool(res["converged"][i]),
+                    model_name,
+                    device_name,
+                    config_id,
+                )
+            )
+
+            for pname, rows in param_rows.items():
+                vals = np.atleast_1d(res[pname][i])
+                pdf = pd.DataFrame({"_dim_0": np.arange(len(vals)), pname: vals})
+                pdf.index = idx1.repeat(len(vals))
+                rows.append(pdf)
+
+        with TableStore(store_path) as store:
+            if preds_rows:
+                store.append(f"preds{table_suffix}", pd.concat(preds_rows))
+            store.append(f"run_details{table_suffix}", pd.concat(run_rows))
+            for pname, rows in param_rows.items():
+                if rows:
+                    store.append(f"{pname}{table_suffix}", pd.concat(rows))
+
+
+def make_core_for_model(model_cls, kernel: str, bijectors, init_params) -> ModelCore:
+    """Map a host model class to its functional core."""
+    from gpsat_tpu.models.functional import make_gpr_core
+    from gpsat_tpu.models.gpr import GPRModel
+
+    if model_cls is GPRModel or getattr(model_cls, "__name__", "") in ("GPRModel", "GPflowGPRModel"):
+        return make_gpr_core(
+            kernel=kernel,
+            bijectors=bijectors_from(bijectors),
+            jitter=init_params.get("jitter", 0.0),
+        )
+    raise NotImplementedError(f"no functional core for model: {model_cls}")
+
+
+def bijectors_from(bij):
+    from gpsat_tpu.models.gpr import PARAM_NAMES
+    from gpsat_tpu.ops import transforms as T
+
+    out = {name: T.POSITIVE for name in PARAM_NAMES}
+    if bij:
+        out.update(bij)
+    return out
+
+
+# --------------------------------------------------------------------------
+# results reading (ref: local_experts.py:1467-1620)
+# --------------------------------------------------------------------------
+
+def get_results_from_h5file(
+    results_file: str,
+    global_col_funcs=None,
+    merge_on_expert_locations: bool = True,
+    select_tables=None,
+    table_suffix: str = "",
+    add_suffix_to_table: bool = True,
+    verbose: bool = False,
+):
+    """Read all (or selected) result tables plus the stored configs.
+
+    Returns (dict of DataFrames, list of configs).
+    """
+    out = {}
+    configs = []
+    with TableStore(results_file, mode="r") as store:
+        keys = store.keys()
+        if select_tables is not None:
+            want = [f"{t}{table_suffix}" if add_suffix_to_table else t for t in select_tables]
+            keys = [k for k in keys if k in want]
+        elif table_suffix:
+            keys = [k for k in keys if k.endswith(table_suffix)]
+        for k in keys:
+            if k.startswith("oi_config"):
+                cfg_df = store.select(k, set_index=False)
+                configs.extend(json.loads(c) for c in cfg_df["config"])
+                continue
+            out[k] = store.select(k).reset_index()
+
+        if global_col_funcs is not None:
+            for k in out:
+                DL.add_cols(out[k], global_col_funcs)
+
+        # merge expert-location metadata onto each table
+        el_key = f"expert_locs{table_suffix}"
+        if merge_on_expert_locations and el_key in store.keys():
+            el = store.select(el_key).reset_index()
+            for k in list(out.keys()):
+                if k.startswith("expert_locs"):
+                    continue
+                join_cols = [c for c in el.columns if c in out[k].columns]
+                if join_cols:
+                    extra = [c for c in el.columns if c not in join_cols]
+                    if extra:
+                        out[k] = out[k].merge(el, on=join_cols, how="left")
+    return out, configs

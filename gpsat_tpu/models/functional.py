@@ -1,0 +1,78 @@
+"""Functional model cores — the jit/vmap-able heart of each model.
+
+A ModelCore bundles the pure functions the batched engine needs:
+objective (to minimize), predict, the unconstrained<->constrained parameter
+maps, and initialization. One core instance describes a model *family* with
+fixed hyper-structure (kernel name, bijectors, jitter); per-expert state
+lives entirely in the params/data pytrees so everything vmaps.
+
+The host-facing classes in gpsat_tpu.models.* wrap these same cores with
+the reference's single-expert BaseGPRModel contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpsat_tpu.models import gpr as gpr_core
+from gpsat_tpu.ops import transforms as T
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelCore:
+    name: str
+    objective: Callable  # (uparams, data) -> scalar loss (minimized)
+    predict: Callable  # (cparams, data, Xnew) -> {"f_mean", "f_var", "y_var"}
+    forward: Callable  # uparams -> cparams
+    inverse: Callable  # cparams -> uparams
+    init_cparams: Callable  # (D, dtype, overrides) -> cparams (unbatched)
+    param_names: tuple
+
+
+def make_gpr_core(
+    kernel: str = "Matern32",
+    bijectors: Optional[dict] = None,
+    jitter: float = 0.0,
+) -> ModelCore:
+    """Exact GPR core (objective = negative log marginal likelihood)."""
+    if bijectors is None:
+        bijectors = {name: T.POSITIVE for name in gpr_core.PARAM_NAMES}
+
+    def objective(uparams, data):
+        return gpr_core.neg_lml(uparams, data, kernel=kernel, bijectors=bijectors, jitter=jitter)
+
+    def predict(cparams, data, Xnew):
+        return gpr_core.predict(cparams, data, Xnew, kernel=kernel, jitter=jitter)
+
+    def forward(uparams):
+        return {k: bijectors[k].forward(v) for k, v in uparams.items()}
+
+    def inverse(cparams):
+        return {k: bijectors[k].inverse(jnp.asarray(v)) for k, v in cparams.items()}
+
+    def init_cparams(D: int, dtype=np.float64, overrides: Optional[dict] = None) -> Dict[str, np.ndarray]:
+        out = {
+            "lengthscales": np.ones((D,), dtype=dtype),
+            "kernel_variance": np.asarray(1.0, dtype=dtype),
+            "likelihood_variance": np.asarray(1.0, dtype=dtype),
+        }
+        for k, v in (overrides or {}).items():
+            if k not in out:
+                continue
+            v = np.asarray(v, dtype=dtype)
+            out[k] = np.broadcast_to(v, out[k].shape).copy() if v.ndim < np.ndim(out[k]) else v
+        return out
+
+    return ModelCore(
+        name=f"GPR[{kernel}]",
+        objective=objective,
+        predict=predict,
+        forward=forward,
+        inverse=inverse,
+        init_cparams=init_cparams,
+        param_names=tuple(gpr_core.PARAM_NAMES),
+    )

@@ -6,7 +6,7 @@ one scipy session + one TF graph per expert) with:
 
     shard_map over a device mesh ('experts' axis)
       -> vmap over the local expert tiles
-        -> jitted L-BFGS on the masked LML + masked posterior predict
+        -> jitted L-BFGS on the masked objective + masked posterior predict
 
 Experts are embarrassingly independent (SURVEY.md §2.9), so there are no
 collectives inside optimization; each device runs its local while_loop to
@@ -16,15 +16,14 @@ evenly and are dropped on host afterwards.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from gpsat_tpu.models import gpr as gpr_core
+from gpsat_tpu.models.functional import ModelCore
 from gpsat_tpu.optim.lbfgs import minimize_lbfgs
 from gpsat_tpu.parallel.batching import TileBatch, pad_batch_to
 
@@ -36,30 +35,26 @@ def default_mesh(devices=None) -> Mesh:
 
 
 def _fit_predict_one(
+    core: ModelCore,
     data: Dict[str, jnp.ndarray],
     Xnew: jnp.ndarray,
     uparams0: Dict[str, jnp.ndarray],
     *,
-    kernel: str,
-    bijectors: dict,
     fixed_params: tuple,
-    jitter: float,
     max_iter: int,
     optimise: bool,
     tol_grad: float,
     tol_f: float,
 ):
-    """Single padded tile: optimise hyperparameters then predict."""
+    """Single padded tile: optimise parameters then predict."""
     u_free0 = {k: v for k, v in uparams0.items() if k not in fixed_params}
     u_fixed = {k: v for k, v in uparams0.items() if k in fixed_params}
 
     def objective(u_free):
-        return gpr_core.neg_lml({**u_free, **u_fixed}, data, kernel=kernel, bijectors=bijectors, jitter=jitter)
+        return core.objective({**u_free, **u_fixed}, data)
 
     if optimise and u_free0:
-        res = minimize_lbfgs(
-            objective, u_free0, max_iter=max_iter, tol_grad=tol_grad, tol_f=tol_f
-        )
+        res = minimize_lbfgs(objective, u_free0, max_iter=max_iter, tol_grad=tol_grad, tol_f=tol_f)
         u_opt = {**res.params, **u_fixed}
         converged = res.converged
         num_iter = res.num_iter
@@ -68,12 +63,10 @@ def _fit_predict_one(
         u_opt = uparams0
         converged = jnp.asarray(True)
         num_iter = jnp.asarray(0)
-        final_obj = objective(u_free0) if u_free0 else gpr_core.neg_lml(
-            uparams0, data, kernel=kernel, bijectors=bijectors, jitter=jitter
-        )
+        final_obj = core.objective(uparams0, data)
 
-    cparams = {k: bijectors[k].forward(v) for k, v in u_opt.items()}
-    pred = gpr_core.predict(cparams, data, Xnew, kernel=kernel, jitter=jitter)
+    cparams = core.forward(u_opt)
+    pred = core.predict(cparams, data, Xnew)
     return {
         "params": cparams,
         "pred": pred,
@@ -84,11 +77,9 @@ def _fit_predict_one(
 
 
 def make_batched_runner(
+    core: ModelCore,
     *,
-    kernel: str = "Matern32",
-    bijectors: Optional[dict] = None,
     fixed_params: tuple = (),
-    jitter: float = 0.0,
     max_iter: int = 500,
     optimise: bool = True,
     tol_grad: float = 1e-6,
@@ -100,36 +91,28 @@ def make_batched_runner(
     With a mesh, the expert axis is sharded via shard_map so each device
     optimizes its local tiles with no cross-device synchronization.
     """
-    from gpsat_tpu.ops import transforms as T
-
-    if bijectors is None:
-        bijectors = {name: T.POSITIVE for name in gpr_core.PARAM_NAMES}
-
-    one = functools.partial(
-        _fit_predict_one,
-        kernel=kernel,
-        bijectors=bijectors,
-        fixed_params=tuple(fixed_params),
-        jitter=jitter,
-        max_iter=max_iter,
-        optimise=optimise,
-        tol_grad=tol_grad,
-        tol_f=tol_f,
-    )
 
     def batched(X, y, mask, Xnew, uparams0):
-        data = {"X": X, "y": y, "mask": mask}
-        return jax.vmap(lambda d, xn, u: one({k: v for k, v in d.items()}, xn, u))(
-            data, Xnew, uparams0
-        )
+        def one(d, xn, u):
+            return _fit_predict_one(
+                core,
+                d,
+                xn,
+                u,
+                fixed_params=tuple(fixed_params),
+                max_iter=max_iter,
+                optimise=optimise,
+                tol_grad=tol_grad,
+                tol_f=tol_f,
+            )
+
+        return jax.vmap(one)({"X": X, "y": y, "mask": mask}, Xnew, uparams0)
 
     if mesh is None:
         return jax.jit(batched)
 
     spec = P("experts")
-    shard_map = jax.shard_map
-
-    sharded = shard_map(
+    sharded = jax.shard_map(
         batched,
         mesh=mesh,
         in_specs=(spec, spec, spec, spec, spec),
@@ -144,42 +127,39 @@ def make_batched_runner(
 
 def run_tile_batch(
     batch: TileBatch,
-    init_params: Dict[str, np.ndarray],
+    init_cparams: Dict[str, np.ndarray],
     runner: Callable,
+    core: ModelCore,
     *,
     mesh: Optional[Mesh] = None,
-    bijectors: Optional[dict] = None,
 ) -> Dict[str, np.ndarray]:
     """Execute one shape bucket; returns host-side arrays [B, ...].
 
-    init_params: constrained params, each broadcastable to [B, ...]
-    (lengthscales [B, D] or [D]; variances [B] or scalar).
+    init_cparams: constrained params, each either unbatched (applied to all
+    experts) or with a leading [B] axis (per-expert warm starts).
     """
-    from gpsat_tpu.ops import transforms as T
-
-    if bijectors is None:
-        bijectors = {name: T.POSITIVE for name in gpr_core.PARAM_NAMES}
-
     B = batch.B
     if mesh is not None:
-        n_dev = int(np.prod([mesh.devices.size]))
+        n_dev = int(mesh.devices.size)
         B_pad = int(-(-B // n_dev) * n_dev)
         batch = pad_batch_to(batch, B_pad)
 
     D = batch.X.shape[-1]
     dtype = batch.X.dtype
 
-    def bcast(v, trailing):
-        v = np.asarray(v, dtype=dtype)
-        target = (batch.B,) + trailing
-        return np.broadcast_to(v, target).copy()
-
-    cparams0 = {
-        "lengthscales": bcast(init_params.get("lengthscales", np.ones(D)), (D,)),
-        "kernel_variance": bcast(init_params.get("kernel_variance", 1.0), ()),
-        "likelihood_variance": bcast(init_params.get("likelihood_variance", 1.0), ()),
-    }
-    uparams0 = {k: np.asarray(bijectors[k].inverse(jnp.asarray(v))) for k, v in cparams0.items()}
+    defaults = core.init_cparams(D, dtype=dtype)
+    cparams0 = {}
+    for k, dflt in defaults.items():
+        v = np.asarray(init_cparams.get(k, dflt), dtype=dtype)
+        pshape = np.shape(dflt)
+        if v.ndim == len(pshape) + 1 and v.shape[0] == B:
+            # per-expert values for the unpadded batch: pad with defaults
+            if batch.B != B:
+                v = np.concatenate([v, np.broadcast_to(dflt, (batch.B - B,) + pshape)], axis=0)
+        else:
+            v = np.broadcast_to(v, (batch.B,) + pshape).copy()
+        cparams0[k] = v
+    uparams0 = {k: np.asarray(v) for k, v in core.inverse(cparams0).items()}
 
     out = runner(
         jnp.asarray(batch.X),
@@ -195,9 +175,6 @@ def run_tile_batch(
     res = {
         "expert_index": batch.expert_index[live],
         "num_obs": batch.num_obs[live],
-        "lengthscales": out["params"]["lengthscales"][live],
-        "kernel_variance": out["params"]["kernel_variance"][live],
-        "likelihood_variance": out["params"]["likelihood_variance"][live],
         "objective": out["objective"][live],
         "converged": out["converged"][live],
         "num_iter": out["num_iter"][live],
@@ -207,4 +184,6 @@ def run_tile_batch(
         "pred_mask": batch.pred_mask[live],
         "obs_mean": batch.obs_mean[live],
     }
+    for k in core.param_names:
+        res[k] = out["params"][k][live]
     return res

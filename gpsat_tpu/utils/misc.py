@@ -80,6 +80,15 @@ def json_serializable(d, max_len_print: int = 100):
         return out
     if isinstance(d, (list, tuple)):
         return [json_serializable(v, max_len_print) for v in d]
+    if isinstance(d, pd.DataFrame):
+        # configs can hold in-memory DataFrames (expert locs / data source);
+        # serialize a deterministic fingerprint so config-compat checks work
+        import hashlib
+
+        h = hashlib.sha1(pd.util.hash_pandas_object(d, index=False).values.tobytes()).hexdigest()
+        return {"_dataframe_": {"rows": len(d), "columns": list(map(str, d.columns)), "sha1": h}}
+    if isinstance(d, pd.Series):
+        return json_serializable(d.to_dict(), max_len_print)
     if isinstance(d, np.ndarray):
         return d.tolist()
     if isinstance(d, (np.integer,)):

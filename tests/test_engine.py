@@ -13,7 +13,10 @@ import jax
 
 from gpsat_tpu.models.gpr import GPRModel
 from gpsat_tpu.parallel import batching
+from gpsat_tpu.models.functional import make_gpr_core
 from gpsat_tpu.parallel.engine import default_mesh, make_batched_runner, run_tile_batch
+
+CORE = make_gpr_core()
 
 rng = np.random.default_rng(7)
 
@@ -59,12 +62,12 @@ class TestBatchedEngine:
             problem["tile_indices"],
             problem["pred_coords"],
         )
-        runner = make_batched_runner(max_iter=500)
+        runner = make_batched_runner(CORE, max_iter=500)
         ref = serial_reference(problem, range(E))
 
         seen = 0
         for b in batches:
-            res = run_tile_batch(b, {}, runner)
+            res = run_tile_batch(b, {}, runner, CORE)
             for i, e in enumerate(res["expert_index"]):
                 r = ref[e]
                 np.testing.assert_allclose(
@@ -94,11 +97,11 @@ class TestBatchedEngine:
             problem["tile_indices"],
             problem["pred_coords"],
         )
-        runner_plain = make_batched_runner(max_iter=500)
-        runner_mesh = make_batched_runner(max_iter=500, mesh=mesh)
+        runner_plain = make_batched_runner(CORE, max_iter=500)
+        runner_mesh = make_batched_runner(CORE, max_iter=500, mesh=mesh)
         for b in batches:
-            r0 = run_tile_batch(b, {}, runner_plain)
-            r1 = run_tile_batch(b, {}, runner_mesh, mesh=mesh)
+            r0 = run_tile_batch(b, {}, runner_plain, CORE)
+            r1 = run_tile_batch(b, {}, runner_mesh, CORE, mesh=mesh)
             assert list(r0["expert_index"]) == list(r1["expert_index"])
             np.testing.assert_allclose(r0["lengthscales"], r1["lengthscales"], rtol=1e-9)
             np.testing.assert_allclose(r0["f_mean"], r1["f_mean"], rtol=1e-9, atol=1e-12)
@@ -117,8 +120,8 @@ class TestBatchedEngine:
             problem["pred_coords"][:3],
         )
         b = batching.pad_batch_to(batches[0], batches[0].B + 2)
-        runner = make_batched_runner(max_iter=50)
-        res = run_tile_batch(b, {}, runner)
+        runner = make_batched_runner(CORE, max_iter=50)
+        res = run_tile_batch(b, {}, runner, CORE)
         # dead tiles stripped; all results finite
         assert len(res["expert_index"]) == 3
         assert np.isfinite(res["f_mean"]).all()

@@ -1,0 +1,154 @@
+"""End-to-end LocalExpertOI sweep: run -> results tables -> restart -> re-predict.
+
+The batched analogue of the reference's integration tier (SURVEY.md §4):
+a small synthetic field, a 2x2 expert grid, full run() producing the
+reference-schema tables, restart skipping, and a predict-only rerun with
+load_params reproducing identical predictions.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gpsat_tpu.data.store import TableStore
+from gpsat_tpu.experts import LocalExpertOI, get_results_from_h5file
+
+
+@pytest.fixture(scope="module")
+def obs_df():
+    rng = np.random.default_rng(11)
+    n = 500
+    x = rng.uniform(0, 10, n)
+    y = rng.uniform(0, 10, n)
+    t = rng.integers(0, 3, n).astype(float)
+    obs = np.sin(x) * np.cos(y) + 0.1 * rng.normal(size=n)
+    return pd.DataFrame({"x": x, "y": y, "t": t, "obs": obs})
+
+
+@pytest.fixture(scope="module")
+def expert_df():
+    return pd.DataFrame(
+        {"x": [3.0, 3.0, 7.0, 7.0], "y": [3.0, 7.0, 3.0, 7.0], "t": [1.0, 1.0, 1.0, 1.0]}
+    )
+
+
+def make_oi(obs_df, expert_df, **model_extra):
+    return LocalExpertOI(
+        expert_loc_config={"source": expert_df},
+        data_config={
+            "data_source": obs_df,
+            "obs_col": "obs",
+            "coords_col": ["x", "y", "t"],
+            "local_select": [
+                {"col": ["x", "y"], "comp": "<", "val": 4.0},
+                {"col": "t", "comp": "<=", "val": 1.0},
+                {"col": "t", "comp": ">=", "val": -1.0},
+            ],
+        },
+        model_config={
+            "oi_model": "GPflowGPRModel",
+            "init_params": {"kernel": "Matern32", "noise_variance": 0.01},
+            "constraints": {"lengthscales": {"low": 0.1, "high": 20.0}},
+            "optim_kwargs": {"max_iter": 300},
+            **model_extra,
+        },
+        pred_loc_config={
+            "method": "shift_arrays",
+            "x": np.array([-0.5, 0.0, 0.5]),
+            "y": np.array([0.0]),
+        },
+    )
+
+
+class TestLocalExpertOI:
+    def test_full_run_schema(self, obs_df, expert_df, tmp_path):
+        store_path = str(tmp_path / "results.h5")
+        oi = make_oi(obs_df, expert_df)
+        oi.run(store_path=store_path)
+
+        with TableStore(store_path, mode="r") as store:
+            keys = store.keys()
+            for t in ["oi_config", "expert_locs", "run_details", "preds", "lengthscales", "kernel_variance", "likelihood_variance"]:
+                assert t in keys, f"table {t} missing; have {keys}"
+            rd = store.select("run_details")
+            assert len(rd) == 4
+            assert rd.index.names == ["x", "y", "t"]
+            assert rd["optimise_success"].all()
+            assert (rd["num_obs"] > 0).all()
+            preds = store.select("preds")
+            assert len(preds) == 12  # 4 experts x 3 pred locations
+            for c in ["f*", "f*_var", "y_var", "f_bar", "pred_loc_x", "pred_loc_y", "pred_loc_t", "_dim_0"]:
+                assert c in preds.columns
+            assert np.isfinite(preds["f*"]).all()
+            ls = store.select("lengthscales")
+            assert len(ls) == 12  # 4 experts x 3 dims
+            assert set(ls["_dim_0"]) == {0, 1, 2}
+            # constraint respected
+            assert (ls["lengthscales"] > 0.1).all() and (ls["lengthscales"] < 20.0).all()
+
+    def test_restart_skips_all(self, obs_df, expert_df, tmp_path, capsys):
+        store_path = str(tmp_path / "results.h5")
+        oi = make_oi(obs_df, expert_df)
+        oi.run(store_path=store_path)
+        n_before = len(TableStore(store_path, mode="r").select("run_details"))
+
+        oi2 = make_oi(obs_df, expert_df)
+        oi2.run(store_path=store_path)
+        with TableStore(store_path, mode="r") as store:
+            assert len(store.select("run_details")) == n_before  # nothing re-run
+
+    def test_incompatible_config_raises(self, obs_df, expert_df, tmp_path):
+        store_path = str(tmp_path / "results.h5")
+        make_oi(obs_df, expert_df).run(store_path=store_path)
+        oi2 = make_oi(obs_df, expert_df, init_params={"kernel": "Matern52", "noise_variance": 0.01})
+        with pytest.raises(AssertionError, match="differs from the previously stored"):
+            oi2.run(store_path=store_path)
+
+    def test_predict_only_with_loaded_params(self, obs_df, expert_df, tmp_path):
+        store_path = str(tmp_path / "results.h5")
+        oi = make_oi(obs_df, expert_df)
+        oi.run(store_path=store_path)
+        with TableStore(store_path, mode="r") as store:
+            preds1 = store.select("preds").reset_index()
+            ls1 = store.select("lengthscales").reset_index()
+
+        # second pass: load optimized params from the first store, no optimise,
+        # write with table_suffix (the smoothing re-predict pattern,
+        # ref: postprocessing.py:350-380)
+        oi2 = make_oi(obs_df, expert_df, load_params={"file": store_path})
+        oi2.run(store_path=store_path, optimise=False, table_suffix="_RELOAD", skip_valid_checks_on=["model"])
+        with TableStore(store_path, mode="r") as store:
+            preds2 = store.select("preds_RELOAD").reset_index()
+            ls2 = store.select("lengthscales_RELOAD").reset_index()
+
+        m1 = preds1.sort_values(["x", "y", "_dim_0"]).reset_index(drop=True)
+        m2 = preds2.sort_values(["x", "y", "_dim_0"]).reset_index(drop=True)
+        np.testing.assert_allclose(m2["f*"].values, m1["f*"].values, rtol=1e-9)
+        np.testing.assert_allclose(m2["f*_var"].values, m1["f*_var"].values, rtol=1e-9)
+        np.testing.assert_allclose(
+            ls2.sort_values(["x", "y", "_dim_0"])["lengthscales"].values,
+            ls1.sort_values(["x", "y", "_dim_0"])["lengthscales"].values,
+            rtol=1e-12,
+        )
+
+    def test_results_reader(self, obs_df, expert_df, tmp_path):
+        store_path = str(tmp_path / "results.h5")
+        make_oi(obs_df, expert_df).run(store_path=store_path)
+        dfs, configs = get_results_from_h5file(store_path)
+        assert "preds" in dfs and "run_details" in dfs
+        assert len(configs) >= 1
+        assert configs[0]["model"]["oi_model"] == "GPflowGPRModel"
+
+    def test_min_obs_skip_recorded(self, obs_df, tmp_path):
+        # an expert in an empty corner: too few obs -> recorded as skipped
+        far_experts = pd.DataFrame({"x": [3.0, 50.0], "y": [3.0, 50.0], "t": [1.0, 1.0]})
+        store_path = str(tmp_path / "results.h5")
+        oi = make_oi(obs_df, far_experts)
+        oi.run(store_path=store_path, min_obs=3)
+        with TableStore(store_path, mode="r") as store:
+            rd = store.select("run_details").reset_index()
+        assert len(rd) == 2
+        skipped = rd[rd["x"] == 50.0]
+        assert len(skipped) == 1
+        assert not skipped["optimise_success"].iloc[0]
+        assert np.isnan(skipped["objective_value"].iloc[0])
