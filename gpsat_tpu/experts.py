@@ -710,7 +710,9 @@ def get_results_from_h5file(
         keys = store.keys()
         if select_tables is not None:
             want = [f"{t}{table_suffix}" if add_suffix_to_table else t for t in select_tables]
-            keys = [k for k in keys if k in want]
+            # configs are always read — downstream consumers (smoothing)
+            # need coords_col even on table-filtered reads
+            keys = [k for k in keys if k in want or k == f"oi_config{table_suffix}"]
         elif table_suffix:
             keys = [k for k in keys if k.endswith(table_suffix)]
         for k in keys:

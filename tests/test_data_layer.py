@@ -1,0 +1,230 @@
+"""Data-layer tests: selection DSL, loading, binning, ingest, prediction
+locations. Mirrors the reference's tests/test_dataloader.py and
+tests/test_dataprepper.py coverage (SURVEY.md §4)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gpsat_tpu.data import binning, dataloader as DL, ingest, select as sel
+from gpsat_tpu.data.prediction_locations import PredictionLocations, max_dist_bool
+from gpsat_tpu.data.store import TableStore
+
+rng = np.random.default_rng(3)
+
+
+@pytest.fixture()
+def sample_df():
+    return pd.DataFrame(
+        {
+            "x": [1.0, 2.0, 3.0, 4.0, 5.0],
+            "y": [2.0, 4.0, 6.0, 8.0, 10.0],
+            "t": [0.0, 1.0, 2.0, 3.0, 4.0],
+            "obs": [0.1, 0.2, 0.3, 0.4, 0.5],
+        }
+    )
+
+
+class TestSelectDSL:
+    def test_row_select_and(self, sample_df):
+        m = sel.row_select_bool(sample_df, [{"col": "x", "comp": ">", "val": 2.0}, {"col": "t", "comp": "<=", "val": 3.0}])
+        assert list(m) == [False, False, True, True, False]
+
+    def test_row_select_or_negate(self, sample_df):
+        m = sel.row_select_bool(
+            sample_df,
+            [{"col": "x", "comp": "<", "val": 2.0}, {"col": "x", "comp": ">", "val": 4.0}],
+            combine="OR",
+        )
+        assert list(m) == [True, False, False, False, True]
+        m2 = sel.row_select_bool(sample_df, [{"col": "x", "comp": "<", "val": 2.0, "negate": True}])
+        assert list(m2) == [False, True, True, True, True]
+
+    def test_config_func_row_select(self, sample_df):
+        m = sel.row_select_bool(sample_df, [{"func": "lambda x, y: x + y > 5", "col_args": ["x", "y"]}])
+        assert list(m) == [False, True, True, True, True]
+
+    def test_local_select_radius_and_window(self, sample_df):
+        ref = {"x": 3.0, "y": 6.0, "t": 2.0}
+        ls = [
+            {"col": ["x", "y"], "comp": "<", "val": 2.5},
+            {"col": "t", "comp": "<=", "val": 1.0},
+            {"col": "t", "comp": ">=", "val": -1.0},
+        ]
+        out = sel.local_data_select(sample_df, ref, ls)
+        # rows within radius 2.5 of (3,6) and |t-2|<=1
+        assert list(out["t"]) == [1.0, 2.0, 3.0]
+        # prebuilt kdtree path gives the same result
+        trees = sel.build_kdtrees(sample_df, ls)
+        out2 = sel.local_data_select(sample_df, ref, ls, kdtree=trees)
+        pd.testing.assert_frame_equal(out, out2)
+
+    def test_get_where_list_dynamic(self, sample_df):
+        gs = [
+            {"col": "x", "comp": ">=", "val": 0.0},
+            {"loc_col": "t", "src_col": "date", "func": "lambda x, y: x + y"},
+        ]
+        ls = [{"col": "t", "comp": "<=", "val": 4.0}, {"col": "t", "comp": ">=", "val": -4.0}]
+        out = sel.get_where_list(gs, local_select=ls, ref_loc={"t": 10.0})
+        assert out[0] == gs[0]
+        assert out[1] == {"col": "date", "comp": "<=", "val": 14.0}
+        assert out[2] == {"col": "date", "comp": ">=", "val": 6.0}
+
+
+class TestLoad:
+    def test_load_csv_where_colfuncs(self, sample_df, tmp_path):
+        p = str(tmp_path / "d.csv")
+        sample_df.to_csv(p, index=False)
+        df = DL.load(
+            p,
+            where=[{"col": "x", "comp": ">", "val": 1.0}],
+            col_funcs={"z": {"func": "lambda a, b: a * b", "col_args": ["x", "y"]}},
+            row_select=[{"col": "z", "comp": "<", "val": 30.0}],
+            col_select=["x", "z"],
+        )
+        assert list(df.columns) == ["x", "z"]
+        assert list(df["z"]) == [8.0, 18.0]
+
+    def test_load_tuple_col_output(self, sample_df):
+        df = sample_df.copy()
+        DL.add_cols(df, {("a", "b"): {"func": "lambda x: (x + 1, x - 1)", "col_args": ["x"]}})
+        assert list(df["a"]) == [2.0, 3.0, 4.0, 5.0, 6.0]
+        assert list(df["b"]) == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+    def test_load_parquet(self, sample_df, tmp_path):
+        p = str(tmp_path / "d.parquet")
+        sample_df.to_parquet(p)
+        df = DL.load(p, where=[{"col": "x", "comp": "<=", "val": 2.0}])
+        assert len(df) == 2
+
+    def test_load_h5_store(self, sample_df, tmp_path):
+        p = str(tmp_path / "d.h5")
+        with TableStore(p) as ts:
+            ts.append("data", sample_df)
+        df = DL.load(p, table="data", where=[{"col": "t", "comp": "==", "val": 2.0}])
+        assert len(df) == 1 and df["obs"].iloc[0] == 0.3
+
+
+class TestBinning:
+    def _df(self):
+        n = 2000
+        x = rng.uniform(0, 10, n)
+        y = rng.uniform(0, 10, n)
+        t = rng.integers(0, 2, n)
+        v = x + y
+        return pd.DataFrame({"x": x, "y": y, "date": t, "v": v})
+
+    def test_bin_data_mean_matches_scipy(self):
+        df = self._df()
+        b, (xc, yc) = binning.bin_data(
+            df, x_range=[0, 10], y_range=[0, 10], grid_res=1.0, val_col="v"
+        )
+        assert b.shape == (10, 10)
+        # center of cell (i,j) has mean ~ x+y there
+        assert abs(b[0, 0] - (xc[0] + yc[0])) < 0.5
+
+    def test_bin_data_by_multiple_stats(self):
+        df = self._df()
+        out = binning.bin_data_by(
+            df,
+            by_cols="date",
+            val_col="v",
+            x_range=[0, 10],
+            y_range=[0, 10],
+            grid_res=2.0,
+            bin_statistic=["mean", "count"],
+        )
+        out = out.reset_index()
+        assert {"v_mean", "v_count", "x", "y", "date"} <= set(out.columns)
+        assert set(out["date"]) == {0, 1}
+        assert len(out) == 2 * 25  # 5x5 grid per date value
+
+    def test_bin_pipeline_write(self, tmp_path):
+        df = self._df()
+        src = str(tmp_path / "raw.h5")
+        with TableStore(src) as ts:
+            ts.append("data", df)
+        out_file = str(tmp_path / "binned.h5")
+        bd = binning.BinData()
+        df_bin, stats = bd.bin_data(
+            input={"source": src, "table": "data"},
+            bin_config={"by_cols": "date", "val_col": "v", "x_range": [0, 10], "y_range": [0, 10], "grid_res": 2.0},
+            output={"file": out_file, "table": "data"},
+        )
+        assert df_bin is not None and len(df_bin) > 0
+        with TableStore(out_file, mode="r") as ts:
+            stored = ts.select("data", set_index=False)
+            assert len(stored) == len(df_bin)
+            attrs = ts.get_attrs("data")
+            assert "bin_config" in attrs and "run_info" in attrs
+
+    def test_batch_matches_all_at_once(self, tmp_path):
+        df = self._df()
+        src = str(tmp_path / "raw.h5")
+        with TableStore(src) as ts:
+            ts.append("data", df)
+        bd = binning.BinData()
+        cfg = {"by_cols": "date", "val_col": "v", "x_range": [0, 10], "y_range": [0, 10], "grid_res": 2.0}
+        a, _ = bd.bin_data_all_at_once(source=src, table="data", bin_config=cfg)
+        b, _ = bd.bin_data_by_batch(source=src, table="data", load_by="date", bin_config=cfg)
+        a = a.sort_values(["date", "y", "x"]).reset_index(drop=True)
+        b = b.sort_values(["date", "y", "x"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+class TestIngest:
+    def test_read_and_store_resumable(self, tmp_path):
+        # two directories of csv files -> one table with a batch ledger
+        for d, lo in [("a", 0), ("b", 100)]:
+            (tmp_path / d).mkdir()
+            for i in range(2):
+                pd.DataFrame({"x": [lo + i, lo + i + 1], "v": [1.0, 2.0]}).to_csv(
+                    tmp_path / d / f"obs_{i}.csv", index=False
+                )
+        out_file = str(tmp_path / "store.h5")
+        output = {"file": out_file, "table": "data"}
+        ingest.read_and_store(output, file_dirs=str(tmp_path), sub_dirs=["a", "b"], file_regex=r"obs_\d+\.csv")
+        with TableStore(out_file, mode="r") as ts:
+            n1 = len(ts.select("data", set_index=False))
+            assert n1 == 8
+            assert len(ts.select("_data_batches", set_index=False)) == 2
+
+        # rerun: nothing new ingested
+        ingest.read_and_store(output, file_dirs=str(tmp_path), sub_dirs=["a", "b"], file_regex=r"obs_\d+\.csv")
+        with TableStore(out_file, mode="r") as ts:
+            assert len(ts.select("data", set_index=False)) == n1
+
+        # different config -> hard error, not silent append
+        with pytest.raises(ValueError, match="different config"):
+            ingest.read_and_store(output, file_dirs=str(tmp_path), sub_dirs=["a"], file_regex=r".*\.csv")
+
+
+class TestPredictionLocations:
+    def test_expert_loc_and_shift(self):
+        pl = PredictionLocations(method="expert_loc", coords_col=["x", "y"], expert_loc=[1.0, 2.0])
+        np.testing.assert_array_equal(pl(), [[1.0, 2.0]])
+        pl2 = PredictionLocations(
+            method="shift_arrays", coords_col=["x", "y"], expert_loc=[1.0, 2.0], x=np.array([-1.0, 0.0, 1.0])
+        )
+        out = pl2()
+        assert out.shape == (3, 2)
+        np.testing.assert_array_equal(out[:, 0], [0.0, 1.0, 2.0])
+        np.testing.assert_array_equal(out[:, 1], [2.0, 2.0, 2.0])
+
+    def test_from_dataframe_max_dist(self):
+        grid = pd.DataFrame({"x": np.arange(10, dtype=float), "y": np.zeros(10)})
+        pl = PredictionLocations(
+            method="from_dataframe", coords_col=["x", "y", "t"], expert_loc=[5.0, 0.0, 7.0], df=grid, max_dist=2.5
+        )
+        out = pl()
+        # points within 2.5 of x=5: 3..7; missing 't' filled from expert
+        np.testing.assert_array_equal(out[:, 0], [3.0, 4.0, 5.0, 6.0, 7.0])
+        np.testing.assert_array_equal(out[:, 2], np.full(5, 7.0))
+
+    def test_max_dist_bool_matches_cdist(self):
+        locs = rng.normal(size=(500, 3))
+        ref = np.array([0.1, -0.2, 0.3])
+        from scipy.spatial.distance import cdist
+
+        expect = cdist(locs, ref[None, :])[:, 0] < 1.1
+        np.testing.assert_array_equal(max_dist_bool(locs, ref, 1.1), expect)
