@@ -1,7 +1,265 @@
-"""Placeholder — implemented later this round."""
+"""Sparse GPR (Titsias 2009 collapsed ELBO) — functional core + host model.
+
+TPU-native analogue of GPflowSGPRModel (ref:
+GPSat/models/gpflow_models.py:666-901): M inducing points initialised as a
+random subset of the training inputs (:804-819), collapsed-ELBO objective
+(:860-862), optional inducing-point training (:864-901), predict inherits
+the GPR dict contract. O(NM^2) compute / O(NM) memory (:672-681).
+
+Masked-tile semantics for batching: padded *observation* rows have their
+Kuf columns zeroed, so they vanish from every data-dependent term; padded
+*inducing* slots (tiles with n < M) are placed far outside the data's
+bounding box, where Kuf ~ 0 and Kuu is diagonal — they contribute nothing
+to the bound or the posterior but keep Kuu well-conditioned with a static
+M per bucket (the reference instead shrinks M per expert, which would be a
+dynamic shape).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpsat_tpu.models.base import BaseGPRModel
+from gpsat_tpu.models.gpr import GPRModel
+from gpsat_tpu.ops import kernels as K
+from gpsat_tpu.ops import linalg as LA
+from gpsat_tpu.ops import transforms as T
+
+PARAM_NAMES = ["lengthscales", "kernel_variance", "likelihood_variance", "inducing_points"]
+DEFAULT_JITTER = 1e-6  # gpflow default_jitter on Kuu
 
 
-class _NotYet:
-    def __init__(self, *a, **k):
-        raise NotImplementedError("model not yet implemented")
-SGPRModel = _NotYet
+def _common_terms(cparams: dict, data: dict, *, kernel: str, jitter: float):
+    """Shared SGPR factors: L = chol(Kuu), A = L^-1 Kuf / sigma, B-factors."""
+    X, y, m = data["X"], data["y"], data["mask"].astype(data["X"].dtype)
+    Z = cparams["inducing_points"]
+    ls = cparams["lengthscales"]
+    kv = cparams["kernel_variance"]
+    sigma2 = cparams["likelihood_variance"]
+    sigma = jnp.sqrt(sigma2)
+
+    Kuu = K.gram(kernel, Z, Z, ls, kv)
+    Kuu = LA.add_diag(Kuu, jitter)
+    L = jnp.linalg.cholesky(Kuu)
+    Kuf = K.gram(kernel, Z, X, ls, kv) * m[None, :]
+    A = LA.tri_solve(L, Kuf) / sigma
+    AAT = A @ A.T
+    B = AAT + jnp.eye(A.shape[0], dtype=A.dtype)
+    LB = jnp.linalg.cholesky(B)
+    ym = y * m
+    Aerr = A @ ym[:, None]
+    c = LA.tri_solve(LB, Aerr) / sigma
+    return dict(L=L, A=A, AAT=AAT, LB=LB, c=c, ym=ym, m=m, sigma2=sigma2, kv=kv)
+
+
+def elbo(cparams: dict, data: dict, *, kernel: str, jitter: float = DEFAULT_JITTER):
+    """Titsias collapsed evidence lower bound on one padded tile."""
+    t = _common_terms(cparams, data, kernel=kernel, jitter=jitter)
+    n = jnp.sum(t["m"])
+    out = -0.5 * n * jnp.log(2.0 * jnp.pi)
+    out -= jnp.sum(jnp.log(jnp.diagonal(t["LB"])))
+    out -= 0.5 * n * jnp.log(t["sigma2"])
+    out -= 0.5 * jnp.sum(t["ym"] ** 2) / t["sigma2"]
+    out += 0.5 * jnp.sum(t["c"] ** 2)
+    # trace correction: -1/(2 s2) tr(Kff) + 1/2 tr(AAT)
+    out -= 0.5 * jnp.sum(t["m"]) * t["kv"] / t["sigma2"]
+    out += 0.5 * jnp.trace(t["AAT"])
+    return out
+
+
+def neg_elbo(uparams: dict, data: dict, *, kernel: str, bijectors: dict, jitter: float = DEFAULT_JITTER):
+    p = T.forward_params(uparams, bijectors)
+    return -elbo(p, data, kernel=kernel, jitter=jitter)
+
+
+def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, *, kernel: str, jitter: float = DEFAULT_JITTER):
+    """SGPR posterior mean/variance at Xnew (gpflow predict_f equations)."""
+    t = _common_terms(cparams, data, kernel=kernel, jitter=jitter)
+    Z = cparams["inducing_points"]
+    Kus = K.gram(kernel, Z, Xnew, cparams["lengthscales"], cparams["kernel_variance"])
+    tmp1 = LA.tri_solve(t["L"], Kus)
+    tmp2 = LA.tri_solve(t["LB"], tmp1)
+    f_mean = (tmp2.T @ t["c"])[:, 0]
+    kss = K.gram_diag(kernel, Xnew, cparams["kernel_variance"])
+    f_var = kss + jnp.sum(tmp2**2, axis=0) - jnp.sum(tmp1**2, axis=0)
+    return {"f_mean": f_mean, "f_var": f_var, "y_var": f_var + cparams["likelihood_variance"]}
+
+
+def pad_inducing_points(Z: np.ndarray, M: int, data_span: float = 1.0) -> np.ndarray:
+    """Pad an [m, D] inducing set to [M, D] with distinct far-away points."""
+    m, D = Z.shape
+    if m >= M:
+        return Z[:M]
+    far_base = Z.max(axis=0) if m else np.zeros(D)
+    extra = np.arange(M - m, dtype=float)[:, None] * (10.0 * max(data_span, 1.0))
+    pad = far_base[None, :] + 1e6 * max(data_span, 1.0) + extra
+    return np.concatenate([Z, pad], axis=0)
+
+
+class SGPRModel(GPRModel):
+    """Host-facing sparse GPR expert (reference GPflowSGPRModel contract)."""
+
+    def __init__(
+        self,
+        data=None,
+        coords_col=None,
+        obs_col=None,
+        coords=None,
+        obs=None,
+        coords_scale=None,
+        obs_scale=None,
+        obs_mean=None,
+        verbose: bool = False,
+        *,
+        kernel: str = "Matern32",
+        num_inducing_points: int = 500,
+        kernel_kwargs: Optional[dict] = None,
+        noise_variance: Optional[float] = None,
+        jitter: float = DEFAULT_JITTER,
+        **kwargs,
+    ):
+        super().__init__(
+            data=data,
+            coords_col=coords_col,
+            obs_col=obs_col,
+            coords=coords,
+            obs=obs,
+            coords_scale=coords_scale,
+            obs_scale=obs_scale,
+            obs_mean=obs_mean,
+            verbose=verbose,
+            kernel=kernel,
+            kernel_kwargs=kernel_kwargs,
+            noise_variance=noise_variance,
+            jitter=jitter,
+        )
+        assert num_inducing_points is not None, "num_inducing_points must be specified for SGPR"
+        if len(self.coords) < num_inducing_points:
+            # fewer points than M: inducing points = data (ref: :810-815)
+            Z = np.array(self.coords, copy=True)
+        else:
+            Z = np.array(self.coords, copy=True)
+            np.random.shuffle(Z)
+            Z = Z[:num_inducing_points]
+        self._params["inducing_points"] = Z
+        self._bijectors["inducing_points"] = T.IDENTITY
+
+    @property
+    def param_names(self) -> List[str]:
+        return list(PARAM_NAMES)
+
+    def _neg_objective(self, uparams, data):
+        return neg_elbo(uparams, data, kernel=self.kernel, bijectors=self._bijectors, jitter=self.jitter)
+
+    def optimise_parameters(self, train_inducing_points: bool = False, max_iter: int = 10_000, fixed_params=None, **opt_kwargs) -> bool:
+        fixed_params = list(fixed_params or [])
+        if not train_inducing_points and "inducing_points" not in fixed_params:
+            fixed_params.append("inducing_points")
+
+        from gpsat_tpu.optim.lbfgs import minimize_lbfgs
+
+        data = self._data_dict()
+        bijectors = self._bijectors
+        u_all = {k: bijectors[k].inverse(jnp.asarray(v)) for k, v in self._params.items()}
+        u_free = {k: v for k, v in u_all.items() if k not in fixed_params}
+        u_fixed = {k: v for k, v in u_all.items() if k in fixed_params}
+
+        def objective(u_free_):
+            return self._neg_objective({**u_free_, **u_fixed}, data)
+
+        res = minimize_lbfgs(objective, u_free, max_iter=max_iter, **opt_kwargs)
+        u_opt = {**{k: np.asarray(v) for k, v in res.params.items()}, **{k: np.asarray(v) for k, v in u_fixed.items()}}
+        self._params = {k: np.asarray(bijectors[k].forward(jnp.asarray(v))) for k, v in u_opt.items()}
+        self._last_opt_result = res
+        return bool(np.asarray(res.converged))
+
+    def get_objective_function_value(self) -> float:
+        """ELBO (not negated — matches reference SGPR, gpflow_models.py:860-862)."""
+        cparams = {k: jnp.asarray(v) for k, v in self._params.items()}
+        return float(np.asarray(elbo(cparams, self._data_dict(), kernel=self.kernel, jitter=self.jitter)))
+
+    def predict(self, coords, full_cov: bool = False, apply_scale: bool = True) -> Dict[str, np.ndarray]:
+        import pandas as pd
+
+        if isinstance(coords, (pd.Series, pd.DataFrame)):
+            coords = coords[self.coords_col].values if self.coords_col is not None else coords.values
+        coords = np.asarray(coords, dtype=float)
+        if coords.ndim == 1:
+            coords = coords[None, :]
+        if apply_scale:
+            coords = coords / self.coords_scale
+        cparams = {k: jnp.asarray(v) for k, v in self._params.items()}
+        pred = predict(cparams, self._data_dict(), jnp.asarray(coords), kernel=self.kernel, jitter=self.jitter)
+        out = {
+            "f*": np.asarray(pred["f_mean"]),
+            "f*_var": np.asarray(pred["f_var"]),
+            "y_var": np.asarray(pred["y_var"]),
+        }
+        f_bar = self.obs_mean[:, 0]
+        out["f_bar"] = np.repeat(f_bar, len(out["f*"])) if len(f_bar) != len(out["f*"]) else f_bar
+        return out
+
+    def get_inducing_points(self) -> np.ndarray:
+        return np.asarray(self._params["inducing_points"])
+
+    def set_inducing_points(self, inducing_points):
+        self._params["inducing_points"] = np.asarray(inducing_points, dtype=float)
+
+
+def make_sgpr_core(
+    kernel: str = "Matern32",
+    bijectors: Optional[dict] = None,
+    jitter: float = DEFAULT_JITTER,
+    num_inducing_points: int = 500,
+    train_inducing_points: bool = False,
+):
+    """Functional core for the batched engine.
+
+    Inducing points ride in cparams with an identity bijector; they are in
+    fixed_params unless train_inducing_points.
+    """
+    from gpsat_tpu.models.functional import ModelCore
+
+    if bijectors is None:
+        bijectors = {name: T.POSITIVE for name in PARAM_NAMES}
+    bijectors = dict(bijectors)
+    bijectors["inducing_points"] = T.IDENTITY
+
+    def objective(uparams, data):
+        return neg_elbo(uparams, data, kernel=kernel, bijectors=bijectors, jitter=jitter)
+
+    def predict_fn(cparams, data, Xnew):
+        return predict(cparams, data, Xnew, kernel=kernel, jitter=jitter)
+
+    def forward(uparams):
+        return {k: bijectors[k].forward(v) for k, v in uparams.items()}
+
+    def inverse(cparams):
+        return {k: bijectors[k].inverse(jnp.asarray(v)) for k, v in cparams.items()}
+
+    def init_cparams(D: int, dtype=np.float64, overrides: Optional[dict] = None) -> Dict[str, np.ndarray]:
+        out = {
+            "lengthscales": np.ones((D,), dtype=dtype),
+            "kernel_variance": np.asarray(1.0, dtype=dtype),
+            "likelihood_variance": np.asarray(1.0, dtype=dtype),
+            "inducing_points": np.zeros((num_inducing_points, D), dtype=dtype),
+        }
+        for k, v in (overrides or {}).items():
+            if k in out:
+                v = np.asarray(v, dtype=dtype)
+                out[k] = np.broadcast_to(v, out[k].shape).copy() if v.shape != out[k].shape else v
+        return out
+
+    return ModelCore(
+        name=f"SGPR[{kernel},M={num_inducing_points}]",
+        objective=objective,
+        predict=predict_fn,
+        forward=forward,
+        inverse=inverse,
+        init_cparams=init_cparams,
+        param_names=tuple(PARAM_NAMES),
+    )

@@ -1,0 +1,129 @@
+"""SGPR oracle tests (ref: tests/test_localexperts.py:229-251).
+
+With M = N inducing points the Titsias bound is tight, so SGPR must
+reproduce the sklearn exact-GPR oracle to 1e-4.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from sklearn.gaussian_process import GaussianProcessRegressor
+from sklearn.gaussian_process.kernels import Matern
+
+from gpsat_tpu.models import get_model
+from gpsat_tpu.models.sgpr import SGPRModel, make_sgpr_core, pad_inducing_points
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    np.random.seed(23435)
+    kernel = Matern(length_scale=0.8, nu=3 / 2)
+    gp = GaussianProcessRegressor(kernel)
+    x = np.linspace(0, 10, 100)[:, None]
+    f = gp.sample_y(x, random_state=0)
+    N, eps = 50, 1e-2
+    indices = np.arange(100)
+    np.random.shuffle(indices)
+    x_train = x[indices[:N]]
+    y_train = f[indices[:N]] + eps * np.random.randn(N, 1)
+    df = pd.DataFrame({"x": x_train[:, 0], "y": y_train[:, 0]})
+    gp.alpha = eps**2
+    gp.fit(x_train, y_train)
+    x_test = x[[np.random.randint(0, 99)]]
+    pred_mean, pred_std = gp.predict(x_test, return_std=True)
+    return dict(df=df, eps=eps, ls=gp.kernel_.length_scale, x_test=x_test, pred_mean=pred_mean, pred_std=pred_std)
+
+
+class TestSGPR:
+    def test_sgpr_matches_oracle(self, oracle, tol=1e-4):
+        model = SGPRModel(
+            data=oracle["df"], obs_col="y", coords_col="x", obs_mean=None, num_inducing_points=50
+        )
+        model.set_parameters(likelihood_variance=oracle["eps"] ** 2)
+        model.set_parameter_constraints({"lengthscales": {"low": 1e-10, "high": 5.0}})
+        result = model.optimise_parameters(fixed_params=["likelihood_variance", "kernel_variance"])
+        out = model.predict(coords=oracle["x_test"])
+        params = model.get_parameters()
+        assert result
+        assert np.abs(params["lengthscales"][0] - oracle["ls"]) < tol
+        assert np.abs(out["f*"] - oracle["pred_mean"]) < tol
+        assert np.abs(out["f*_var"] - oracle["pred_std"] ** 2) < tol
+
+    def test_elbo_below_lml(self, oracle):
+        # the collapsed bound with M < N must lower-bound the exact LML
+        from gpsat_tpu.models.gpr import GPRModel
+
+        gpr = GPRModel(data=oracle["df"], obs_col="y", coords_col="x", obs_mean=None)
+        gpr.set_parameters(likelihood_variance=oracle["eps"] ** 2, lengthscales=0.8)
+        lml = -gpr.get_objective_function_value()
+
+        np.random.seed(0)
+        sgpr = SGPRModel(data=oracle["df"], obs_col="y", coords_col="x", obs_mean=None, num_inducing_points=15)
+        sgpr.set_parameters(likelihood_variance=oracle["eps"] ** 2, lengthscales=np.array([0.8]))
+        elbo_val = sgpr.get_objective_function_value()
+        assert elbo_val < lml
+        assert np.isfinite(elbo_val)
+        # with M = N the bound is near-tight (residual gap comes from the
+        # 1e-6 Kuu jitter interacting with the tiny 1e-4 noise, same as
+        # gpflow's default_jitter)
+        np.random.seed(0)
+        sgpr_full = SGPRModel(data=oracle["df"], obs_col="y", coords_col="x", obs_mean=None, num_inducing_points=50)
+        sgpr_full.set_parameters(likelihood_variance=oracle["eps"] ** 2, lengthscales=np.array([0.8]))
+        full_elbo = sgpr_full.get_objective_function_value()
+        assert lml - 0.5 < full_elbo < lml
+
+    def test_registry(self):
+        assert get_model("GPflowSGPRModel") is SGPRModel
+
+    def test_masked_padding_invariance(self, oracle):
+        # core objective with padded obs rows == unpadded
+        import jax.numpy as jnp
+
+        from gpsat_tpu.models.sgpr import elbo
+
+        df = oracle["df"]
+        X = df[["x"]].values
+        y = df["y"].values
+        Z = np.array(X[:20], copy=True)
+        cparams = {
+            "lengthscales": jnp.asarray([0.8]),
+            "kernel_variance": jnp.asarray(1.0),
+            "likelihood_variance": jnp.asarray(1e-4),
+            "inducing_points": jnp.asarray(Z),
+        }
+        data = {"X": jnp.asarray(X), "y": jnp.asarray(y), "mask": jnp.ones(len(X))}
+        e1 = elbo(cparams, data, kernel="Matern32")
+        Xp = np.concatenate([X, np.zeros((7, 1))])
+        yp = np.concatenate([y, np.ones(7)])
+        mp = np.concatenate([np.ones(len(X)), np.zeros(7)])
+        data_p = {"X": jnp.asarray(Xp), "y": jnp.asarray(yp), "mask": jnp.asarray(mp)}
+        e2 = elbo(cparams, data_p, kernel="Matern32")
+        np.testing.assert_allclose(float(e2), float(e1), rtol=1e-10)
+
+    def test_far_inducing_padding_noop(self, oracle):
+        # padding the inducing set with far-away points leaves the bound
+        # and predictions essentially unchanged
+        import jax.numpy as jnp
+
+        from gpsat_tpu.models.sgpr import elbo, predict
+
+        df = oracle["df"]
+        X = df[["x"]].values
+        y = df["y"].values
+        Z = np.array(X[:20], copy=True)
+        Zp = pad_inducing_points(Z, 26, data_span=10.0)
+        mk = lambda Zi: {
+            "lengthscales": jnp.asarray([0.8]),
+            "kernel_variance": jnp.asarray(1.0),
+            "likelihood_variance": jnp.asarray(1e-4),
+            "inducing_points": jnp.asarray(Zi),
+        }
+        data = {"X": jnp.asarray(X), "y": jnp.asarray(y), "mask": jnp.ones(len(X))}
+        e1 = elbo(mk(Z), data, kernel="Matern32")
+        e2 = elbo(mk(Zp), data, kernel="Matern32")
+        np.testing.assert_allclose(float(e2), float(e1), rtol=1e-8)
+        Xs = jnp.asarray(np.linspace(0, 10, 7)[:, None])
+        p1 = predict(mk(Z), data, Xs, kernel="Matern32")
+        p2 = predict(mk(Zp), data, Xs, kernel="Matern32")
+        np.testing.assert_allclose(np.asarray(p1["f_mean"]), np.asarray(p2["f_mean"]), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(p1["f_var"]), np.asarray(p2["f_var"]), atol=1e-8)

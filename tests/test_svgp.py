@@ -1,0 +1,138 @@
+"""SVGP correctness tests.
+
+Key identities used as oracles:
+- with Gaussian likelihood and q(v) at its optimum, the SVGP ELBO equals
+  the SGPR collapsed bound at the same hyperparameters (Titsias);
+- one natural-gradient step with gamma=1 lands exactly on that optimum
+  for Gaussian likelihoods (Salimbeni et al. 2018);
+- full-batch Adam training recovers the sklearn GPR oracle predictions.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from sklearn.gaussian_process import GaussianProcessRegressor
+from sklearn.gaussian_process.kernels import Matern
+
+from gpsat_tpu.models import get_model
+from gpsat_tpu.models.sgpr import SGPRModel
+from gpsat_tpu.models.svgp import SVGPModel, variational_expectations
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    np.random.seed(23435)
+    kernel = Matern(length_scale=0.8, nu=3 / 2)
+    gp = GaussianProcessRegressor(kernel)
+    x = np.linspace(0, 10, 100)[:, None]
+    f = gp.sample_y(x, random_state=0)
+    N, eps = 50, 1e-2
+    indices = np.arange(100)
+    np.random.shuffle(indices)
+    x_train = x[indices[:N]]
+    y_train = f[indices[:N]] + eps * np.random.randn(N, 1)
+    df = pd.DataFrame({"x": x_train[:, 0], "y": y_train[:, 0]})
+    gp.alpha = eps**2
+    gp.fit(x_train, y_train)
+    x_test = x[[np.random.randint(0, 99)]]
+    pred_mean, pred_std = gp.predict(x_test, return_std=True)
+    return dict(df=df, eps=eps, ls=gp.kernel_.length_scale, x_test=x_test, pred_mean=pred_mean, pred_std=pred_std)
+
+
+class TestSVGP:
+    def test_natgrad_step_reaches_sgpr_bound(self, oracle):
+        # fix hyperparameters; a single gamma=1 natural-gradient step on the
+        # full batch should put the ELBO at the collapsed SGPR bound
+        np.random.seed(1)
+        svgp = SVGPModel(data=oracle["df"], obs_col="y", coords_col="x", obs_mean=None, num_inducing_points=20)
+        svgp.set_parameters(likelihood_variance=0.01, lengthscales=np.array([0.8]))
+        Z = svgp.get_inducing_points()
+
+        np.random.seed(2)
+        sgpr = SGPRModel(data=oracle["df"], obs_col="y", coords_col="x", obs_mean=None, num_inducing_points=20)
+        sgpr.set_parameters(likelihood_variance=0.01, lengthscales=np.array([0.8]))
+        sgpr.set_inducing_points(Z)
+        sgpr_bound = sgpr.get_objective_function_value()
+
+        svgp.optimise_parameters(
+            natural_gradients=True,
+            gamma=1.0,
+            max_iter=2,
+            early_stop=False,
+            fixed_params=["lengthscales", "kernel_variance", "likelihood_variance"],
+        )
+        elbo_after = svgp.get_objective_function_value()
+        # jitter placement differs slightly between the two bounds
+        np.testing.assert_allclose(elbo_after, sgpr_bound, rtol=1e-4, atol=5e-3)
+
+    def test_adam_training_matches_oracle(self, oracle):
+        np.random.seed(3)
+        svgp = SVGPModel(
+            data=oracle["df"], obs_col="y", coords_col="x", obs_mean=None, num_inducing_points=None
+        )
+        svgp.set_parameters(likelihood_variance=oracle["eps"] ** 2)
+        res = svgp.optimise_parameters(
+            natural_gradients=True,
+            gamma=1.0,
+            learning_rate=0.02,
+            max_iter=1500,
+            check_every=20,
+            persistence=200,
+            fixed_params=["likelihood_variance", "kernel_variance"],
+        )
+        out = svgp.predict(coords=oracle["x_test"])
+        assert res is True or res is np.nan or not np.isnan(res)
+        assert np.abs(out["f*"] - oracle["pred_mean"]) < 5e-3
+        assert np.abs(out["f*_var"] - oracle["pred_std"] ** 2) < 5e-3
+        assert np.abs(svgp.get_lengthscales()[0] - oracle["ls"]) < 0.05
+
+    def test_minibatch_elbo_unbiased(self, oracle):
+        np.random.seed(4)
+        svgp = SVGPModel(
+            data=oracle["df"], obs_col="y", coords_col="x", obs_mean=None,
+            num_inducing_points=10, minibatch_size=10,
+        )
+        import jax.numpy as jnp
+
+        from gpsat_tpu.models.svgp import elbo
+
+        data = svgp._data_dict()
+        c = svgp._cparams()
+        full = float(elbo(c, data, kernel="Matern32"))
+        rng = np.random.default_rng(0)
+        ests = [
+            float(elbo(c, data, kernel="Matern32", batch_idx=jnp.asarray(rng.choice(50, 10, replace=False))))
+            for _ in range(400)
+        ]
+        assert abs(np.mean(ests) - full) < abs(full) * 0.05 + 1.0
+
+    def test_studentt_ve_matches_montecarlo(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        y = jnp.asarray([0.3, -1.2, 2.0])
+        mu = jnp.asarray([0.0, -1.0, 1.5])
+        var = jnp.asarray([0.5, 0.1, 1.0])
+        ve = variational_expectations("StudentT", y, mu, var, {"variance": 0.09, "df": 3.0})
+        # monte-carlo check
+        from scipy.stats import t as student_t
+
+        f = rng.normal(size=(200_000, 3)) * np.sqrt(np.asarray(var)) + np.asarray(mu)
+        mc = student_t.logpdf(np.asarray(y), df=3.0, loc=f, scale=0.3).mean(axis=0)
+        np.testing.assert_allclose(np.asarray(ve), mc, atol=5e-3)
+
+    def test_early_stopping_and_registry(self, oracle):
+        assert get_model("GPflowSVGPModel") is SVGPModel
+        np.random.seed(5)
+        svgp = SVGPModel(data=oracle["df"], obs_col="y", coords_col="x", obs_mean=None, num_inducing_points=10)
+        res = svgp.optimise_parameters(max_iter=400, check_every=10, persistence=50)
+        assert res in (True, False) or np.isnan(res)
+
+    def test_param_roundtrip(self, oracle):
+        svgp = SVGPModel(data=oracle["df"], obs_col="y", coords_col="x", obs_mean=None, num_inducing_points=8)
+        q_mu = np.arange(8, dtype=float).reshape(-1, 1)
+        svgp.set_inducing_mean(q_mu)
+        np.testing.assert_array_equal(svgp.get_inducing_mean(), q_mu)
+        q_sqrt = np.tril(np.ones((1, 8, 8)))
+        svgp.set_inducing_chol(q_sqrt)
+        assert svgp.get_inducing_chol().shape == (1, 8, 8)
