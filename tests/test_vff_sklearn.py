@@ -1,0 +1,120 @@
+"""VFF and sklearn-model tests.
+
+VFF oracle property: with enough Fourier features on a wide domain the
+collapsed bound approaches the exact GPR marginal likelihood and the
+posterior approaches the exact GPR posterior (Hensman et al. 2017).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gpsat_tpu.models import get_model
+from gpsat_tpu.models.gpr import GPRModel
+from gpsat_tpu.models.sklearn_model import SklearnGPRModel
+from gpsat_tpu.models.vff import VFFModel
+
+
+@pytest.fixture(scope="module")
+def data_1d():
+    rng = np.random.default_rng(8)
+    x = np.sort(rng.uniform(0.5, 9.5, 60))
+    y = np.sin(x) + 0.1 * rng.normal(size=60)
+    return pd.DataFrame({"x": x, "y": y})
+
+
+class TestVFF:
+    def test_elbo_approaches_lml(self, data_1d):
+        gpr = GPRModel(data=data_1d, coords_col="x", obs_col="y", obs_mean=None)
+        gpr.set_parameters(lengthscales=1.2, kernel_variance=1.0, likelihood_variance=0.01)
+        lml = -gpr.get_objective_function_value()
+
+        # the VFF bound tightens monotonically in M but converges to a value
+        # strictly below the LML (restricted variational family — Hensman
+        # et al. 2017, Fig. 3); assert monotone tightening + convergence
+        gaps = []
+        for M in [5, 15, 40, 100]:
+            vff = VFFModel(
+                data=data_1d, coords_col="x", obs_col="y", obs_mean=None,
+                num_inducing_features=M, domain_size=7.0, expert_loc=[5.0],
+            )
+            vff.set_parameters(lengthscales=np.array([1.2]), kernel_variance=1.0, likelihood_variance=0.01)
+            gap = lml - vff.get_objective_function_value()
+            assert gap > -1e-6, f"ELBO must lower-bound the LML (gap={gap})"
+            if gaps:
+                assert gap <= gaps[-1] + 1e-9, "bound must tighten with more features"
+            gaps.append(gap)
+        assert gaps[-1] < 5.0, f"converged bound unreasonably loose: {gaps[-1]}"
+        assert gaps[-2] - gaps[-1] < 0.7, "bound should have nearly converged by M=40"
+
+    def test_predictions_approach_gpr(self, data_1d):
+        gpr = GPRModel(data=data_1d, coords_col="x", obs_col="y", obs_mean=None)
+        gpr.set_parameters(lengthscales=1.2, kernel_variance=1.0, likelihood_variance=0.01)
+        xs = np.linspace(1, 9, 21)[:, None]
+        ref = gpr.predict(xs)
+
+        vff = VFFModel(
+            data=data_1d, coords_col="x", obs_col="y", obs_mean=None,
+            num_inducing_features=40, domain_size=7.0, expert_loc=[5.0],
+        )
+        vff.set_parameters(lengthscales=np.array([1.2]), kernel_variance=1.0, likelihood_variance=0.01)
+        out = vff.predict(xs)
+        np.testing.assert_allclose(out["f*"], ref["f*"], atol=2e-2)
+        np.testing.assert_allclose(out["f*_var"], ref["f*_var"], atol=2e-2)
+
+    def test_optimise_and_2d(self):
+        rng = np.random.default_rng(9)
+        n = 300
+        df = pd.DataFrame({"x": rng.uniform(0, 6, n), "y": rng.uniform(0, 6, n)})
+        df["obs"] = np.sin(df.x) * np.cos(df.y) + 0.05 * rng.normal(size=n)
+        vff = VFFModel(
+            data=df, coords_col=["x", "y"], obs_col="obs", obs_mean=None,
+            num_inducing_features=10, domain_size=4.0, expert_loc=[3.0, 3.0],
+        )
+        ok = vff.optimise_parameters(max_iter=200)
+        assert ok
+        pred = vff.predict(np.array([[3.0, 3.0]]))
+        truth = np.sin(3.0) * np.cos(3.0)
+        assert abs(pred["f*"][0] - truth) < 0.1
+        assert pred["f*_var"][0] > 0
+
+    def test_registry(self):
+        assert get_model("GPflowVFFModel") is VFFModel
+
+    def test_edge_correction_continuity(self, data_1d):
+        # Kuf edge corrections: predictions just outside the domain stay
+        # finite and continuous for Matern12/32
+        for kern in ["Matern12", "Matern32"]:
+            vff = VFFModel(
+                data=data_1d, coords_col="x", obs_col="y", obs_mean=None, kernel=kern,
+                num_inducing_features=15, domain_size=5.0, expert_loc=[5.0],
+            )
+            vff.set_parameters(lengthscales=np.array([1.0]), kernel_variance=1.0, likelihood_variance=0.01)
+            xs = np.linspace(-1.0, 11.0, 25)[:, None]  # extends past the domain
+            out = vff.predict(xs)
+            assert np.isfinite(out["f*"]).all()
+            assert np.isfinite(out["f*_var"]).all()
+            # adjacent predictions shouldn't jump at the boundary
+            assert np.max(np.abs(np.diff(out["f*"]))) < 2.0
+
+
+class TestSklearnModel:
+    def test_fit_predict_contract(self, data_1d):
+        m = SklearnGPRModel(data=data_1d, coords_col="x", obs_col="y", obs_mean=None, likelihood_variance=0.01)
+        m.set_parameter_constraints({"lengthscales": {"low": 1e-10, "high": 5.0}})
+        ok = m.optimise_parameters()
+        assert ok
+        out = m.predict(np.array([[5.0]]))
+        for k in ("f*", "f*_var", "f_bar"):
+            assert k in out
+        params = m.get_parameters()
+        assert 1e-10 < params["lengthscales"][0] < 5.0
+        assert params["likelihood_variance"] == 0.01
+
+    def test_predict_before_fit(self, data_1d):
+        m = SklearnGPRModel(data=data_1d, coords_col="x", obs_col="y", obs_mean=None)
+        out = m.predict(np.array([[5.0]]))
+        assert np.isfinite(out["f*"]).all()
+
+    def test_registry(self):
+        assert get_model("sklearnGPRModel") is SklearnGPRModel
