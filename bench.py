@@ -1,0 +1,87 @@
+"""Benchmark: local-expert OI throughput on one TPU chip.
+
+Workload modeled on the reference's canonical geometry (BASELINE.md):
+B experts, N=512-point padded tiles (2-d EASE2-like coords scaled to O(1)
+units), Matern32 exact GPR — batched L-BFGS on the masked log marginal
+likelihood + posterior prediction at P=64 points per expert, all as one
+jitted vmapped XLA program.
+
+Metric: experts optimized+predicted per second (steady state, after
+compile). vs_baseline compares against the reference's serial execution
+measured at ~1 expert/s on CPU (SURVEY.md §6: "seconds-per-expert on CPU"
+for scipy L-BFGS + GPflow on N≈100-600 tiles; no published numbers exist,
+BASELINE.json published:{}).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_EXPERTS_PER_SEC = 1.0  # serial reference, CPU (SURVEY.md §6)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gpsat_tpu.models.functional import make_gpr_core
+    from gpsat_tpu.parallel.batching import TileBatch
+    from gpsat_tpu.parallel.engine import make_batched_runner, run_tile_batch
+
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    dtype = np.float32 if on_tpu else np.float64
+
+    B, N, P, D = 128, 512, 64, 2
+    rng = np.random.default_rng(0)
+    # EASE2-like tile: +-300 km training radius scaled by 50 km
+    X = rng.uniform(-6, 6, size=(B, N, D)).astype(dtype)
+    y = (np.sin(X[..., 0]) * np.cos(X[..., 1]) + 0.1 * rng.normal(size=(B, N))).astype(dtype)
+    mask = np.ones((B, N), dtype=dtype)
+    # ragged tile sizes: 60-100% fill
+    fill = rng.integers(int(0.6 * N), N + 1, size=B)
+    for i, f in enumerate(fill):
+        mask[i, f:] = 0.0
+    Xnew = rng.uniform(-4, 4, size=(B, P, D)).astype(dtype)
+
+    batch = TileBatch(
+        X=X,
+        y=y,
+        mask=mask,
+        Xnew=Xnew,
+        pred_mask=np.ones((B, P), dtype=dtype),
+        obs_mean=np.zeros(B, dtype=dtype),
+        expert_index=np.arange(B),
+        num_obs=fill,
+    )
+
+    core = make_gpr_core(jitter=1e-5 if on_tpu else 0.0)
+    tols = dict(tol_grad=1e-3, tol_f=1e-6) if on_tpu else dict(tol_grad=1e-6, tol_f=1e-11)
+    runner = make_batched_runner(core, max_iter=100, **tols)
+    init = {"likelihood_variance": 0.1}
+
+    # warmup (compile)
+    t0 = time.perf_counter()
+    res = run_tile_batch(batch, init, runner, core)
+    compile_and_first = time.perf_counter() - t0
+
+    # timed steady-state run
+    t0 = time.perf_counter()
+    res = run_tile_batch(batch, init, runner, core)
+    elapsed = time.perf_counter() - t0
+
+    conv = int(res["converged"].sum())
+    eps = B / elapsed
+    out = {
+        "metric": "experts_optimized_predicted_per_sec",
+        "value": round(eps, 2),
+        "unit": f"experts/s (B={B}, N={N}, P={P}, converged {conv}/{B}, first-call {compile_and_first:.1f}s)",
+        "vs_baseline": round(eps / REFERENCE_EXPERTS_PER_SEC, 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -392,9 +392,10 @@ class LocalExpertOI:
         model_name = f"gpsat_tpu.{getattr(self.model, '__name__', str(self.model))}"
 
         core = self._core_for(self.model)
+        fixed = tuple(self.optim_kwargs.get("fixed_params", ())) + tuple(core.default_fixed_params)
         runner = make_batched_runner(
             core,
-            fixed_params=tuple(self.optim_kwargs.get("fixed_params", ())),
+            fixed_params=tuple(dict.fromkeys(fixed)),
             max_iter=int(self.optim_kwargs.get("max_iter", 10_000)),
             optimise=optimise,
             mesh=mesh,
@@ -584,7 +585,8 @@ class LocalExpertOI:
                     g = grouped.get(kt if len(kt) > 1 else kt[0], None)
                     if g is None or len(g) == 0:
                         continue
-                    vals = g.sort_values("_dim_0")[pname].values.astype(float)
+                    dim_cols = sorted(c for c in g.columns if c.startswith("_dim_"))
+                    vals = g.sort_values(dim_cols)[pname].values.astype(float)
                     if np.any(np.isnan(vals)):
                         continue  # nan params are not loaded (ref: :670-681)
                     tgt = out[pname][bi]
@@ -650,8 +652,13 @@ class LocalExpertOI:
 
             for pname, rows in param_rows.items():
                 vals = np.atleast_1d(res[pname][i])
-                pdf = pd.DataFrame({"_dim_0": np.arange(len(vals)), pname: vals})
-                pdf.index = idx1.repeat(len(vals))
+                # n-d params flatten with one _dim_k column per axis
+                # (ref: utils.py:1437-1496 array_to_dataframe)
+                dims = np.indices(vals.shape).reshape(vals.ndim, -1)
+                data = {f"_dim_{k}": dims[k] for k in range(vals.ndim)}
+                data[pname] = vals.ravel()
+                pdf = pd.DataFrame(data)
+                pdf.index = idx1.repeat(len(pdf))
                 rows.append(pdf)
 
         with TableStore(store_path) as store:
@@ -668,11 +675,22 @@ def make_core_for_model(model_cls, kernel: str, bijectors, init_params) -> Model
     from gpsat_tpu.models.functional import make_gpr_core
     from gpsat_tpu.models.gpr import GPRModel
 
-    if model_cls is GPRModel or getattr(model_cls, "__name__", "") in ("GPRModel", "GPflowGPRModel"):
+    name = getattr(model_cls, "__name__", "")
+    if model_cls is GPRModel or name in ("GPRModel", "GPflowGPRModel"):
         return make_gpr_core(
             kernel=kernel,
             bijectors=bijectors_from(bijectors),
             jitter=init_params.get("jitter", 0.0),
+        )
+    if name in ("SGPRModel", "GPflowSGPRModel"):
+        from gpsat_tpu.models.sgpr import DEFAULT_JITTER, make_sgpr_core
+
+        return make_sgpr_core(
+            kernel=kernel,
+            bijectors=bijectors_from(bijectors),
+            jitter=init_params.get("jitter", DEFAULT_JITTER),
+            num_inducing_points=int(init_params.get("num_inducing_points", 500)),
+            train_inducing_points=bool(init_params.get("train_inducing_points", False)),
         )
     raise NotImplementedError(f"no functional core for model: {model_cls}")
 

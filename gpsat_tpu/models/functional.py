@@ -31,6 +31,12 @@ class ModelCore:
     inverse: Callable  # cparams -> uparams
     init_cparams: Callable  # (D, dtype, overrides) -> cparams (unbatched)
     param_names: tuple
+    # params held fixed during optimization unless explicitly trained
+    # (e.g. SGPR inducing points, ref: gpflow_models.py:896-897)
+    default_fixed_params: tuple = ()
+    # optional hook: (TileBatch, init_cparams) -> init_cparams with
+    # per-expert [B, ...] entries (e.g. per-tile inducing point init)
+    prepare_batch_init: Callable = None
 
 
 def make_gpr_core(

@@ -254,6 +254,25 @@ def make_sgpr_core(
                 out[k] = np.broadcast_to(v, out[k].shape).copy() if v.shape != out[k].shape else v
         return out
 
+    def prepare_batch_init(batch, init):
+        """Per-tile inducing init: random subset of the tile's valid points
+        (ref: gpflow_models.py:804-819), far-point padded to a static M."""
+        if "inducing_points" in init and np.ndim(init["inducing_points"]) == 3:
+            return init
+        rng = np.random.default_rng(0)
+        B, _, D = batch.X.shape
+        span = float(np.max(np.abs(batch.X))) + 1.0
+        Z = np.zeros((B, num_inducing_points, D), dtype=batch.X.dtype)
+        for bi in range(B):
+            n = int(batch.mask[bi].sum())
+            pts = batch.X[bi, :n]
+            if n >= num_inducing_points:
+                sel = rng.choice(n, num_inducing_points, replace=False)
+                Z[bi] = pts[sel]
+            else:
+                Z[bi] = pad_inducing_points(pts, num_inducing_points, data_span=span)
+        return {**init, "inducing_points": Z}
+
     return ModelCore(
         name=f"SGPR[{kernel},M={num_inducing_points}]",
         objective=objective,
@@ -262,4 +281,6 @@ def make_sgpr_core(
         inverse=inverse,
         init_cparams=init_cparams,
         param_names=tuple(PARAM_NAMES),
+        default_fixed_params=() if train_inducing_points else ("inducing_points",),
+        prepare_batch_init=prepare_batch_init,
     )

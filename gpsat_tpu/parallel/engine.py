@@ -138,6 +138,9 @@ def run_tile_batch(
     init_cparams: constrained params, each either unbatched (applied to all
     experts) or with a leading [B] axis (per-expert warm starts).
     """
+    if core.prepare_batch_init is not None:
+        init_cparams = core.prepare_batch_init(batch, init_cparams)
+
     B = batch.B
     if mesh is not None:
         n_dev = int(mesh.devices.size)
