@@ -1,0 +1,282 @@
+"""Plotting utilities (ref: GPSat/plot_utils.py:38-756).
+
+The reference plots on cartopy polar-stereographic axes; cartopy is not in
+this image, so map plots project lon/lat through the package's own EASE2
+(laea) projection and draw in projected meters. When cartopy *is*
+importable the same entry points upgrade to GeoAxes automatically.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import List, Optional
+
+import matplotlib.pyplot as plt
+import numpy as np
+import pandas as pd
+
+from gpsat_tpu.utils.misc import stats_on_vals
+from gpsat_tpu.utils.projections import WGS84toEASE2
+
+try:
+    import cartopy.crs as ccrs
+    import cartopy.feature as cfeat
+
+    HAS_CARTOPY = True
+except ImportError:
+    ccrs = None
+    cfeat = None
+    HAS_CARTOPY = False
+
+
+def get_projection(projection=None):
+    """Projection spec: cartopy CRS when available, otherwise a descriptor
+    consumed by plot_pcolormesh's laea fallback (ref: plot_utils.py:181)."""
+    if HAS_CARTOPY:
+        if projection is None:
+            return ccrs.NorthPolarStereo()
+        if isinstance(projection, str):
+            if projection.lower() == "north":
+                return ccrs.NorthPolarStereo()
+            if projection.lower() == "south":
+                return ccrs.SouthPolarStereo()
+            raise ValueError(f"projection: {projection} not understood")
+        return projection
+    if projection is None or (isinstance(projection, str) and projection.lower() == "north"):
+        return {"laea_lat_0": 90}
+    if isinstance(projection, str) and projection.lower() == "south":
+        return {"laea_lat_0": -90}
+    return projection
+
+
+def _apply_quantile_clims(plot_data, vmin, vmax, qvmin, qvmax):
+    if qvmin is not None:
+        vmin = np.nanquantile(plot_data, q=qvmin)
+    if qvmax is not None:
+        vmax = np.nanquantile(plot_data, q=qvmax)
+    if vmin is not None and vmax is not None:
+        assert vmin <= vmax, f"vmin: {vmin} > vmax: {vmax}"
+    return vmin, vmax
+
+
+def plot_pcolormesh(
+    ax,
+    lon,
+    lat,
+    plot_data,
+    fig=None,
+    title=None,
+    vmin=None,
+    vmax=None,
+    qvmin=None,
+    qvmax=None,
+    cmap="YlGnBu_r",
+    cbar_label=None,
+    scatter=False,
+    extent=None,
+    lat_0: float = 90,
+    **scatter_args,
+):
+    """Polar map of gridded/scattered data (ref: plot_utils.py:38-114)."""
+    lon = np.asarray(lon)
+    lat = np.asarray(lat)
+    plot_data = np.asarray(plot_data)
+    vmin, vmax = _apply_quantile_clims(plot_data, vmin, vmax, qvmin, qvmax)
+
+    if HAS_CARTOPY:
+        ax.coastlines(resolution="50m", color="white")
+        ax.add_feature(cfeat.LAND, color=(0.8, 0.8, 0.8))
+        extent = [-180, 180, 60, 90] if extent is None else extent
+        ax.set_extent(extent, ccrs.PlateCarree())
+        tr = dict(transform=ccrs.PlateCarree())
+        X, Y = lon, lat
+    else:
+        X, Y = WGS84toEASE2(lon, lat, lat_0=lat_0)
+        tr = {}
+        ax.set_aspect("equal")
+
+    if title:
+        ax.set_title(title)
+    if not scatter:
+        s = ax.pcolormesh(X, Y, plot_data, cmap=cmap, vmin=vmin, vmax=vmax, shading="auto", rasterized=True, **tr)
+    else:
+        non_nan = ~np.isnan(plot_data)
+        s = ax.scatter(
+            np.asarray(X)[non_nan],
+            np.asarray(Y)[non_nan],
+            c=plot_data[non_nan],
+            cmap=cmap,
+            vmin=vmin,
+            vmax=vmax,
+            **tr,
+            **scatter_args,
+        )
+    if fig is not None:
+        cbar = fig.colorbar(s, ax=ax, orientation="horizontal", pad=0.03, fraction=0.03)
+        if cbar_label:
+            cbar.set_label(cbar_label, fontsize=14)
+    return s
+
+
+def plot_hist(
+    ax,
+    data,
+    title="Histogram / Density",
+    ylabel=None,
+    xlabel=None,
+    select_bool=None,
+    stats_values=None,
+    stats_loc=(0.2, 0.9),
+    drop_nan_inf=True,
+    q_vminmax=None,
+    rasterized=False,
+):
+    """Histogram + optional stats overlay (ref: plot_utils.py:117-178)."""
+    data = np.asarray(data).flatten()
+    if select_bool is not None:
+        data = data[select_bool]
+    if drop_nan_inf:
+        data = data[np.isfinite(data)]
+    if q_vminmax is not None:
+        lo, hi = np.nanquantile(data, q=q_vminmax[0]), np.nanquantile(data, q=q_vminmax[1])
+        data = data[(data >= lo) & (data <= hi)]
+
+    ax.hist(data, bins=60, density=True, rasterized=rasterized)
+    if title:
+        ax.set_title(title)
+    if ylabel:
+        ax.set_ylabel(ylabel)
+    if xlabel:
+        ax.set_xlabel(xlabel)
+    if stats_values:
+        sv = stats_on_vals(data, qs=[0.05, 0.5, 0.95])
+        txt = "\n".join(f"{k}: {sv.loc[k].values[0]:.3g}" for k in stats_values if k in sv.index)
+        ax.text(*stats_loc, txt, transform=ax.transAxes, va="top", fontsize=9)
+    return ax
+
+
+def plot_xy(ax, x, y, title=None, y_label=None, x_label=None, scatter=False, **kwargs):
+    (ax.scatter if scatter else ax.plot)(x, y, **kwargs)
+    if title:
+        ax.set_title(title)
+    if y_label:
+        ax.set_ylabel(y_label)
+    if x_label:
+        ax.set_xlabel(x_label)
+    return ax
+
+
+# ---- results-file-driven plots (ref: plot_utils.py:224-345) ----
+
+def plot_xy_from_results_data(ax, dfs, table, x_col, y_col, load_kwargs=None, plot_kwargs=None, verbose=False):
+    df = dfs[table]
+    plot_kwargs = plot_kwargs or {}
+    return plot_xy(ax, df[x_col].values, df[y_col].values, **plot_kwargs)
+
+
+def plot_hist_from_results_data(ax, dfs, table, val_col, load_kwargs=None, plot_kwargs=None, verbose=False):
+    df = dfs[table]
+    plot_kwargs = plot_kwargs or {}
+    return plot_hist(ax, df[val_col].values, **plot_kwargs)
+
+
+def plot_pcolormesh_from_results_data(
+    ax, dfs, table, val_col, lon_col="lon", lat_col="lat", fig=None, load_kwargs=None, plot_kwargs=None, verbose=False
+):
+    df = dfs[table]
+    plot_kwargs = dict(plot_kwargs or {})
+    plot_kwargs.setdefault("scatter", True)
+    return plot_pcolormesh(ax, df[lon_col].values, df[lat_col].values, df[val_col].values, fig=fig, **plot_kwargs)
+
+
+def plots_from_config(plot_configs, dfs, plots_per_row: int = 3, num_plots_row_col_size=None, suptitle: str = ""):
+    """Grid of config-driven plots (ref: plot_utils.py:457-499)."""
+    n = len(plot_configs)
+    ncols = min(plots_per_row, max(n, 1))
+    nrows = -(-n // ncols)
+    fig, axs = plt.subplots(nrows, ncols, figsize=(5 * ncols, 4 * nrows), squeeze=False)
+    if suptitle:
+        fig.suptitle(suptitle)
+    for i, pc in enumerate(plot_configs):
+        ax = axs[i // ncols][i % ncols]
+        ptype = pc.get("plot_type", "plot_xy")
+        fn = {
+            "plot_xy": plot_xy_from_results_data,
+            "hist": plot_hist_from_results_data,
+            "heatmap": plot_pcolormesh_from_results_data,
+        }[ptype]
+        kw = {k: v for k, v in pc.items() if k != "plot_type"}
+        if ptype == "heatmap":
+            kw.setdefault("fig", fig)
+        fn(ax, dfs, **kw)
+    fig.tight_layout()
+    return fig
+
+
+def plot_hyper_parameters(
+    dfs,
+    coords_col: List[str],
+    row_select=None,
+    table_names=None,
+    table_suffix: str = "",
+    plot_template: Optional[dict] = None,
+    plots_per_row: int = 3,
+    suptitle: str = "hyper parameters",
+    qvmin: float = 0.01,
+    qvmax: float = 0.99,
+):
+    """Panel grid over hyperparameter tables (ref: plot_utils.py:501-606)."""
+    if table_names is None:
+        table_names = ["lengthscales", "kernel_variance", "likelihood_variance"]
+    plot_configs = []
+    for tn in table_names:
+        table = f"{tn}{table_suffix}"
+        if table not in dfs:
+            continue
+        df = dfs[table]
+        dim_cols = [c for c in df.columns if c.startswith("_dim_")]
+        combos = df[dim_cols].drop_duplicates() if dim_cols else pd.DataFrame([{}])
+        for _, row in combos.iterrows():
+            pc = dict(plot_template or {})
+            pc.update(
+                {
+                    "plot_type": "heatmap",
+                    "table": table,
+                    "val_col": tn,
+                    "plot_kwargs": {"qvmin": qvmin, "qvmax": qvmax, "title": f"{table} {dict(row)}"},
+                }
+            )
+            plot_configs.append(pc)
+    return plots_from_config(plot_configs, dfs, plots_per_row=plots_per_row, suptitle=suptitle)
+
+
+def plot_wrapper(
+    plt_df,
+    val_col,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    scatter_plot_size: int = 2,
+    plt_where=None,
+    projection=None,
+    extent=None,
+):
+    """Two-panel data review: polar scatter + histogram (ref: plot_utils.py:608-756)."""
+    fig = plt.figure(figsize=(12, 5))
+    if HAS_CARTOPY:
+        ax0 = fig.add_subplot(1, 2, 1, projection=get_projection(projection))
+    else:
+        ax0 = fig.add_subplot(1, 2, 1)
+    ax1 = fig.add_subplot(1, 2, 2)
+    plot_pcolormesh(
+        ax0,
+        plt_df[lon_col].values,
+        plt_df[lat_col].values,
+        plt_df[val_col].values,
+        fig=fig,
+        scatter=True,
+        s=scatter_plot_size,
+        extent=extent,
+    )
+    plot_hist(ax1, plt_df[val_col].values, xlabel=val_col)
+    fig.tight_layout()
+    return fig
