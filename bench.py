@@ -25,7 +25,10 @@ REFERENCE_EXPERTS_PER_SEC = 1.0  # serial reference, CPU (SURVEY.md §6)
 
 def main():
     import jax
-    import jax.numpy as jnp
+
+    # GP linear algebra needs true-f32 matmuls; the TPU default (bf16 MXU
+    # passes) breaks Cholesky conditioning and L-BFGS convergence
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     from gpsat_tpu.models.functional import make_gpr_core
     from gpsat_tpu.parallel.batching import TileBatch

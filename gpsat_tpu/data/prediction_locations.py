@@ -31,6 +31,14 @@ def max_dist_bool(locs: np.ndarray, ref_loc: np.ndarray, max_dist: float, chunk:
     """
     locs = np.ascontiguousarray(locs)
     ref = np.asarray(ref_loc).reshape(-1)
+    # threaded C++ path when the native library is built
+    try:
+        from gpsat_tpu import native
+
+        if native.HAS_NATIVE:
+            return native.max_dist_bool(locs, ref, max_dist)
+    except ImportError:
+        pass
     n = locs.shape[0]
     out = np.zeros(n, dtype=bool)
     r2 = float(max_dist) ** 2

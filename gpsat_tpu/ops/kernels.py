@@ -45,12 +45,17 @@ def scaled_squared_dist(X1: Array, X2: Array, lengthscales: Array) -> Array:
 
     Uses |a-b|^2 = |a|^2 + |b|^2 - 2 a.b so the N*M*D work is one matmul.
     """
+    import jax
+
     ls = jnp.asarray(lengthscales)
     Xs1 = X1 / ls
     Xs2 = X2 / ls
     sq1 = jnp.sum(Xs1 * Xs1, axis=-1)[:, None]
     sq2 = jnp.sum(Xs2 * Xs2, axis=-1)[None, :]
-    cross = Xs1 @ Xs2.T
+    # full f32 accumulation: TPU matmuls default to bf16 passes, which is
+    # catastrophic for near-singular Matern Grams (Cholesky fails /
+    # optimizer can't meet tolerance)
+    cross = jnp.matmul(Xs1, Xs2.T, precision=jax.lax.Precision.HIGHEST)
     r2 = sq1 + sq2 - 2.0 * cross
     return jnp.maximum(r2, 0.0)
 

@@ -1,0 +1,84 @@
+"""Native C++ host-kernel tests: build (if needed) and validate against
+the numpy/scipy/jnp reference paths."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def native():
+    lib = os.path.join(REPO, "gpsat_tpu", "libgpsat_native.so")
+    if not os.path.exists(lib):
+        if shutil.which("g++") is None:
+            pytest.skip("g++ not available to build the native library")
+        subprocess.check_call([sys.executable, "-m", "gpsat_tpu.build_native"], cwd=REPO)
+    import importlib
+
+    import gpsat_tpu.native as nat
+
+    importlib.reload(nat)
+    assert nat.HAS_NATIVE
+    return nat
+
+
+class TestNative:
+    def test_max_dist_bool(self, native):
+        rng = np.random.default_rng(0)
+        locs = rng.normal(size=(50_000, 3))
+        ref = np.array([0.0, 0.1, -0.1])
+        from scipy.spatial.distance import cdist
+
+        expect = cdist(locs, ref[None, :])[:, 0] < 1.0
+        np.testing.assert_array_equal(native.max_dist_bool(locs, ref, 1.0), expect)
+
+    def test_gaussian_2d_weight(self, native):
+        rng = np.random.default_rng(1)
+        x, y, vals = rng.normal(size=300), rng.normal(size=300), rng.normal(size=300)
+        vals[::5] = np.nan
+        from gpsat_tpu.postprocess import gaussian_2d_weight as ref_g
+
+        np.testing.assert_allclose(
+            native.gaussian_2d_weight(x, y, x, y, 0.7, 1.3, vals),
+            np.asarray(ref_g(x, y, x, y, 0.7, 1.3, vals)),
+            rtol=1e-10,
+        )
+
+    def test_radius_query_all(self, native):
+        rng = np.random.default_rng(2)
+        coords = rng.uniform(0, 100, size=(100_000, 2))
+        experts = rng.uniform(5, 95, size=(25, 2))
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(coords)
+        expect = tree.query_ball_point(experts, 4.0)
+        got = native.radius_query_all(coords, experts, 4.0)
+        for a, b in zip(got, expect):
+            assert set(a.tolist()) == set(b)
+
+    def test_inverse_transforms(self, native):
+        from gpsat_tpu.ops import transforms as T
+
+        ys = np.array([1e-8, 0.1, 1.0, 50.0, 800.0])
+        np.testing.assert_allclose(native.inverse_softplus(ys), np.asarray(T.inverse_softplus(ys)), rtol=1e-10)
+        zs = np.linspace(0.01, 0.99, 11)
+        np.testing.assert_allclose(
+            native.inverse_sigmoid(zs, 0, 1), np.asarray(T.inverse_sigmoid_lh(zs, 0, 1)), rtol=1e-10
+        )
+
+    def test_prediction_locations_uses_native(self, native):
+        from gpsat_tpu.data.prediction_locations import max_dist_bool
+
+        rng = np.random.default_rng(3)
+        locs = rng.normal(size=(1000, 2))
+        out = max_dist_bool(locs, np.zeros(2), 1.5)
+        from scipy.spatial.distance import cdist
+
+        expect = cdist(locs, np.zeros((1, 2)))[:, 0] < 1.5
+        np.testing.assert_array_equal(out, expect)
