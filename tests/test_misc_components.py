@@ -1,0 +1,149 @@
+"""Tests for datetime utils, expert-location generation, xval expansion,
+projections, and weighted values — the reference's pure-function tier."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gpsat_tpu import datetime_utils as dtu
+from gpsat_tpu.data.expert_locations import (
+    generate_local_expert_locations,
+    get_masks_for_expert_loc,
+    sparse_true_array,
+)
+from gpsat_tpu.utils import (
+    EASE2toWGS84,
+    WGS84toEASE2,
+    get_weighted_values,
+    grid_2d_flatten,
+    guess_track_num,
+    nll,
+    rmse,
+)
+from gpsat_tpu.xval import XvalConfig
+
+
+class TestDatetimeUtils:
+    def test_gpod_filename(self):
+        f = "/path/to/S3A_GPOD_SAR__SRA_A__20191031T233355_20191101T002424_2019112_IL_v3.proc"
+        df = pd.DataFrame({"x": np.arange(11)})
+        out = dtu.from_file_start_end_datetime_GPOD(f, df)
+        assert out[0] == np.datetime64("2019-10-31T23:33:55")
+        assert out[-1] == np.datetime64("2019-11-01T00:24:24")
+        assert len(out) == 11
+
+    def test_saral_filename(self):
+        f = "SARAL_C139_0036_20200331_234125_20200401_003143_CS2mss_IL_v1.proc"
+        out = dtu.from_file_start_end_datetime_SARAL(f, np.arange(11))
+        assert out[0] == np.datetime64("2020-03-31T23:41:25")
+        assert out[-1] == np.datetime64("2020-04-01T00:31:43")
+
+    def test_float_epoch(self):
+        out = dtu.datetime_from_float_column(np.array([18262.5]), epoch=(1970, 1, 1))
+        assert out[0] == np.datetime64("2020-01-01T12:00:00")
+
+    def test_ymd_cols(self):
+        out = dtu.datetime_from_ymd_cols([2021], [1], [10], [123456])
+        assert out[0] == np.datetime64("2021-01-10T12:34:56")
+
+
+class TestProjections:
+    def test_pyproj_reference_values(self):
+        x, y = WGS84toEASE2(-105.01621, 39.57422)
+        np.testing.assert_allclose([x, y], [-5254767.014984061, 1409604.1043472202], rtol=1e-12)
+        lon, lat = EASE2toWGS84(1000000, 2000000)
+        np.testing.assert_allclose([lon, lat], [153.434948822922, 69.86894542225777], rtol=1e-10)
+
+    def test_roundtrip_south(self):
+        lons = np.linspace(-170, 170, 9)
+        lats = np.linspace(-85, -40, 9)
+        X, Y = WGS84toEASE2(lons, lats, lat_0=-90)
+        lo, la = EASE2toWGS84(X, Y, lat_0=-90)
+        np.testing.assert_allclose(lo, lons, atol=1e-8)
+        np.testing.assert_allclose(la, lats, atol=1e-8)
+
+
+class TestGridsAndWeights:
+    def test_grid_2d_flatten_reference_example(self):
+        out = grid_2d_flatten((0, 2), (0, 2), grid_res=1)
+        np.testing.assert_array_equal(out, [[0.5, 0.5], [1.5, 0.5], [0.5, 1.5], [1.5, 1.5]])
+
+    def test_get_weighted_values(self):
+        df = pd.DataFrame(
+            {"rx": [0.0, 0.0, 1.0], "dx": [0.0, 1.0, 1.0], "v": [2.0, 4.0, 6.0]}
+        )
+        out = get_weighted_values(df, "rx", "dx", "v", lengthscale=1.0)
+        # ref 0: weights exp(0)=1 and exp(-0.5); ref 1: single point
+        w = np.exp(-0.5)
+        np.testing.assert_allclose(out["v"].values, [(2 + 4 * w) / (1 + w), 6.0])
+
+    def test_metrics(self):
+        assert rmse([1, 2, 3], [1, 2, 5]) == pytest.approx(np.sqrt(4 / 3))
+        assert nll([0.0], [0.0], [1.0]) == pytest.approx(0.5 * np.log(2 * np.pi))
+
+    def test_guess_track_num(self):
+        x = np.array([0.0, 0.1, 0.2, 5.0, 5.1, 10.0])
+        np.testing.assert_array_equal(guess_track_num(x, thresh=1.0), [0, 0, 0, 1, 1, 2])
+
+
+class TestExpertLocations:
+    def test_sparse_true_array(self):
+        m = sparse_true_array((6, 6), grid_space=3)
+        assert m.sum() == 4
+        assert m[0, 0] and m[0, 3] and m[3, 0] and m[3, 3]
+
+    def test_generate_with_masks(self):
+        ref = pd.DataFrame(
+            {
+                "x": np.repeat([0.0, 1.0, 2.0], 3),
+                "y": np.tile([0.0, 1.0, 2.0], 3),
+                "obs": [1.0, np.nan, 1.0, np.nan, np.nan, 1.0, 1.0, 1.0, np.nan],
+            }
+        )
+        masks = get_masks_for_expert_loc(ref, el_masks=["had_obs"], obs_col="obs", dims=["x", "y"])
+        locs = generate_local_expert_locations({"x": [0.0, 1.0, 2.0], "y": [0.0, 1.0, 2.0]}, masks=masks)
+        # only cells with non-nan obs survive
+        assert len(locs) == 5
+        assert {"x", "y"} == set(locs.columns)
+
+    def test_grid_space_mask(self):
+        ref = pd.DataFrame({"x": np.arange(10.0), "y": np.arange(10.0)})
+        masks = get_masks_for_expert_loc(ref, el_masks=[{"grid_space": 2, "dims": ["x", "y"]}])
+        locs = generate_local_expert_locations({"x": "x", "y": "y"}, ref_data=ref, masks=masks)
+        assert len(locs) == 25  # every 2nd of 10 -> 5 per dim
+
+
+class TestXval:
+    def test_expand_by_track(self):
+        obs = pd.DataFrame(
+            {
+                "x": np.arange(12, dtype=float),
+                "z": np.ones(12),
+                "track": np.repeat([0, 1, 2], 4),
+            }
+        )
+        ref_config = {
+            "data": {"data_source": obs, "obs_col": "z", "coords_col": ["x"]},
+            "locations": {"source": pd.DataFrame({"x": [5.0]})},
+            "model": {"oi_model": "GPflowGPRModel"},
+            "run_kwargs": {"store_path": "out.h5"},
+        }
+        xval_config = {
+            "pred_loc": {"method": "from_source"},
+            "row_select_values": ["track"],
+            "func": "lambda track: track == {track}",
+            "col_args": ["track"],
+            "output_file": "xval_out.h5",
+        }
+        xc = XvalConfig(ref_config=ref_config, xval_config=xval_config)
+        oic = xc.make_xval_oi_configs(verbose=False)
+        assert len(oic) == 3  # one per track
+        c0 = oic[0]
+        # training data excludes the hold-out track (negated row_select)
+        rs = c0["data"]["row_select"][-1]
+        assert rs["negate"] is True and "track == 0" in rs["func"]
+        # prediction locations select the hold-out track
+        prs = c0["pred_loc"]["load_kwargs"]["row_select"][-1]
+        assert "track == 0" in prs["func"] and "negate" not in prs
+        assert c0["run_kwargs"]["store_path"] == "xval_out.h5"
+        assert c0["run_kwargs"]["table_suffix"] == "_0"
