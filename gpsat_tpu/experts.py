@@ -393,13 +393,28 @@ class LocalExpertOI:
 
         core = self._core_for(self.model)
         fixed = tuple(self.optim_kwargs.get("fixed_params", ())) + tuple(core.default_fixed_params)
-        runner = make_batched_runner(
-            core,
-            fixed_params=tuple(dict.fromkeys(fixed)),
-            max_iter=int(self.optim_kwargs.get("max_iter", 10_000)),
-            optimise=optimise,
-            mesh=mesh,
-        )
+        fixed = tuple(dict.fromkeys(fixed))
+        if core.optimizer == "adam":
+            from gpsat_tpu.parallel.engine import make_batched_adam_runner
+
+            runner = make_batched_adam_runner(
+                core,
+                fixed_params=fixed,
+                max_iter=int(self.optim_kwargs.get("max_iter", 2000)),
+                optimise=optimise,
+                learning_rate=float(self.optim_kwargs.get("learning_rate", 1e-2)),
+                check_every=int(self.optim_kwargs.get("check_every", 10)),
+                persistence=int(self.optim_kwargs.get("persistence", 100)),
+                mesh=mesh,
+            )
+        else:
+            runner = make_batched_runner(
+                core,
+                fixed_params=fixed,
+                max_iter=int(self.optim_kwargs.get("max_iter", 10_000)),
+                optimise=optimise,
+                mesh=mesh,
+            )
 
         # --- per-group: load, local-select, tile, execute, store ---
         total = len(xprt_locs)
@@ -690,6 +705,17 @@ def make_core_for_model(model_cls, kernel: str, bijectors, init_params) -> Model
             bijectors=bijectors_from(bijectors),
             jitter=init_params.get("jitter", DEFAULT_JITTER),
             num_inducing_points=int(init_params.get("num_inducing_points", 500)),
+            train_inducing_points=bool(init_params.get("train_inducing_points", False)),
+        )
+    if name in ("SVGPModel", "GPflowSVGPModel"):
+        from gpsat_tpu.models.svgp import DEFAULT_JITTER as SVGP_JITTER, make_svgp_core
+
+        return make_svgp_core(
+            kernel=kernel,
+            bijectors=bijectors_from(bijectors),
+            jitter=init_params.get("jitter", SVGP_JITTER),
+            num_inducing_points=int(init_params.get("num_inducing_points", 128)),
+            likelihood=init_params.get("likelihood", "Gaussian") or "Gaussian",
             train_inducing_points=bool(init_params.get("train_inducing_points", False)),
         )
     raise NotImplementedError(f"no functional core for model: {model_cls}")

@@ -37,6 +37,9 @@ class ModelCore:
     # optional hook: (TileBatch, init_cparams) -> init_cparams with
     # per-expert [B, ...] entries (e.g. per-tile inducing point init)
     prepare_batch_init: Callable = None
+    # which batched runner fits this core: 'lbfgs' (deterministic
+    # objectives) or 'adam' (stochastic, e.g. SVGP)
+    optimizer: str = "lbfgs"
 
 
 def make_gpr_core(

@@ -411,3 +411,90 @@ class SVGPModel(GPRModel):
         if q.ndim == 3:
             q = q[0]
         self._params["inducing_chol"] = np.tril(q)
+
+
+def make_svgp_core(
+    kernel: str = "Matern32",
+    bijectors: Optional[dict] = None,
+    jitter: float = DEFAULT_JITTER,
+    num_inducing_points: int = 128,
+    likelihood: str = "Gaussian",
+    train_inducing_points: bool = False,
+):
+    """Functional core for the batched engine (optimize with the Adam
+    runner — stochastic objective, not L-BFGS)."""
+    import numpy as _np
+
+    from gpsat_tpu.models.functional import ModelCore
+    from gpsat_tpu.models.sgpr import pad_inducing_points
+
+    if bijectors is None:
+        bijectors = {n: T.POSITIVE for n in ("lengthscales", "kernel_variance", "likelihood_variance")}
+    bijectors = dict(bijectors)
+    for n in ("inducing_points", "inducing_mean", "inducing_chol"):
+        bijectors[n] = T.IDENTITY
+
+    def objective(uparams, data):
+        c = {k: bijectors[k].forward(v) for k, v in uparams.items()}
+        return -elbo(c, data, kernel=kernel, likelihood=likelihood, jitter=jitter)
+
+    def predict_fn(cparams, data, Xnew):
+        return predict(cparams, data, Xnew, kernel=kernel, jitter=jitter)
+
+    def forward(uparams):
+        return {k: bijectors[k].forward(v) for k, v in uparams.items()}
+
+    def inverse(cparams):
+        return {k: bijectors[k].inverse(jnp.asarray(v)) for k, v in cparams.items()}
+
+    def init_cparams(D: int, dtype=_np.float64, overrides: Optional[dict] = None):
+        M = num_inducing_points
+        out = {
+            "lengthscales": _np.ones((D,), dtype=dtype),
+            "kernel_variance": _np.asarray(1.0, dtype=dtype),
+            "likelihood_variance": _np.asarray(1.0, dtype=dtype),
+            "inducing_points": _np.zeros((M, D), dtype=dtype),
+            "inducing_mean": _np.zeros((M,), dtype=dtype),
+            "inducing_chol": _np.eye(M, dtype=dtype),
+        }
+        for k, v in (overrides or {}).items():
+            if k in out:
+                v = _np.asarray(v, dtype=dtype)
+                out[k] = _np.broadcast_to(v, out[k].shape).copy() if v.shape != out[k].shape else v
+        return out
+
+    def prepare_batch_init(batch, init):
+        if "inducing_points" in init and _np.ndim(init["inducing_points"]) == 3:
+            return init
+        rng = _np.random.default_rng(0)
+        B, _, D = batch.X.shape
+        span = float(_np.max(_np.abs(batch.X))) + 1.0
+        Z = _np.zeros((B, num_inducing_points, D), dtype=batch.X.dtype)
+        for bi in range(B):
+            n = int(batch.mask[bi].sum())
+            pts = batch.X[bi, :n]
+            if n >= num_inducing_points:
+                Z[bi] = pts[rng.choice(n, num_inducing_points, replace=False)]
+            else:
+                Z[bi] = pad_inducing_points(pts, num_inducing_points, data_span=span)
+        return {**init, "inducing_points": Z}
+
+    return ModelCore(
+        name=f"SVGP[{kernel},M={num_inducing_points}]",
+        objective=objective,
+        predict=predict_fn,
+        forward=forward,
+        inverse=inverse,
+        init_cparams=init_cparams,
+        param_names=(
+            "lengthscales",
+            "kernel_variance",
+            "likelihood_variance",
+            "inducing_points",
+            "inducing_mean",
+            "inducing_chol",
+        ),
+        default_fixed_params=() if train_inducing_points else ("inducing_points",),
+        prepare_batch_init=prepare_batch_init,
+        optimizer="adam",
+    )

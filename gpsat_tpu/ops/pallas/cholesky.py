@@ -1,0 +1,159 @@
+"""Pallas TPU batched blocked Cholesky.
+
+XLA's stock Cholesky on TPU runs the panel factorization serially through
+HBM and reaches ~0.25 TFLOP/s on the batch shapes this framework lives on
+(B~128 experts x N~512 tiles). This kernel keeps each expert's matrix
+resident in VMEM for the whole factorization (N=512 f32 = 1 MB) and does
+the O(N^3) trailing updates as MXU matmuls:
+
+  for each TxT diagonal block:
+    1. unblocked TxT factorization            (VPU, T sequential steps)
+    2. invert the TxT triangular factor       (VPU, T sequential steps)
+    3. panel = A[k+T:, k:k+T] @ inv(Lkk)^T    (MXU)
+    4. trailing -= panel @ panel^T            (MXU)
+
+Batched via the pallas grid (one program per expert tile). Differentiable
+via custom_vjp with the standard Cholesky pullback (Murray 2016),
+evaluated with XLA triangular solves.
+
+Use ``cholesky(K)``: [.., N, N] -> lower factor, auto-fallback to
+jnp.linalg.cholesky off-TPU or for unsupported shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = 128
+_MAX_VMEM_N = 1024  # 4 MB matrix + workspace comfortably inside VMEM
+
+
+def _unblocked_chol_block(A, T):
+    """Factorize a TxT SPD block in-register (lower), via T rank-1 steps."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+
+    def step(j, M):
+        d = jax.lax.rsqrt(M[j, j])
+        # column j: diag -> sqrt(M[j,j]) (= M[j,j]*d), below-diag scaled by d
+        colj = jnp.where(rows[:, 0] >= j, M[:, j] * d, 0.0)
+        M = jnp.where(cols == j, colj[:, None], M)
+        # trailing rank-1 update on columns > j, rows >= col
+        upd = colj[:, None] * colj[None, :]
+        M = jnp.where((cols > j) & (rows >= cols), M - upd, M)
+        return M
+
+    A = jax.lax.fori_loop(0, T, step, A)
+    # zero the strict upper triangle
+    return jnp.where(rows >= cols, A, 0.0)
+
+
+def _tri_inv_block(L, T):
+    """Invert a TxT lower-triangular matrix by forward substitution."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    eye = (rows == cols).astype(L.dtype)
+
+    def step(i, W):
+        # row i of W: (e_i - L[i, :i] @ W[:i, :]) / L[i, i]
+        li = jnp.where(cols[0] < i, L[i, :], 0.0)  # [T]
+        acc = li @ W  # [T]
+        wi = (eye[i, :] - acc) / L[i, i]
+        return jnp.where(rows == i, wi[None, :], W)
+
+    return jax.lax.fori_loop(0, T, step, jnp.zeros_like(L))
+
+
+def _chol_kernel(a_ref, out_ref, *, N: int, T: int):
+    A = a_ref[0]  # block is [1, N, N]
+    nblk = N // T
+    rows = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+
+    for kb in range(nblk):
+        k = kb * T
+        Akk = A[k : k + T, k : k + T]
+        Lkk = _unblocked_chol_block(Akk, T)
+        A = jax.lax.dynamic_update_slice(A, Lkk, (k, k))
+        if kb + 1 < nblk:
+            Winv = _tri_inv_block(Lkk, T)
+            panel = A[k + T :, k : k + T]  # [R, T], R = N - k - T (static)
+            Lpanel = jnp.dot(panel, Winv.T, preferred_element_type=jnp.float32)
+            A = jax.lax.dynamic_update_slice(A, Lpanel, (k + T, k))
+            trail = A[k + T :, k + T :]
+            trail = trail - jnp.dot(Lpanel, Lpanel.T, preferred_element_type=jnp.float32)
+            A = jax.lax.dynamic_update_slice(A, trail, (k + T, k + T))
+
+    out_ref[0] = jnp.where(rows >= cols, A, 0.0)
+
+
+def _pallas_chol_batched(K: jnp.ndarray, T: int = BLOCK) -> jnp.ndarray:
+    B, N, _ = K.shape
+    kernel = functools.partial(_chol_kernel, N=N, T=min(T, N))
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, N, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, N, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, N), K.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(B * N**3 / 3 * 2), bytes_accessed=int(2 * B * N * N * 4), transcendentals=B * N
+        ),
+    )(K)
+
+
+def _supported(K: jnp.ndarray) -> bool:
+    if K.ndim != 3:
+        return False
+    N = K.shape[-1]
+    if N % BLOCK != 0 and N != 64:
+        return False
+    if N > _MAX_VMEM_N:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+@jax.custom_vjp
+def cholesky(K: jnp.ndarray) -> jnp.ndarray:
+    """Lower-triangular Cholesky of a batch [B, N, N] (or any jnp shape via
+    fallback). TPU + N in {128k, <=1024} -> Pallas kernel."""
+    if _supported(K):
+        return _pallas_chol_batched(K)
+    return jnp.linalg.cholesky(K)
+
+
+def _chol_fwd(K):
+    L = cholesky(K)
+    return L, L
+
+
+def _chol_bwd(L, dL):
+    # standard pullback: dK = 0.5 * L^-T (Phi(L^T dL) + Phi(L^T dL)^T ... )
+    # using Phi = tril with halved diagonal (Murray 2016, eq. 12)
+    def phi(M):
+        return jnp.tril(M) - 0.5 * jnp.diagonal(M, axis1=-2, axis2=-1)[..., None] * jnp.eye(
+            M.shape[-1], dtype=M.dtype
+        )
+
+    M = jnp.matmul(jnp.swapaxes(L, -1, -2), dL, precision=jax.lax.Precision.HIGHEST)
+    P = phi(M)
+    # solve L^T X = P  -> X = L^-T P ; then dK = X L^-1 => solve (L) from right
+    X = jax.scipy.linalg.solve_triangular(jnp.swapaxes(L, -1, -2), P, lower=False)
+    dK = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(L, -1, -2), jnp.swapaxes(X, -1, -2), lower=False
+    )
+    dK = jnp.swapaxes(dK, -1, -2)
+    dK = 0.5 * (dK + jnp.swapaxes(dK, -1, -2))
+    return (dK,)
+
+
+cholesky.defvjp(_chol_fwd, _chol_bwd)

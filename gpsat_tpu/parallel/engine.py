@@ -125,6 +125,110 @@ def make_batched_runner(
     return jax.jit(sharded)
 
 
+def _adam_fit_predict_one(
+    core: ModelCore,
+    data: Dict[str, jnp.ndarray],
+    Xnew: jnp.ndarray,
+    uparams0: Dict[str, jnp.ndarray],
+    *,
+    fixed_params: tuple,
+    max_iter: int,
+    optimise: bool,
+    learning_rate: float,
+    check_every: int,
+    persistence: int,
+):
+    """Adam optimization for stochastic cores (SVGP): early stopping with
+    the reference's check_every/persistence semantics
+    (ref: gpflow_models.py:1214-1245), fully inside jit."""
+    import optax
+
+    u_free0 = {k: v for k, v in uparams0.items() if k not in fixed_params}
+    u_fixed = {k: v for k, v in uparams0.items() if k in fixed_params}
+
+    def loss_fn(u_free):
+        return core.objective({**u_free, **u_fixed}, data)
+
+    if optimise and u_free0:
+        opt = optax.adam(learning_rate)
+
+        def cond(carry):
+            _, _, it, best, since_best, done = carry
+            return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+
+        def body(carry):
+            u, opt_state, it, best, since_best, done = carry
+            loss, g = jax.value_and_grad(loss_fn)(u)
+            updates, opt_state = opt.update(g, opt_state)
+            u = optax.apply_updates(u, updates)
+            check = (it % check_every) == 0
+            improved = loss < best
+            best = jnp.where(check & improved, loss, best)
+            since_best = jnp.where(check, jnp.where(improved, 0, since_best + check_every), since_best)
+            done = jnp.logical_or(since_best >= persistence, jnp.logical_not(jnp.isfinite(loss)))
+            return (u, opt_state, it + 1, best, since_best, done)
+
+        init = (u_free0, opt.init(u_free0), jnp.asarray(0), jnp.asarray(jnp.inf), jnp.asarray(0), jnp.asarray(False))
+        u_opt_free, _, it, best, _, _ = jax.lax.while_loop(cond, body, init)
+        u_opt = {**u_opt_free, **u_fixed}
+        final_obj = loss_fn(u_opt_free)
+        converged = jnp.isfinite(final_obj)
+        num_iter = it
+    else:
+        u_opt = uparams0
+        final_obj = core.objective(uparams0, data)
+        converged = jnp.asarray(True)
+        num_iter = jnp.asarray(0)
+
+    cparams = core.forward(u_opt)
+    pred = core.predict(cparams, data, Xnew)
+    return {
+        "params": cparams,
+        "pred": pred,
+        "objective": final_obj,
+        "converged": converged,
+        "num_iter": num_iter,
+    }
+
+
+def make_batched_adam_runner(
+    core: ModelCore,
+    *,
+    fixed_params: tuple = (),
+    max_iter: int = 2000,
+    optimise: bool = True,
+    learning_rate: float = 1e-2,
+    check_every: int = 10,
+    persistence: int = 100,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Adam analogue of make_batched_runner, for stochastic cores (SVGP)."""
+
+    def batched(X, y, mask, Xnew, uparams0):
+        def one(d, xn, u):
+            return _adam_fit_predict_one(
+                core,
+                d,
+                xn,
+                u,
+                fixed_params=tuple(fixed_params),
+                max_iter=max_iter,
+                optimise=optimise,
+                learning_rate=learning_rate,
+                check_every=check_every,
+                persistence=persistence,
+            )
+
+        return jax.vmap(one)({"X": X, "y": y, "mask": mask}, Xnew, uparams0)
+
+    if mesh is None:
+        return jax.jit(batched)
+    spec = P("experts")
+    return jax.jit(
+        jax.shard_map(batched, mesh=mesh, in_specs=(spec,) * 5, out_specs=spec, check_vma=False)
+    )
+
+
 def run_tile_batch(
     batch: TileBatch,
     init_cparams: Dict[str, np.ndarray],

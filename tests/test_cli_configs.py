@@ -195,3 +195,43 @@ class TestPipelineCLIs:
         # tuple keys restored by nested_dict_literal_eval
         assert ("x", "y") in ec.expert_locs_config.col_funcs
         assert ec.model_config.init_params["coords_scale"] == [50000, 50000, 1]
+
+
+class TestSVGPOrchestrator:
+    def test_svgp_through_orchestrator(self, tmp_path):
+        rng = np.random.default_rng(4)
+        n = 600
+        obs = pd.DataFrame({"x": rng.uniform(0, 10, n), "y": rng.uniform(0, 10, n)})
+        obs["z"] = np.sin(obs.x) * np.cos(obs.y) + 0.1 * rng.normal(size=n)
+        experts = pd.DataFrame({"x": [5.0], "y": [5.0]})
+        store_path = str(tmp_path / "svgp.h5")
+        from gpsat_tpu import local_expert_oi as oi_cli
+
+        oi_cli.run_from_config(
+            {
+                "locations": {"source": experts},
+                "data": {
+                    "data_source": obs,
+                    "obs_col": "z",
+                    "coords_col": ["x", "y"],
+                    "local_select": [{"col": ["x", "y"], "comp": "<", "val": 5.0}],
+                },
+                "model": {
+                    "oi_model": "GPflowSVGPModel",
+                    "init_params": {"noise_variance": 0.01, "num_inducing_points": 32},
+                    "optim_kwargs": {"max_iter": 600, "learning_rate": 0.05},
+                },
+                "pred_loc": {"method": "expert_loc"},
+                "run_kwargs": {"store_path": store_path},
+            }
+        )
+        from gpsat_tpu.data.store import TableStore
+
+        with TableStore(store_path, mode="r") as ts:
+            rd = ts.select("run_details").reset_index()
+            preds = ts.select("preds").reset_index()
+            qmu = ts.select("inducing_mean").reset_index()
+        assert rd["optimise_success"].all()
+        truth = np.sin(5.0) * np.cos(5.0)
+        assert abs(preds["f*"].iloc[0] - truth) < 0.2
+        assert len(qmu) == 32
