@@ -57,7 +57,7 @@ def posterior_factors(cparams: dict, data: dict, *, kernel: str, jitter: float =
     Kf = K.gram(kernel, data["X"], data["X"], cparams["lengthscales"], cparams["kernel_variance"])
     Kn = LA.add_diag(Kf, cparams["likelihood_variance"] + jitter)
     Km = LA.mask_gram(Kn, m)
-    L = jnp.linalg.cholesky(Km)
+    L = LA.cholesky(Km)
     alpha = LA.cho_solve(L, (data["y"] * m)[:, None])
     return L, alpha
 

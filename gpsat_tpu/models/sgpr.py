@@ -44,12 +44,12 @@ def _common_terms(cparams: dict, data: dict, *, kernel: str, jitter: float):
 
     Kuu = K.gram(kernel, Z, Z, ls, kv)
     Kuu = LA.add_diag(Kuu, jitter)
-    L = jnp.linalg.cholesky(Kuu)
+    L = LA.cholesky(Kuu)
     Kuf = K.gram(kernel, Z, X, ls, kv) * m[None, :]
     A = LA.tri_solve(L, Kuf) / sigma
     AAT = A @ A.T
     B = AAT + jnp.eye(A.shape[0], dtype=A.dtype)
-    LB = jnp.linalg.cholesky(B)
+    LB = LA.cholesky(B)
     ym = y * m
     Aerr = A @ ym[:, None]
     c = LA.tri_solve(LB, Aerr) / sigma

@@ -92,7 +92,7 @@ def _whitened_marginals(cparams: dict, X: jnp.ndarray, *, kernel: str, jitter: f
     q_mu = cparams["inducing_mean"]
     q_sqrt = jnp.tril(cparams["inducing_chol"])
     Kuu = LA.add_diag(K.gram(kernel, Z, Z, ls, kv), jitter)
-    L = jnp.linalg.cholesky(Kuu)
+    L = LA.cholesky(Kuu)
     Kus = K.gram(kernel, Z, X, ls, kv)
     A = LA.tri_solve(L, Kus)  # [M, N]
     f_mean = A.T @ q_mu

@@ -177,7 +177,9 @@ def vff_common(cparams: dict, data: dict, *, kernel: str, a, b, M: int):
     Kuu_logdet = sum((Mtot / Ms[i]) * logdets[i] for i in range(D))
 
     P = KufKfu / s2 + Kuu
-    L = jnp.linalg.cholesky(P)
+    from gpsat_tpu.ops import linalg as LA
+
+    L = LA.cholesky(P)
     from gpsat_tpu.ops import linalg as LA
 
     c = LA.tri_solve(L, KufY) / s2

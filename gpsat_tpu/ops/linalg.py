@@ -43,6 +43,15 @@ def add_diag(K: Array, value: Array) -> Array:
     return K + value * jnp.eye(K.shape[0], dtype=K.dtype)
 
 
+def cholesky(K: Array) -> Array:
+    """Cholesky dispatch: Pallas blocked kernel on TPU for 128-multiple
+    tile sizes (gpsat_tpu.ops.pallas.cholesky — XLA's stock op runs at
+    <1 TFLOP/s on these shapes), jnp fallback elsewhere."""
+    from gpsat_tpu.ops.pallas.cholesky import cholesky as _pchol
+
+    return _pchol(K)
+
+
 def safe_cholesky(K: Array, jitter: float = 0.0):
     """Cholesky with optional jitter; returns (L, ok_flag).
 
@@ -52,7 +61,7 @@ def safe_cholesky(K: Array, jitter: float = 0.0):
     """
     if jitter:
         K = add_diag(K, jnp.asarray(jitter, dtype=K.dtype))
-    L = jnp.linalg.cholesky(K)
+    L = cholesky(K)
     ok = jnp.all(jnp.isfinite(jnp.diagonal(L)))
     return L, ok
 
@@ -95,7 +104,7 @@ def masked_gpr_lml(
     Kf = _k.gram(kernel, X, X, lengthscales, kernel_variance)
     K = add_diag(Kf, likelihood_variance + jitter)
     Km = mask_gram(K, m)
-    L = jnp.linalg.cholesky(Km)
+    L = cholesky(Km)
     ym = (y * m)[:, None]
     alpha = cho_solve(L, ym)
     quad = jnp.sum(ym * alpha)

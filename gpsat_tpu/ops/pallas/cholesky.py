@@ -35,14 +35,20 @@ _MAX_VMEM_N = 1024  # 4 MB matrix + workspace comfortably inside VMEM
 
 
 def _unblocked_chol_block(A, T):
-    """Factorize a TxT SPD block in-register (lower), via T rank-1 steps."""
+    """Factorize a TxT SPD block in-register (lower), via T rank-1 steps.
+
+    Mosaic TC lowering has no dynamic_slice, so all traced-index accesses
+    are expressed as masked full-block reductions (T^2 VPU work per step).
+    """
     rows = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
 
     def step(j, M):
-        d = jax.lax.rsqrt(M[j, j])
-        # column j: diag -> sqrt(M[j,j]) (= M[j,j]*d), below-diag scaled by d
-        colj = jnp.where(rows[:, 0] >= j, M[:, j] * d, 0.0)
+        diag_jj = jnp.sum(jnp.where((rows == j) & (cols == j), M, 0.0))
+        d = jax.lax.rsqrt(diag_jj)
+        col_j = jnp.sum(jnp.where(cols == j, M, 0.0), axis=1)  # [T]
+        # column j: diag -> sqrt (= M[j,j]*d), below-diag scaled by d
+        colj = jnp.where(rows[:, 0] >= j, col_j * d, 0.0)
         M = jnp.where(cols == j, colj[:, None], M)
         # trailing rank-1 update on columns > j, rows >= col
         upd = colj[:, None] * colj[None, :]
@@ -55,42 +61,54 @@ def _unblocked_chol_block(A, T):
 
 
 def _tri_inv_block(L, T):
-    """Invert a TxT lower-triangular matrix by forward substitution."""
+    """Invert a TxT lower-triangular matrix by forward substitution
+    (masked full-block form; no dynamic indexing)."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
     eye = (rows == cols).astype(L.dtype)
 
     def step(i, W):
         # row i of W: (e_i - L[i, :i] @ W[:i, :]) / L[i, i]
-        li = jnp.where(cols[0] < i, L[i, :], 0.0)  # [T]
-        acc = li @ W  # [T]
-        wi = (eye[i, :] - acc) / L[i, i]
+        li = jnp.sum(jnp.where(rows == i, L, 0.0), axis=0)  # row i of L, [T]
+        li = jnp.where(cols[0] < i, li, 0.0)
+        # keep matmuls 2-d: Mosaic rejects 1-d dot operands
+        acc = jax.lax.dot_general(
+            li[None, :], W, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )[0]
+        lii = jnp.sum(jnp.where((rows == i) & (cols == i), L, 0.0))
+        ei = (rows[:, 0] == i).astype(L.dtype)
+        wi = (ei - acc) / lii
         return jnp.where(rows == i, wi[None, :], W)
 
     return jax.lax.fori_loop(0, T, step, jnp.zeros_like(L))
 
 
 def _chol_kernel(a_ref, out_ref, *, N: int, T: int):
-    A = a_ref[0]  # block is [1, N, N]
+    # work in-place on the output VMEM block; the kb loop is a python loop
+    # so every ref slice below is static (Mosaic TC has no dynamic_slice)
+    out_ref[0] = a_ref[0]
     nblk = N // T
-    rows = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
 
     for kb in range(nblk):
         k = kb * T
-        Akk = A[k : k + T, k : k + T]
-        Lkk = _unblocked_chol_block(Akk, T)
-        A = jax.lax.dynamic_update_slice(A, Lkk, (k, k))
+        Lkk = _unblocked_chol_block(out_ref[0, k : k + T, k : k + T], T)
+        out_ref[0, k : k + T, k : k + T] = Lkk
         if kb + 1 < nblk:
             Winv = _tri_inv_block(Lkk, T)
-            panel = A[k + T :, k : k + T]  # [R, T], R = N - k - T (static)
-            Lpanel = jnp.dot(panel, Winv.T, preferred_element_type=jnp.float32)
-            A = jax.lax.dynamic_update_slice(A, Lpanel, (k + T, k))
-            trail = A[k + T :, k + T :]
-            trail = trail - jnp.dot(Lpanel, Lpanel.T, preferred_element_type=jnp.float32)
-            A = jax.lax.dynamic_update_slice(A, trail, (k + T, k + T))
+            panel = out_ref[0, k + T :, k : k + T]  # [R, T], R static
+            # contract dim-1 with dim-1 (== panel @ Winv^T) without a
+            # transpose op, which Mosaic's dot lowering mishandles
+            Lpanel = jax.lax.dot_general(
+                panel, Winv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            out_ref[0, k + T :, k : k + T] = Lpanel
+            out_ref[0, k + T :, k + T :] = out_ref[0, k + T :, k + T :] - jax.lax.dot_general(
+                Lpanel, Lpanel, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
 
-    out_ref[0] = jnp.where(rows >= cols, A, 0.0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    out_ref[0] = jnp.where(rows >= cols, out_ref[0], 0.0)
 
 
 def _pallas_chol_batched(K: jnp.ndarray, T: int = BLOCK) -> jnp.ndarray:
@@ -109,10 +127,10 @@ def _pallas_chol_batched(K: jnp.ndarray, T: int = BLOCK) -> jnp.ndarray:
 
 
 def _supported(K: jnp.ndarray) -> bool:
-    if K.ndim != 3:
+    if K.ndim not in (2, 3):
         return False
     N = K.shape[-1]
-    if N % BLOCK != 0 and N != 64:
+    if N % BLOCK != 0:
         return False
     if N > _MAX_VMEM_N:
         return False
@@ -124,9 +142,13 @@ def _supported(K: jnp.ndarray) -> bool:
 
 @jax.custom_vjp
 def cholesky(K: jnp.ndarray) -> jnp.ndarray:
-    """Lower-triangular Cholesky of a batch [B, N, N] (or any jnp shape via
-    fallback). TPU + N in {128k, <=1024} -> Pallas kernel."""
+    """Lower-triangular Cholesky. TPU + N a multiple of 128 (<=1024) ->
+    Pallas kernel; anything else -> jnp.linalg.cholesky. Accepts [N, N]
+    (vmappable — pallas batching prepends the vmap dim to the grid) or
+    [B, N, N]."""
     if _supported(K):
+        if K.ndim == 2:
+            return _pallas_chol_batched(K[None])[0]
         return _pallas_chol_batched(K)
     return jnp.linalg.cholesky(K)
 
