@@ -9,10 +9,12 @@ from gpsat_tpu.models.gpr import GPRModel
 
 
 def get_model(name: str):
+    from gpsat_tpu.models.pure_numpy_gpr import PureNumpyGPR
     from gpsat_tpu.models.sgpr import SGPRModel
-    from gpsat_tpu.models.svgp import SVGPModel
-    from gpsat_tpu.models.vff import VFFModel
     from gpsat_tpu.models.sklearn_model import SklearnGPRModel
+    from gpsat_tpu.models.svgp import SVGPModel
+    from gpsat_tpu.models.torch_gpr import TorchGPRModel
+    from gpsat_tpu.models.vff import VFFModel
 
     registry = {
         # native names
@@ -21,12 +23,16 @@ def get_model(name: str):
         "SVGPModel": SVGPModel,
         "VFFModel": VFFModel,
         "SklearnGPRModel": SklearnGPRModel,
+        "TorchGPRModel": TorchGPRModel,
+        "PureNumpyGPR": PureNumpyGPR,
         # reference-name aliases (GPSat/models/__init__.py:3-28)
         "GPflowGPRModel": GPRModel,
         "GPflowSGPRModel": SGPRModel,
         "GPflowSVGPModel": SVGPModel,
         "GPflowVFFModel": VFFModel,
         "sklearnGPRModel": SklearnGPRModel,
+        "GPyTorchGPRModel": TorchGPRModel,
+        "PurePythonGPR": PureNumpyGPR,
     }
     assert name in registry, f"model: {name} not in registry: {sorted(registry)}"
     return registry[name]

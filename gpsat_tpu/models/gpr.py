@@ -52,14 +52,25 @@ def neg_lml(uparams: dict, data: dict, *, kernel: str, bijectors: dict, jitter: 
 
 
 def posterior_factors(cparams: dict, data: dict, *, kernel: str, jitter: float = 0.0):
-    """Cholesky factor and alpha = K^-1 y for a fitted tile."""
+    """Factor pair for a fitted tile: (L, alpha, W) where alpha = K^-1 y and
+    W = L^-1 on the float32 fast path (None on the f64 solve path)."""
+    import jax
+
     m = data["mask"].astype(data["X"].dtype)
     Kf = K.gram(kernel, data["X"], data["X"], cparams["lengthscales"], cparams["kernel_variance"])
     Kn = LA.add_diag(Kf, cparams["likelihood_variance"] + jitter)
     Km = LA.mask_gram(Kn, m)
     L = LA.cholesky(Km)
-    alpha = LA.cho_solve(L, (data["y"] * m)[:, None])
-    return L, alpha
+    ym = (data["y"] * m)[:, None]
+    if LA.use_fast_inverse(Km.dtype):
+        W = LA.tri_inv_blocked(L)
+        alpha = jnp.matmul(
+            W.T, jnp.matmul(W, ym, precision=jax.lax.Precision.HIGHEST), precision=jax.lax.Precision.HIGHEST
+        )
+    else:
+        W = None
+        alpha = LA.cho_solve(L, ym)
+    return L, alpha, W
 
 
 def predict(
@@ -76,12 +87,18 @@ def predict(
     Returns dict with f_mean [P], f_var [P], y_var [P] (and f_cov [P,P] when
     full_cov). Padded training rows contribute nothing (zeroed cross-gram).
     """
+    import jax
+
     m = data["mask"].astype(Xnew.dtype)
-    L, alpha = posterior_factors(cparams, data, kernel=kernel, jitter=jitter)
+    L, alpha, W = posterior_factors(cparams, data, kernel=kernel, jitter=jitter)
     Ks = K.gram(kernel, data["X"], Xnew, cparams["lengthscales"], cparams["kernel_variance"])
     Ks = Ks * m[:, None]
     f_mean = (Ks.T @ alpha)[:, 0]
-    v = LA.tri_solve(L, Ks)
+    v = (
+        jnp.matmul(W, Ks, precision=jax.lax.Precision.HIGHEST)
+        if W is not None
+        else LA.tri_solve(L, Ks)
+    )
     kss_diag = K.gram_diag(kernel, Xnew, cparams["kernel_variance"])
     f_var = kss_diag - jnp.sum(v * v, axis=0)
     out = {

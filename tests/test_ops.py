@@ -114,3 +114,33 @@ class TestMaskedLinalg:
         assert Km[1, 1] == 1.0 and Km[3, 3] == 1.0
         assert Km[0, 1] == 0.0 and Km[1, 2] == 0.0
         assert Km[0, 2] == 9.0
+
+
+class TestFastInverse:
+    def test_tri_inv_blocked_matches_solve(self):
+        from gpsat_tpu.ops.linalg import tri_inv_blocked
+
+        rng2 = np.random.default_rng(5)
+        for N in (128, 256, 512):
+            A = rng2.normal(size=(N, 24))
+            K = A @ A.T + np.eye(N)
+            L = np.linalg.cholesky(K)
+            W = np.asarray(tri_inv_blocked(jnp.asarray(L)))
+            np.testing.assert_allclose(W @ L, np.eye(N), atol=1e-8)
+
+    def test_fast_lml_matches_solve_path(self):
+        from gpsat_tpu.ops import linalg as LA2
+
+        rng2 = np.random.default_rng(6)
+        N = 256
+        X = rng2.uniform(0, 5, size=(N, 2))
+        y = np.sin(X[:, 0]) + 0.1 * rng2.normal(size=N)
+        mask = np.ones(N)
+        mask[-30:] = 0.0
+        args = (jnp.asarray(X), jnp.asarray(y), jnp.asarray(mask), jnp.asarray([1.0, 1.5]), 1.2, 0.05)
+        LA2.set_fast_inverse(False)
+        ref = float(LA2.masked_gpr_lml(*args))
+        LA2.set_fast_inverse(True)
+        fast = float(LA2.masked_gpr_lml(*args))
+        LA2.set_fast_inverse(None)
+        np.testing.assert_allclose(fast, ref, rtol=1e-10)
