@@ -124,6 +124,96 @@ def read_from_multiple_files(
     return pd.concat(frames, axis=0).reset_index(drop=True)
 
 
+def read_from_pkl_dict(
+    pkl_files,
+    pkl_dir: Optional[str] = None,
+    default_name: str = "obs",
+    strict: bool = True,
+    dim_names: Optional[list] = None,
+) -> pd.DataFrame:
+    """Legacy pickled dict-of-arrays -> long DataFrame
+    (ref: GPSat/dataloader.py:783-933): each pickle holds
+    {measure: {source: ndarray}}; dims are exploded into columns."""
+    import pickle
+
+    if isinstance(pkl_files, str):
+        pkl_files = {default_name: [pkl_files]}
+    elif isinstance(pkl_files, list):
+        pkl_files = {default_name: pkl_files}
+
+    frames = []
+    for name, files in pkl_files.items():
+        for f in files if isinstance(files, list) else [files]:
+            path = os.path.join(pkl_dir, f) if pkl_dir else f
+            if not os.path.exists(path):
+                msg = f"pickle file does not exist: {path}"
+                if strict:
+                    raise FileNotFoundError(msg)
+                cprint(msg + " — skipping", c="WARNING")
+                continue
+            with open(path, "rb") as fh:
+                obj = pickle.load(fh)
+            assert isinstance(obj, dict), f"expected dict in {path}, got {type(obj)}"
+            for source, arr in obj.items():
+                arr = np.asarray(arr)
+                dims = dim_names or [f"_dim_{i}" for i in range(arr.ndim)]
+                idx = np.indices(arr.shape).reshape(arr.ndim, -1)
+                data = {dims[i]: idx[i] for i in range(arr.ndim)}
+                data[name] = arr.ravel()
+                df = pd.DataFrame(data)
+                df["source"] = str(source)
+                frames.append(df)
+    assert frames, "no pickle data read"
+    return pd.concat(frames, ignore_index=True)
+
+
+def read_from_npy(
+    npy_files,
+    npy_dir: Optional[str] = None,
+    dims: Optional[list] = None,
+    flatten_xy: bool = True,
+    return_xarray: bool = False,
+) -> pd.DataFrame:
+    """Legacy npy grids -> long DataFrame (ref: GPSat/dataloader.py:935-1009).
+
+    npy_files: {col_name: file} or list/str; each array shares a grid shape.
+    """
+    assert not return_xarray, "xarray output is not supported in this build (use the DataFrame)"
+    if isinstance(npy_files, str):
+        npy_files = {"obs": npy_files}
+    elif isinstance(npy_files, list):
+        npy_files = {os.path.splitext(os.path.basename(f))[0]: f for f in npy_files}
+
+    cols = {}
+    shape = None
+    for name, f in npy_files.items():
+        path = os.path.join(npy_dir, f) if npy_dir else f
+        arr = np.load(path)
+        if shape is None:
+            shape = arr.shape
+        assert arr.shape == shape, f"shape mismatch for {name}: {arr.shape} vs {shape}"
+        cols[name] = arr
+    dims = dims or [f"_dim_{i}" for i in range(len(shape))]
+    idx = np.indices(shape).reshape(len(shape), -1)
+    data = {dims[i]: idx[i] for i in range(len(shape))}
+    for name, arr in cols.items():
+        data[name] = arr.ravel()
+    df = pd.DataFrame(data)
+    return df
+
+
+def read_flat_files(file_dirs, file_regex: str, sub_dirs=None, read_csv_kwargs=None, col_funcs=None) -> pd.DataFrame:
+    """Legacy flat-file reader (ref: GPSat/dataloader.py:446) — thin wrapper
+    over read_from_multiple_files."""
+    return read_from_multiple_files(
+        file_dirs=file_dirs,
+        file_regex=file_regex,
+        sub_dirs=sub_dirs,
+        read_kwargs=read_csv_kwargs,
+        col_funcs=col_funcs,
+    )
+
+
 def read_and_store(
     output: dict,
     file_dirs,

@@ -37,8 +37,32 @@ def neg_lml(uparams: dict, data: dict, *, kernel: str, bijectors: dict, jitter: 
 
     uparams: unconstrained {"lengthscales": [D], "kernel_variance": [],
     "likelihood_variance": []}; data: {"X": [N,D], "y": [N], "mask": [N]}.
+
+    On the f32 fast path the analytic-gradient fused form is used (no
+    triangular solves, custom_vjp — ops/fused_lml.py); f64 keeps the
+    autodiffed Cholesky/solve form for reference parity.
     """
     p = T.forward_params(uparams, bijectors)
+    if LA.use_fast_inverse(data["X"].dtype) and kernel in (
+        "Matern12",
+        "Matern32",
+        "Matern52",
+        "RBF",
+        "SquaredExponential",
+        "Exponential",
+    ):
+        from gpsat_tpu.ops.fused_lml import masked_gpr_lml_fused
+
+        return -masked_gpr_lml_fused(
+            kernel,
+            data["X"],
+            data["y"],
+            data["mask"],
+            p["lengthscales"],
+            p["kernel_variance"],
+            p["likelihood_variance"],
+            jnp.asarray(jitter, dtype=data["X"].dtype),
+        )
     return -LA.masked_gpr_lml(
         data["X"],
         data["y"],

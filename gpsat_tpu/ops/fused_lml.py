@@ -1,0 +1,121 @@
+"""Masked GPR LML with analytic gradients (custom_vjp) — the TPU hot path.
+
+Autodiff through Cholesky/solves costs another full factorization's worth
+of sequential triangular work in the backward pass (measured: 41-58 ms per
+value+grad on [128, 512] f32 batches). The classic analytic form
+(Rasmussen & Williams eq. 5.9, the same formulas the reference hand-codes
+in GPSat/models/pure_python_gpr.py:439-506) needs only:
+
+  forward:  K -> L (Cholesky), W = L^-1 (blocked inversion, MXU),
+            Kinv = W^T W, alpha = Kinv y, lml
+  backward: dlml/dtheta = 0.5 sum(G * dK/dtheta),  G = alpha alpha^T - Kinv
+            with dK/dtheta in closed form per kernel — pure elementwise.
+
+Everything is matmuls + elementwise; no triangular solves anywhere and the
+backward is ~free. Hyperparameter bijectors chain outside via autodiff of
+the scalar reparameterization.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gpsat_tpu.ops import linalg as LA
+
+_SQRT3 = 1.7320508075688772
+_SQRT5 = 2.23606797749979
+_R_FLOOR = 1e-36  # same r^2 floor as ops.kernels so values agree exactly
+
+
+def _kernel_and_r(kernel: str, X, lengthscales, kernel_variance):
+    from gpsat_tpu.ops import kernels as KK
+
+    r2 = KK.scaled_squared_dist(X, X, lengthscales)
+    r = jnp.sqrt(jnp.maximum(r2, _R_FLOOR))
+    if kernel in ("RBF", "SquaredExponential"):
+        k = kernel_variance * jnp.exp(-0.5 * r2)
+    elif kernel in ("Matern12", "Exponential"):
+        k = kernel_variance * jnp.exp(-r)
+    elif kernel == "Matern32":
+        k = kernel_variance * (1.0 + _SQRT3 * r) * jnp.exp(-_SQRT3 * r)
+    elif kernel == "Matern52":
+        k = kernel_variance * (1.0 + _SQRT5 * r + 5.0 / 3.0 * r2) * jnp.exp(-_SQRT5 * r)
+    else:
+        raise NotImplementedError(f"fused LML supports Matern12/32/52 + RBF, got {kernel}")
+    return k, r
+
+
+def _dk_dl_factor(kernel: str, r, kernel_variance):
+    """phi(r) such that dk/dl_d = phi(r) * Delta_d^2 / l_d^3 (elementwise)."""
+    if kernel in ("RBF", "SquaredExponential"):
+        return kernel_variance * jnp.exp(-0.5 * r * r)
+    if kernel in ("Matern12", "Exponential"):
+        return kernel_variance * jnp.exp(-r) / r
+    if kernel == "Matern32":
+        return 3.0 * kernel_variance * jnp.exp(-_SQRT3 * r)
+    if kernel == "Matern52":
+        return (5.0 / 3.0) * kernel_variance * (1.0 + _SQRT5 * r) * jnp.exp(-_SQRT5 * r)
+    raise NotImplementedError(kernel)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def masked_gpr_lml_fused(kernel, X, y, mask, lengthscales, kernel_variance, likelihood_variance, jitter):
+    lml, _ = _fused_fwd_impl(kernel, X, y, mask, lengthscales, kernel_variance, likelihood_variance, jitter)
+    return lml
+
+
+def _fused_fwd_impl(kernel, X, y, mask, lengthscales, kernel_variance, likelihood_variance, jitter):
+    m = mask.astype(X.dtype)
+    n = jnp.sum(m)
+    k, r = _kernel_and_r(kernel, X, lengthscales, kernel_variance)
+    K = LA.add_diag(k, likelihood_variance + jitter)
+    Km = LA.mask_gram(K, m)
+    L = LA.cholesky(Km)
+    W = LA.tri_inv_blocked(L)
+    Kinv = jnp.matmul(W.T, W, precision=jax.lax.Precision.HIGHEST)
+    ym = (y * m)[:, None]
+    alpha = jnp.matmul(Kinv, ym, precision=jax.lax.Precision.HIGHEST)
+    quad = jnp.sum(ym * alpha)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    lml = -0.5 * quad - 0.5 * logdet - 0.5 * n * jnp.log(2.0 * jnp.pi)
+    residuals = (X, m, lengthscales, kernel_variance, r, Kinv, alpha[:, 0])
+    return lml, residuals
+
+
+def _fused_fwd(kernel, X, y, mask, lengthscales, kernel_variance, likelihood_variance, jitter):
+    return _fused_fwd_impl(kernel, X, y, mask, lengthscales, kernel_variance, likelihood_variance, jitter)
+
+
+def _fused_bwd(kernel, residuals, g):
+    X, m, lengthscales, kernel_variance, r, Kinv, alpha = residuals
+    outer_m = m[:, None] * m[None, :]
+    G = (alpha[:, None] * alpha[None, :] - Kinv) * outer_m
+
+    # lengthscale gradients: dk/dl_d = phi(r) * Delta_d^2 / l_d^3
+    phi = _dk_dl_factor(kernel, r, kernel_variance)
+    D = X.shape[1]
+    Gphi = G * phi
+    d_ls = []
+    for d in range(D):
+        delta2 = (X[:, d, None] - X[None, :, d]) ** 2
+        d_ls.append(0.5 * jnp.sum(Gphi * delta2) / lengthscales[d] ** 3)
+    d_ls = jnp.stack(d_ls)
+
+    # kernel variance: dK/dkv = k / kv (k has zero masked off-diagonals in
+    # G anyway); recompute k cheaply from r
+    k_unit, _ = _kernel_and_r(kernel, X, lengthscales, 1.0)
+    d_kv = 0.5 * jnp.sum(G * k_unit)
+
+    # likelihood variance: dK/dlv = I on valid rows
+    d_lv = 0.5 * jnp.sum(m * (alpha**2 - jnp.diagonal(Kinv)))
+
+    zX = jnp.zeros_like(X)
+    zy = jnp.zeros_like(alpha)
+    zm = jnp.zeros_like(m)
+    return (zX, zy, zm, g * d_ls, g * d_kv, g * d_lv, jnp.zeros_like(d_lv))
+
+
+masked_gpr_lml_fused.defvjp(_fused_fwd, _fused_bwd)

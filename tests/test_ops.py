@@ -144,3 +144,34 @@ class TestFastInverse:
         fast = float(LA2.masked_gpr_lml(*args))
         LA2.set_fast_inverse(None)
         np.testing.assert_allclose(fast, ref, rtol=1e-10)
+
+
+class TestFusedLML:
+    @pytest.mark.parametrize("kernel", ["Matern12", "Matern32", "Matern52", "RBF"])
+    def test_fused_value_and_grad_match_autodiff(self, kernel):
+        from gpsat_tpu.ops.fused_lml import masked_gpr_lml_fused
+
+        rng2 = np.random.default_rng(9)
+        N, D, pad = 40, 2, 9
+        X = np.concatenate([rng2.uniform(0, 5, size=(N, D)), np.zeros((pad, D))])
+        y = np.concatenate([rng2.normal(size=N), np.zeros(pad)])
+        mask = np.concatenate([np.ones(N), np.zeros(pad)])
+
+        def f_fused(ls, kv, lv):
+            return masked_gpr_lml_fused(
+                kernel, jnp.asarray(X), jnp.asarray(y), jnp.asarray(mask), ls, kv, lv, jnp.asarray(0.0)
+            )
+
+        def f_ref(ls, kv, lv):
+            return LA.masked_gpr_lml(
+                jnp.asarray(X), jnp.asarray(y), jnp.asarray(mask), ls, kv, lv, kernel=kernel
+            )
+
+        args = (jnp.asarray([0.9, 1.7]), jnp.asarray(1.3), jnp.asarray(0.05))
+        v1 = f_fused(*args)
+        v2 = f_ref(*args)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-10)
+        g1 = jax.grad(f_fused, argnums=(0, 1, 2))(*args)
+        g2 = jax.grad(f_ref, argnums=(0, 1, 2))(*args)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7, atol=1e-10)
