@@ -9,6 +9,7 @@ from gpsat_tpu.models.gpr import GPRModel
 
 
 def get_model(name: str):
+    from gpsat_tpu.models.asvgp import ASVGPModel
     from gpsat_tpu.models.pure_numpy_gpr import PureNumpyGPR
     from gpsat_tpu.models.sgpr import SGPRModel
     from gpsat_tpu.models.sklearn_model import SklearnGPRModel
@@ -23,6 +24,7 @@ def get_model(name: str):
         "SVGPModel": SVGPModel,
         "VFFModel": VFFModel,
         "SklearnGPRModel": SklearnGPRModel,
+        "ASVGPModel": ASVGPModel,
         "TorchGPRModel": TorchGPRModel,
         "PureNumpyGPR": PureNumpyGPR,
         # reference-name aliases (GPSat/models/__init__.py:3-28)
@@ -31,6 +33,7 @@ def get_model(name: str):
         "GPflowSVGPModel": SVGPModel,
         "GPflowVFFModel": VFFModel,
         "sklearnGPRModel": SklearnGPRModel,
+        "GPflowASVGPModel": ASVGPModel,
         "GPyTorchGPRModel": TorchGPRModel,
         "PurePythonGPR": PureNumpyGPR,
     }

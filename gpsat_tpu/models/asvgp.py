@@ -1,0 +1,248 @@
+"""ASVGP — Actually Sparse Variational GP with B-spline inducing features.
+
+The reference exposes GPflowASVGPModel by importing an external (non-
+vendored) clone (ref: GPSat/models/asvgp_model.py:9-11, optional
+capability). This build implements the method directly for the Matern12
+kernel with first-order (hat) B-splines, the case whose RKHS inner
+products are closed-form:
+
+  Matern12 RKHS on [a, b]:
+    <f, g> = (1/(2 s2)) [ (1/l) int f g + l int f' g' + f(a)g(a) + f(b)g(b) ]
+
+  Hat basis {phi_i} on a uniform knot grid (spacing h):
+    mass matrix     int phi_i phi_j : tridiagonal (2h/3, h/6)
+    stiffness       int phi_i' phi_j': tridiagonal (2/h, -1/h)
+  => Kuu = (1/(2 s2)) [ M/l + l S + boundary ], banded tridiagonal
+     Kuf[i, n] = phi_i(x_n)  (inter-domain projection features)
+
+Collapsed ELBO / posterior identical in form to VFF's GPR_kron
+(gpsat_tpu.models.vff), with Kronecker structure across dimensions. The
+bound converges to the exact Matern12 GPR as the knot grid refines
+(tested). Higher-order Matern/spline pairs follow the same pattern and are
+left gated (matching the reference's optional status).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpsat_tpu.models.base import BaseGPRModel
+from gpsat_tpu.models.vff import kron, make_kvs
+from gpsat_tpu.ops import linalg as LA
+from gpsat_tpu.ops import transforms as T
+
+PARAM_NAMES = ["lengthscales", "kernel_variance", "likelihood_variance"]
+
+
+def hat_basis_eval(x: jnp.ndarray, knots: jnp.ndarray) -> jnp.ndarray:
+    """B1 (hat) basis evaluation: [M, N] with M = len(knots)."""
+    h = knots[1] - knots[0]
+    d = jnp.abs(x[None, :] - knots[:, None]) / h
+    return jnp.maximum(0.0, 1.0 - d)
+
+
+def matern12_spline_kuu(knots: np.ndarray, lengthscale, variance) -> jnp.ndarray:
+    """Tridiagonal RKHS Gram of the hat basis under the Matern12 kernel."""
+    M = len(knots)
+    h = float(knots[1] - knots[0])
+    # mass matrix (interior rows 2h/3; boundary rows h/3)
+    main_mass = jnp.full(M, 2 * h / 3).at[0].set(h / 3).at[-1].set(h / 3)
+    off_mass = jnp.full(M - 1, h / 6)
+    # stiffness matrix
+    main_stiff = jnp.full(M, 2 / h).at[0].set(1 / h).at[-1].set(1 / h)
+    off_stiff = jnp.full(M - 1, -1 / h)
+
+    def tridiag(main, off):
+        return jnp.diag(main) + jnp.diag(off, 1) + jnp.diag(off, -1)
+
+    Mm = tridiag(main_mass, off_mass)
+    Sm = tridiag(main_stiff, off_stiff)
+    # boundary terms: phi_0(a)=1, phi_{M-1}(b)=1
+    Bm = jnp.zeros((M, M)).at[0, 0].set(1.0).at[-1, -1].set(1.0)
+    return (Mm / lengthscale + lengthscale * Sm + Bm) / (2.0 * variance)
+
+
+def _per_dim(cparams: dict, D: int):
+    ls = cparams["lengthscales"].reshape(D)
+    var_d = cparams["kernel_variance"] ** (1.0 / D)
+    return ls, var_d
+
+
+def _factors(cparams: dict, data: dict, knots_list, *, D: int):
+    X, y, m = data["X"], data["y"], data["mask"].astype(data["X"].dtype)
+    ls, var_d = _per_dim(cparams, D)
+    s2 = cparams["likelihood_variance"]
+    Kuf_dims = [hat_basis_eval(X[:, i], jnp.asarray(knots_list[i])) for i in range(D)]
+    Kuf = make_kvs(Kuf_dims) * m[None, :]
+    Kuu_dims = [matern12_spline_kuu(knots_list[i], ls[i], var_d) for i in range(D)]
+    Kuu = kron(Kuu_dims)
+    Kuu_inv = kron([jnp.linalg.inv(Kd) for Kd in Kuu_dims])
+    Mtot = Kuu.shape[0]
+    Ms = [Kd.shape[0] for Kd in Kuu_dims]
+    logdets = [jnp.linalg.slogdet(Kd)[1] for Kd in Kuu_dims]
+    Kuu_logdet = sum((Mtot / Ms[i]) * logdets[i] for i in range(D))
+
+    ym = y * m
+    KufY = Kuf @ ym[:, None]
+    KufKfu = Kuf @ Kuf.T
+    P = KufKfu / s2 + Kuu
+    L = jnp.linalg.cholesky(P)
+    c = LA.tri_solve(L, KufY) / s2
+    return dict(L=L, c=c, Kuu_inv=Kuu_inv, Kuu_logdet=Kuu_logdet, KufKfu=KufKfu, ym=ym, m=m, s2=s2)
+
+
+def elbo(cparams: dict, data: dict, knots_list):
+    D = data["X"].shape[1]
+    t = _factors(cparams, data, knots_list, D=D)
+    n = jnp.sum(t["m"])
+    kv = cparams["kernel_variance"]
+    log_det_P = 2.0 * jnp.sum(jnp.log(jnp.diagonal(t["L"])))
+    out = -0.5 * n * jnp.log(2.0 * jnp.pi * t["s2"])
+    out -= 0.5 * log_det_P
+    out += 0.5 * t["Kuu_logdet"]
+    out -= 0.5 * jnp.sum(t["ym"] ** 2) / t["s2"]
+    out += 0.5 * jnp.sum(t["c"] ** 2)
+    out -= 0.5 * n * kv / t["s2"]
+    out += 0.5 * jnp.sum(t["Kuu_inv"] * t["KufKfu"]) / t["s2"]
+    return out
+
+
+def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, knots_list):
+    D = data["X"].shape[1]
+    t = _factors(cparams, data, knots_list, D=D)
+    Kus_dims = [hat_basis_eval(Xnew[:, i], jnp.asarray(knots_list[i])) for i in range(D)]
+    Kus = make_kvs(Kus_dims)
+    tmp = LA.tri_solve(t["L"], Kus)
+    f_mean = (tmp.T @ t["c"])[:, 0]
+    KiKus = t["Kuu_inv"] @ Kus
+    kv = cparams["kernel_variance"]
+    var = kv * jnp.ones(Xnew.shape[0]) + jnp.sum(tmp**2, axis=0) - jnp.sum(KiKus * Kus, axis=0)
+    return {"f_mean": f_mean, "f_var": var, "y_var": var + t["s2"]}
+
+
+class ASVGPModel(BaseGPRModel):
+    """Host-facing ASVGP expert (Matern12 + B1 splines)."""
+
+    def __init__(
+        self,
+        data=None,
+        coords_col=None,
+        obs_col=None,
+        coords=None,
+        obs=None,
+        coords_scale=None,
+        obs_scale=None,
+        obs_mean=None,
+        verbose: bool = False,
+        *,
+        kernel: str = "Matern12",
+        num_inducing_features: Union[int, None] = None,
+        domain_size: Union[float, List[float], None] = None,
+        expert_loc=None,
+        noise_variance: Optional[float] = None,
+        margin: Union[float, List[float]] = 0.1,
+        **kwargs,
+    ):
+        super().__init__(
+            data=data, coords_col=coords_col, obs_col=obs_col, coords=coords, obs=obs,
+            coords_scale=coords_scale, obs_scale=obs_scale, obs_mean=obs_mean, verbose=verbose,
+        )
+        assert kernel == "Matern12", (
+            "ASVGP here implements the Matern12/B1-spline pair (closed-form RKHS "
+            "inner products); higher orders are not implemented — use VFF or SGPR"
+        )
+        assert num_inducing_features is not None, "num_inducing_features must be specified"
+        self.kernel = kernel
+        D = self.coords.shape[1]
+        M = int(num_inducing_features)
+        if isinstance(margin, (int, float)):
+            margin = [float(margin)] * D
+        self.knots_list = []
+        for i in range(D):
+            lo = self.coords[:, i].min() - margin[i]
+            hi = self.coords[:, i].max() + margin[i]
+            self.knots_list.append(np.linspace(lo, hi, M))
+
+        self._params = {
+            "lengthscales": np.ones(D),
+            "kernel_variance": np.asarray(1.0),
+            "likelihood_variance": np.asarray(1.0 if noise_variance is None else float(noise_variance)),
+        }
+        self._bijectors = {name: T.POSITIVE for name in PARAM_NAMES}
+
+    @property
+    def param_names(self) -> List[str]:
+        return list(PARAM_NAMES)
+
+    def _data_dict(self):
+        X = jnp.asarray(self.coords)
+        return {"X": X, "y": jnp.asarray(self.obs[:, 0]), "mask": jnp.ones(X.shape[0], dtype=X.dtype)}
+
+    def get_objective_function_value(self) -> float:
+        c = {k: jnp.asarray(v) for k, v in self._params.items()}
+        return float(elbo(c, self._data_dict(), self.knots_list))
+
+    def optimise_parameters(self, max_iter: int = 10_000, fixed_params=None, **opt_kwargs) -> bool:
+        from gpsat_tpu.optim.lbfgs import minimize_lbfgs
+
+        fixed_params = list(fixed_params or [])
+        data = self._data_dict()
+        bij = self._bijectors
+        knots = self.knots_list
+        u_all = {k: bij[k].inverse(jnp.asarray(v)) for k, v in self._params.items()}
+        u_free = {k: v for k, v in u_all.items() if k not in fixed_params}
+        u_fixed = {k: v for k, v in u_all.items() if k in fixed_params}
+
+        def objective(uf):
+            c = {k: bij[k].forward(v) for k, v in {**uf, **u_fixed}.items()}
+            return -elbo(c, data, knots)
+
+        res = minimize_lbfgs(objective, u_free, max_iter=max_iter, **opt_kwargs)
+        u_opt = {**res.params, **u_fixed}
+        self._params = {k: np.asarray(bij[k].forward(jnp.asarray(v))) for k, v in u_opt.items()}
+        return bool(np.asarray(res.converged))
+
+    def predict(self, coords, full_cov: bool = False, apply_scale: bool = True) -> Dict[str, np.ndarray]:
+        import pandas as pd
+
+        if isinstance(coords, (pd.Series, pd.DataFrame)):
+            coords = coords[self.coords_col].values if self.coords_col is not None else coords.values
+        coords = np.asarray(coords, dtype=float)
+        if coords.ndim == 1:
+            coords = coords[None, :]
+        if apply_scale:
+            coords = coords / self.coords_scale
+        c = {k: jnp.asarray(v) for k, v in self._params.items()}
+        pred = predict(c, self._data_dict(), jnp.asarray(coords), self.knots_list)
+        out = {
+            "f*": np.asarray(pred["f_mean"]),
+            "f*_var": np.asarray(pred["f_var"]),
+            "y_var": np.asarray(pred["y_var"]),
+        }
+        f_bar = self.obs_mean[:, 0]
+        out["f_bar"] = np.repeat(f_bar, len(out["f*"])) if len(f_bar) != len(out["f*"]) else f_bar
+        return out
+
+    # getters/setters
+    def get_lengthscales(self):
+        return np.asarray(self._params["lengthscales"])
+
+    def get_kernel_variance(self):
+        return float(self._params["kernel_variance"])
+
+    def get_likelihood_variance(self):
+        return float(self._params["likelihood_variance"])
+
+    def set_lengthscales(self, v):
+        ls = np.atleast_1d(np.asarray(v, dtype=float))
+        self._params["lengthscales"] = np.full(self.coords.shape[1], ls[0]) if len(ls) == 1 else ls
+
+    def set_kernel_variance(self, v):
+        self._params["kernel_variance"] = np.asarray(np.ravel(v)[0], dtype=float)
+
+    def set_likelihood_variance(self, v):
+        self._params["likelihood_variance"] = np.asarray(np.ravel(v)[0], dtype=float)

@@ -118,3 +118,47 @@ class TestSklearnModel:
 
     def test_registry(self):
         assert get_model("sklearnGPRModel") is SklearnGPRModel
+
+
+class TestASVGP:
+    def test_converges_to_exact_matern12(self, data_1d):
+        from gpsat_tpu.models.asvgp import ASVGPModel
+        from gpsat_tpu.models.gpr import GPRModel
+
+        g = GPRModel(data=data_1d, coords_col="x", obs_col="y", obs_mean=None, kernel="Matern12")
+        g.set_parameters(lengthscales=np.array([1.5]), kernel_variance=1.0, likelihood_variance=0.01)
+        lml = -g.get_objective_function_value()
+        xs = np.linspace(1, 9, 9)[:, None]
+        ref = g.predict(xs)
+
+        prev_gap, prev_err = np.inf, np.inf
+        for M in [20, 60, 200]:
+            a = ASVGPModel(
+                data=data_1d, coords_col="x", obs_col="y", obs_mean=None,
+                num_inducing_features=M, margin=1.0,
+            )
+            a.set_parameters(lengthscales=np.array([1.5]), kernel_variance=1.0, likelihood_variance=0.01)
+            gap = lml - a.get_objective_function_value()
+            assert 0 < gap < prev_gap, "bound must tighten with finer knots"
+            p = a.predict(xs)
+            err = np.abs(p["f*"] - ref["f*"]).max()
+            assert err < prev_err + 1e-9
+            prev_gap, prev_err = gap, err
+        assert prev_err < 0.05
+
+    def test_optimise(self, data_1d):
+        from gpsat_tpu.models.asvgp import ASVGPModel
+
+        a = ASVGPModel(
+            data=data_1d, coords_col="x", obs_col="y", obs_mean=None,
+            num_inducing_features=80, margin=1.0, noise_variance=0.01,
+        )
+        assert a.optimise_parameters(max_iter=200)
+        out = a.predict(np.array([[5.0]]))
+        assert abs(out["f*"][0] - np.sin(5.0)) < 0.3
+
+    def test_non_matern12_gated(self, data_1d):
+        from gpsat_tpu.models.asvgp import ASVGPModel
+
+        with pytest.raises(AssertionError, match="Matern12"):
+            ASVGPModel(data=data_1d, coords_col="x", obs_col="y", kernel="Matern32", num_inducing_features=10)
