@@ -189,6 +189,23 @@ def plot_pcolormesh_from_results_data(
     return plot_pcolormesh(ax, df[lon_col].values, df[lat_col].values, df[val_col].values, fig=fig, **plot_kwargs)
 
 
+def plot_xy_heatmap_from_results_data(
+    ax, dfs, table, val_col, x_col="x", y_col="y", fig=None, load_kwargs=None, plot_kwargs=None, verbose=False
+):
+    """Scatter val_col over already-projected (x, y) coordinates."""
+    df = dfs[table]
+    pk = dict(plot_kwargs or {})
+    vmin, vmax = _apply_quantile_clims(df[val_col].values, pk.pop("vmin", None), pk.pop("vmax", None), pk.pop("qvmin", None), pk.pop("qvmax", None))
+    title = pk.pop("title", None)
+    s = ax.scatter(df[x_col].values, df[y_col].values, c=df[val_col].values, vmin=vmin, vmax=vmax, **pk)
+    ax.set_aspect("equal")
+    if title:
+        ax.set_title(title)
+    if fig is not None:
+        fig.colorbar(s, ax=ax)
+    return s
+
+
 def plots_from_config(plot_configs, dfs, plots_per_row: int = 3, num_plots_row_col_size=None, suptitle: str = ""):
     """Grid of config-driven plots (ref: plot_utils.py:457-499)."""
     n = len(plot_configs)
@@ -204,9 +221,10 @@ def plots_from_config(plot_configs, dfs, plots_per_row: int = 3, num_plots_row_c
             "plot_xy": plot_xy_from_results_data,
             "hist": plot_hist_from_results_data,
             "heatmap": plot_pcolormesh_from_results_data,
+            "xy_heatmap": plot_xy_heatmap_from_results_data,
         }[ptype]
         kw = {k: v for k, v in pc.items() if k != "plot_type"}
-        if ptype == "heatmap":
+        if ptype in ("heatmap", "xy_heatmap"):
             kw.setdefault("fig", fig)
         fn(ax, dfs, **kw)
     fig.tight_layout()
@@ -240,9 +258,11 @@ def plot_hyper_parameters(
             pc = dict(plot_template or {})
             pc.update(
                 {
-                    "plot_type": "heatmap",
+                    "plot_type": "xy_heatmap",
                     "table": table,
                     "val_col": tn,
+                    "x_col": coords_col[0],
+                    "y_col": coords_col[1],
                     "plot_kwargs": {"qvmin": qvmin, "qvmax": qvmax, "title": f"{table} {dict(row)}"},
                 }
             )
