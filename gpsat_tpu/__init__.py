@@ -24,6 +24,19 @@ Layout
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def get_parent_path(*sub_dirs: str) -> str:
+    """Path under the repository root (ref: GPSat/__init__.py helper)."""
+    parent = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    return _os.path.join(parent, *sub_dirs)
+
+
+def get_data_path(*sub_dirs: str) -> str:
+    """Path under <repo>/data (ref: GPSat/__init__.py helper)."""
+    return get_parent_path("data", *sub_dirs)
+
 
 def enable_x64():
     """Enable float64 in JAX (call before tracing; used by CLIs and tests).

@@ -685,6 +685,46 @@ class LocalExpertOI:
                     store.append(f"{pname}{table_suffix}", pd.concat(rows))
 
 
+def _plot_locations_and_obs_impl(
+    oi: "LocalExpertOI",
+    image_file: Optional[str] = None,
+    obs_col: Optional[str] = None,
+    max_plots: int = 25,
+    xy_col=("x", "y"),
+    s_obs: float = 2.0,
+):
+    """Review plot: expert locations over the observations they select
+    (ref: local_experts.py:1282-1463). One panel per expert (up to
+    max_plots), colored by the local observations."""
+    import matplotlib.pyplot as plt
+
+    assert oi.expert_locs is not None, "expert locations not set"
+    obs_col = obs_col or oi.data.obs_col
+    df = oi.data.load(reset_index=True)
+    from gpsat_tpu.data import select as sel_mod
+
+    n = min(len(oi.expert_locs), max_plots)
+    ncols = min(5, n)
+    nrows = -(-n // ncols)
+    fig, axs = plt.subplots(nrows, ncols, figsize=(3.2 * ncols, 3 * nrows), squeeze=False)
+    for i in range(n):
+        ax = axs[i // ncols][i % ncols]
+        rl = oi.expert_locs.iloc[[i]]
+        df_loc = sel_mod.local_data_select(df, rl, oi.data.local_select or [])
+        if len(df_loc):
+            ax.scatter(df_loc[xy_col[0]], df_loc[xy_col[1]], c=df_loc[obs_col], s=s_obs, cmap="RdBu_r")
+        ax.scatter(rl[xy_col[0]], rl[xy_col[1]], marker="x", color="k", s=60)
+        ax.set_title(f"expert {i}: n={len(df_loc)}", fontsize=9)
+        ax.set_aspect("equal")
+    fig.tight_layout()
+    if image_file:
+        fig.savefig(image_file, dpi=110)
+    return fig
+
+
+LocalExpertOI.plot_locations_and_obs = _plot_locations_and_obs_impl
+
+
 def make_core_for_model(model_cls, kernel: str, bijectors, init_params) -> ModelCore:
     """Map a host model class to its functional core."""
     from gpsat_tpu.models.functional import make_gpr_core

@@ -246,10 +246,14 @@ def run_tile_batch(
         init_cparams = core.prepare_batch_init(batch, init_cparams)
 
     B = batch.B
-    if mesh is not None:
-        n_dev = int(mesh.devices.size)
-        B_pad = int(-(-B // n_dev) * n_dev)
-        batch = pad_batch_to(batch, B_pad)
+    # pad the expert axis to a power of two (and a mesh multiple) so
+    # different-sized buckets share one compiled program per (Nmax, Pmax)
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    B_pad = max(n_dev, 1)
+    while B_pad < B:
+        B_pad *= 2
+    B_pad = int(-(-B_pad // n_dev) * n_dev)
+    batch = pad_batch_to(batch, B_pad)
 
     D = batch.X.shape[-1]
     dtype = batch.X.dtype
