@@ -15,6 +15,16 @@ from gpsat_tpu.utils.misc import (
     track_num_for_date,
 )
 from gpsat_tpu.utils.projections import EASE2toWGS84, WGS84toEASE2
+from gpsat_tpu.utils.tables import (
+    array_to_dataframe,
+    dataframe_to_2d_array,
+    dataframe_to_array,
+    dict_of_array_to_dict_of_dataframe,
+    make_multiindex_df,
+    match,
+    mindex_df_to_dataarray,
+    pip_freeze_to_dataframe,
+)
 from gpsat_tpu.utils.weights import get_weighted_values
 
 __all__ = [
@@ -37,5 +47,13 @@ __all__ = [
     "track_num_for_date",
     "EASE2toWGS84",
     "WGS84toEASE2",
+    "array_to_dataframe",
+    "dataframe_to_2d_array",
+    "dataframe_to_array",
+    "dict_of_array_to_dict_of_dataframe",
+    "make_multiindex_df",
+    "match",
+    "mindex_df_to_dataarray",
+    "pip_freeze_to_dataframe",
     "get_weighted_values",
 ]

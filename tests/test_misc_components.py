@@ -147,3 +147,52 @@ class TestXval:
         assert "track == 0" in prs["func"] and "negate" not in prs
         assert c0["run_kwargs"]["store_path"] == "xval_out.h5"
         assert c0["run_kwargs"]["table_suffix"] == "_0"
+
+
+class TestTableMarshalling:
+    def test_array_to_dataframe_roundtrip(self):
+        from gpsat_tpu.utils import array_to_dataframe, dataframe_to_array
+
+        x = np.arange(12).reshape(3, 4)
+        df = array_to_dataframe(x, "data")
+        np.testing.assert_array_equal(dataframe_to_array(df, "data"), x)
+        df2 = array_to_dataframe(x, "data", reset_index=True)
+        np.testing.assert_array_equal(
+            dataframe_to_array(df2, "data", idx_col=["_dim_0", "_dim_1"]), x
+        )
+
+    def test_reference_doc_example(self):
+        from gpsat_tpu.utils import array_to_dataframe
+
+        x = np.array([[1, 2], [3, 4]])
+        df = array_to_dataframe(x, "data")
+        assert df.loc[(1, 0), "data"] == 3
+
+    def test_dict_of_array_concat(self):
+        from gpsat_tpu.utils import dict_of_array_to_dict_of_dataframe
+
+        d = {"a": np.array([1, 2, 3]), "b": np.array([[1, 2], [3, 4]]), "c": np.array([1.1, 2.2, 3.3])}
+        out = dict_of_array_to_dict_of_dataframe(d, concat=True)
+        assert set(out) == {1, 2}
+        assert list(out[1].columns) == ["a", "c"]
+
+    def test_make_multiindex_and_readback(self):
+        from gpsat_tpu.utils import make_multiindex_df, mindex_df_to_dataarray
+
+        tabs = make_multiindex_df({"x": 1.0, "y": 2.0}, lengthscales=np.array([0.5, 1.5]))
+        df = tabs["lengthscales"].reset_index().set_index(["x", "y"])
+        vals, locs = mindex_df_to_dataarray(df, "lengthscales")
+        np.testing.assert_array_equal(vals, [[0.5, 1.5]])
+
+    def test_dataframe_to_2d_array(self):
+        from gpsat_tpu.utils import dataframe_to_2d_array
+
+        df = pd.DataFrame({"x": [0, 1, 0, 1], "y": [0, 0, 1, 1], "v": [1.0, 2.0, 3.0, 4.0]})
+        arr, xs, ys = dataframe_to_2d_array(df, "x", "y", "v")
+        np.testing.assert_array_equal(arr, [[1, 2], [3, 4]])
+
+    def test_pip_freeze(self):
+        from gpsat_tpu.utils import pip_freeze_to_dataframe
+
+        df = pip_freeze_to_dataframe()
+        assert "jax" in set(df["package"].str.lower())
