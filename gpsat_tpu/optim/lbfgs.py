@@ -47,17 +47,28 @@ def minimize_lbfgs(
     tol_f: float = 1e-11,
     memory_size: int = 10,
     max_linesearch_steps: int = 32,
+    linesearch: str = "zoom",
 ) -> LBFGSResult:
     """Minimize ``fun(pytree) -> scalar``; jit/vmap-compatible.
 
     Each vmapped instance runs its own while_loop trip count; under vmap the
     combined loop runs until every instance converges, with converged lanes
     frozen (their state no longer changes because we gate the update).
+
+    linesearch: "zoom" (strong-Wolfe, scipy-parity default) or
+    "backtracking" (Armijo, cheaper per iteration — every linesearch probe
+    under vmap is paid by ALL lanes in lockstep, so fewer probes can beat
+    better steps on large expert batches).
     """
-    opt = optax.lbfgs(
-        memory_size=memory_size,
-        linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=max_linesearch_steps),
-    )
+    if linesearch == "zoom":
+        ls = optax.scale_by_zoom_linesearch(max_linesearch_steps=max_linesearch_steps)
+    elif linesearch == "backtracking":
+        ls = optax.scale_by_backtracking_linesearch(
+            max_backtracking_steps=max_linesearch_steps, store_grad=True
+        )
+    else:
+        raise ValueError(f"linesearch: {linesearch} not in ('zoom', 'backtracking')")
+    opt = optax.lbfgs(memory_size=memory_size, linesearch=ls)
 
     value_and_grad = optax.value_and_grad_from_state(fun)
 

@@ -45,6 +45,7 @@ def _fit_predict_one(
     optimise: bool,
     tol_grad: float,
     tol_f: float,
+    linesearch: str = "zoom",
 ):
     """Single padded tile: optimise parameters then predict."""
     u_free0 = {k: v for k, v in uparams0.items() if k not in fixed_params}
@@ -54,7 +55,9 @@ def _fit_predict_one(
         return core.objective({**u_free, **u_fixed}, data)
 
     if optimise and u_free0:
-        res = minimize_lbfgs(objective, u_free0, max_iter=max_iter, tol_grad=tol_grad, tol_f=tol_f)
+        res = minimize_lbfgs(
+            objective, u_free0, max_iter=max_iter, tol_grad=tol_grad, tol_f=tol_f, linesearch=linesearch
+        )
         u_opt = {**res.params, **u_fixed}
         converged = res.converged
         num_iter = res.num_iter
@@ -84,6 +87,7 @@ def make_batched_runner(
     optimise: bool = True,
     tol_grad: float = 1e-6,
     tol_f: float = 1e-11,
+    linesearch: str = "zoom",
     mesh: Optional[Mesh] = None,
 ) -> Callable:
     """Build the jitted batch program: (batch arrays, uparams0[B]) -> results.
@@ -104,6 +108,7 @@ def make_batched_runner(
                 optimise=optimise,
                 tol_grad=tol_grad,
                 tol_f=tol_f,
+                linesearch=linesearch,
             )
 
         return jax.vmap(one)({"X": X, "y": y, "mask": mask}, Xnew, uparams0)
