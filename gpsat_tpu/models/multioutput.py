@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -95,6 +96,137 @@ def mo_gpr_predict(
     reduction = jnp.sum(A * A, axis=0).reshape(Nn, Lat)
     var = prior_var - reduction
     return mean, var
+
+
+def mo_svgp_elbo(cparams: dict, X, Y, H, *, kernel: str = "Matern32", jitter: float = 1e-6):
+    """Multi-output SVGP ELBO with a linear observation operator
+    (ref: multioutput/gpr.py:82-135 MultioutputSVGP + ForwardModelLikelihood).
+
+    L whitened latent SVGPs share inducing locations Z; observations are
+    y_n = H f(x_n) + eps with eps ~ N(0, R I_P).
+    E_q[log N(y | H f, R)] needs only the latent marginals since the
+    latents are a-posteriori independent across l given q:
+      -P/2 log(2 pi R) - (|y - H mu|^2 + sum_p sum_l H_pl^2 var_l) / (2 R)
+    """
+    from gpsat_tpu.models.svgp import _whitened_marginals, kl_whitened
+
+    Lat = cparams["q_mu"].shape[0]
+    mus, vars_ = [], []
+    kl = 0.0
+    for l in range(Lat):
+        c_l = {
+            "inducing_points": cparams["inducing_points"],
+            "lengthscales": cparams["lengthscales"][l],
+            "kernel_variance": cparams["kernel_variances"][l],
+            "inducing_mean": cparams["q_mu"][l],
+            "inducing_chol": cparams["q_sqrt"][l],
+        }
+        mu_l, var_l = _whitened_marginals(c_l, X, kernel=kernel, jitter=jitter)
+        mus.append(mu_l)
+        vars_.append(var_l)
+        kl = kl + kl_whitened(cparams["q_mu"][l], cparams["q_sqrt"][l])
+    F_mu = jnp.stack(mus, axis=1)  # [N, L]
+    F_var = jnp.stack(vars_, axis=1)
+    R = cparams["likelihood_variance"]
+    resid = Y - F_mu @ H.T  # [N, P]
+    var_term = F_var @ (H**2).T  # [N, P]
+    N, P = Y.shape
+    ve = -0.5 * jnp.log(2 * jnp.pi * R) - 0.5 * (resid**2 + var_term) / R
+    return jnp.sum(ve) - kl
+
+
+class MultioutputSVGPModel:
+    """Multi-output SVGP with linear observation operator (experimental,
+    mirrors the reference's MultioutputSVGP)."""
+
+    def __init__(
+        self,
+        coords: np.ndarray,
+        obs: np.ndarray,
+        H: np.ndarray,
+        num_inducing_points: int = 64,
+        kernel: str = "Matern32",
+        likelihood_variance: float = 0.1,
+        seed: int = 0,
+    ):
+        self.coords = np.atleast_2d(np.asarray(coords, dtype=float))
+        self.obs = np.atleast_2d(np.asarray(obs, dtype=float))
+        self.H = np.asarray(H, dtype=float)
+        P, L = self.H.shape
+        D = self.coords.shape[1]
+        self.kernel = kernel
+        rng = np.random.default_rng(seed)
+        M = min(num_inducing_points, len(self.coords))
+        Z = self.coords[rng.choice(len(self.coords), M, replace=False)]
+        self._params = {
+            "inducing_points": Z,
+            "lengthscales": np.ones((L, D)),
+            "kernel_variances": np.ones(L),
+            "likelihood_variance": np.asarray(float(likelihood_variance)),
+            "q_mu": np.zeros((L, M)),
+            "q_sqrt": np.stack([np.eye(M)] * L),
+        }
+
+    def get_objective_function_value(self) -> float:
+        c = {k: jnp.asarray(v) for k, v in self._params.items()}
+        return float(mo_svgp_elbo(c, jnp.asarray(self.coords), jnp.asarray(self.obs), jnp.asarray(self.H), kernel=self.kernel))
+
+    def optimise_parameters(self, max_iter: int = 1000, learning_rate: float = 0.02) -> bool:
+        import optax
+
+        from gpsat_tpu.ops import transforms as T
+
+        X = jnp.asarray(self.coords)
+        Y = jnp.asarray(self.obs)
+        H = jnp.asarray(self.H)
+        kernel = self.kernel
+        pos = ("lengthscales", "kernel_variances", "likelihood_variance")
+
+        u = {
+            k: (T.POSITIVE.inverse(jnp.asarray(v)) if k in pos else jnp.asarray(v))
+            for k, v in self._params.items()
+        }
+
+        def loss(u):
+            c = {k: (T.POSITIVE.forward(v) if k in pos else v) for k, v in u.items()}
+            return -mo_svgp_elbo(c, X, Y, H, kernel=kernel)
+
+        opt = optax.adam(learning_rate)
+        state = opt.init(u)
+
+        @jax.jit
+        def step(u, state):
+            val, g = jax.value_and_grad(loss)(u)
+            upd, state = opt.update(g, state)
+            return optax.apply_updates(u, upd), state, val
+
+        val = None
+        for _ in range(max_iter):
+            u, state, val = step(u, state)
+        self._params = {
+            k: np.asarray(T.POSITIVE.forward(v) if k in pos else v) for k, v in u.items()
+        }
+        return bool(np.isfinite(float(val)))
+
+    def predict(self, coords: np.ndarray) -> Dict[str, np.ndarray]:
+        """Latent posterior marginals at coords: mean/var [N*, L]."""
+        from gpsat_tpu.models.svgp import _whitened_marginals
+
+        Xs = jnp.asarray(np.atleast_2d(coords))
+        L = self._params["q_mu"].shape[0]
+        mus, vs = [], []
+        for l in range(L):
+            c_l = {
+                "inducing_points": jnp.asarray(self._params["inducing_points"]),
+                "lengthscales": jnp.asarray(self._params["lengthscales"][l]),
+                "kernel_variance": jnp.asarray(self._params["kernel_variances"][l]),
+                "inducing_mean": jnp.asarray(self._params["q_mu"][l]),
+                "inducing_chol": jnp.asarray(self._params["q_sqrt"][l]),
+            }
+            mu, v = _whitened_marginals(c_l, Xs, kernel=self.kernel, jitter=1e-6)
+            mus.append(np.asarray(mu))
+            vs.append(np.asarray(v))
+        return {"f*": np.stack(mus, axis=1), "f*_var": np.stack(vs, axis=1)}
 
 
 class MultioutputGPRModel:

@@ -47,3 +47,28 @@ class TestMultioutputGPR:
         rmse2 = np.sqrt(np.mean((pred["f*"][:, 1] - f2) ** 2))
         assert rmse1 < 0.05 and rmse2 < 0.05
         assert (pred["f*_var"] > 0).all()
+
+
+class TestMultioutputSVGP:
+    def test_recovers_latents(self):
+        from gpsat_tpu.models.multioutput import MultioutputSVGPModel
+
+        rng = np.random.default_rng(2)
+        n = 100
+        X = np.sort(rng.uniform(0, 10, n))[:, None]
+        f1 = np.sin(X[:, 0])
+        f2 = np.cos(X[:, 0] / 2.0)
+        H = np.array([[1.0, 0.5], [0.2, 1.0]])
+        Y = np.stack([f1, f2], axis=1) @ H.T + 0.05 * rng.normal(size=(n, 2))
+
+        mo = MultioutputSVGPModel(coords=X, obs=Y, H=H, num_inducing_points=40, likelihood_variance=0.05)
+        e0 = mo.get_objective_function_value()
+        ok = mo.optimise_parameters(max_iter=800, learning_rate=0.03)
+        assert ok
+        e1 = mo.get_objective_function_value()
+        assert e1 > e0, "training must improve the ELBO"
+        pred = mo.predict(X)
+        rmse1 = np.sqrt(np.mean((pred["f*"][:, 0] - f1) ** 2))
+        rmse2 = np.sqrt(np.mean((pred["f*"][:, 1] - f2) ** 2))
+        assert rmse1 < 0.15 and rmse2 < 0.15
+        assert (pred["f*_var"] > 0).all()
