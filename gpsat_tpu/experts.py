@@ -413,6 +413,8 @@ class LocalExpertOI:
                 fixed_params=fixed,
                 max_iter=int(self.optim_kwargs.get("max_iter", 10_000)),
                 optimise=optimise,
+                linesearch=self.optim_kwargs.get("linesearch", "zoom"),
+                max_linesearch_steps=int(self.optim_kwargs.get("max_linesearch_steps", 32)),
                 mesh=mesh,
             )
 

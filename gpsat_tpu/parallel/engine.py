@@ -46,6 +46,7 @@ def _fit_predict_one(
     tol_grad: float,
     tol_f: float,
     linesearch: str = "zoom",
+    max_linesearch_steps: int = 32,
 ):
     """Single padded tile: optimise parameters then predict."""
     u_free0 = {k: v for k, v in uparams0.items() if k not in fixed_params}
@@ -56,7 +57,8 @@ def _fit_predict_one(
 
     if optimise and u_free0:
         res = minimize_lbfgs(
-            objective, u_free0, max_iter=max_iter, tol_grad=tol_grad, tol_f=tol_f, linesearch=linesearch
+            objective, u_free0, max_iter=max_iter, tol_grad=tol_grad, tol_f=tol_f,
+            linesearch=linesearch, max_linesearch_steps=max_linesearch_steps,
         )
         u_opt = {**res.params, **u_fixed}
         converged = res.converged
@@ -88,6 +90,7 @@ def make_batched_runner(
     tol_grad: float = 1e-6,
     tol_f: float = 1e-11,
     linesearch: str = "zoom",
+    max_linesearch_steps: int = 32,
     mesh: Optional[Mesh] = None,
 ) -> Callable:
     """Build the jitted batch program: (batch arrays, uparams0[B]) -> results.
@@ -109,6 +112,7 @@ def make_batched_runner(
                 tol_grad=tol_grad,
                 tol_f=tol_f,
                 linesearch=linesearch,
+                max_linesearch_steps=max_linesearch_steps,
             )
 
         return jax.vmap(one)({"X": X, "y": y, "mask": mask}, Xnew, uparams0)
