@@ -74,13 +74,18 @@ def _fused_fwd_impl(kernel, X, y, mask, lengthscales, kernel_variance, likelihoo
     K = LA.add_diag(k, likelihood_variance + jitter)
     Km = LA.mask_gram(K, m)
     L = LA.cholesky(Km)
-    W = LA.tri_inv_blocked(L)
-    Kinv = jnp.matmul(W.T, W, precision=jax.lax.Precision.HIGHEST)
     ym = (y * m)[:, None]
-    alpha = jnp.matmul(Kinv, ym, precision=jax.lax.Precision.HIGHEST)
-    quad = jnp.sum(ym * alpha)
+    # value via one triangular solve — value-only callers (linesearch
+    # probes) never touch the residuals below, so XLA dead-code-eliminates
+    # the O(N^3) inverse work for them
+    v = LA.tri_solve(L, ym)
+    quad = jnp.sum(v * v)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
     lml = -0.5 * quad - 0.5 * logdet - 0.5 * n * jnp.log(2.0 * jnp.pi)
+    # gradient residuals (only materialized when the vjp is consumed)
+    W = LA.tri_inv_blocked(L)
+    Kinv = jnp.matmul(W.T, W, precision=jax.lax.Precision.HIGHEST)
+    alpha = jnp.matmul(Kinv, ym, precision=jax.lax.Precision.HIGHEST)
     residuals = (X, m, lengthscales, kernel_variance, r, Kinv, alpha[:, 0])
     return lml, residuals
 

@@ -63,8 +63,11 @@ def minimize_lbfgs(
     if linesearch == "zoom":
         ls = optax.scale_by_zoom_linesearch(max_linesearch_steps=max_linesearch_steps)
     elif linesearch == "backtracking":
+        # store_grad=False: probes are value-only (the fused LML's gradient
+        # work is dead-code-eliminated for them); the accepted point's
+        # gradient is recomputed once by value_and_grad_from_state
         ls = optax.scale_by_backtracking_linesearch(
-            max_backtracking_steps=max_linesearch_steps, store_grad=True
+            max_backtracking_steps=max_linesearch_steps, store_grad=False
         )
     else:
         raise ValueError(f"linesearch: {linesearch} not in ('zoom', 'backtracking')")
