@@ -73,7 +73,13 @@ def minimize_lbfgs(
         raise ValueError(f"linesearch: {linesearch} not in ('zoom', 'backtracking')")
     opt = optax.lbfgs(memory_size=memory_size, linesearch=ls)
 
-    value_and_grad = optax.value_and_grad_from_state(fun)
+    if linesearch == "backtracking":
+        # no grad cached in the linesearch state: evaluate directly (one
+        # value+grad per iteration; probes inside the search are value-only)
+        _vg = jax.value_and_grad(fun)
+        value_and_grad = lambda x, state=None: _vg(x)  # noqa: E731
+    else:
+        value_and_grad = optax.value_and_grad_from_state(fun)
 
     def cond(carry):
         _, state, prev_val, done, failed, it = carry
@@ -85,12 +91,19 @@ def minimize_lbfgs(
         updates, new_state = opt.update(grad, state, x, value=value, grad=grad, value_fn=fun)
         new_x = optax.apply_updates(x, updates)
 
-        new_val = otu.tree_get(new_state, "value")
-        new_grad = otu.tree_get(new_state, "grad")
+        if linesearch == "zoom":
+            # zoom caches value/grad at the accepted point in its state
+            new_val = otu.tree_get(new_state, "value")
+            new_grad = otu.tree_get(new_state, "grad")
+        else:
+            # backtracking (store_grad=False): converge on the pre-update
+            # iterate's value/grad (one-iteration lag)
+            new_val = value
+            new_grad = grad
         gnorm = otu.tree_norm(new_grad, ord=jnp.inf)
-        f_small = (prev_val - new_val) <= tol_f * jnp.maximum(
-            jnp.maximum(jnp.abs(new_val), jnp.abs(prev_val)), 1.0
-        )
+        # scale by the current value only: prev_val can be +inf on the first
+        # backtracking iteration and must not blow up the threshold
+        f_small = (prev_val - new_val) <= tol_f * jnp.maximum(jnp.abs(new_val), 1.0)
         new_done = jnp.logical_or(gnorm <= tol_grad, f_small)
         new_failed = jnp.logical_not(jnp.isfinite(new_val))
         # on failure keep the previous iterate
@@ -101,10 +114,17 @@ def minimize_lbfgs(
     state0 = opt.init(x0)
     v0 = fun(x0)
     init_failed = jnp.logical_not(jnp.isfinite(v0))
-    carry = (x0, state0, v0, jnp.asarray(False), init_failed, jnp.asarray(0))
+    # backtracking converges on pre-update values: the first body iteration
+    # re-evaluates f(x0), so seed prev_val with +inf there to avoid a
+    # trivial zero-decrease stop
+    prev0 = v0 if linesearch == "zoom" else jnp.asarray(jnp.inf, dtype=v0.dtype)
+    carry = (x0, state0, prev0, jnp.asarray(False), init_failed, jnp.asarray(0))
     x, state, val, done, failed, it = jax.lax.while_loop(cond, body, carry)
 
-    grad = otu.tree_get(state, "grad")
+    if linesearch == "zoom":
+        grad = otu.tree_get(state, "grad")
+    else:
+        _, grad = jax.value_and_grad(fun)(x)
     gnorm = otu.tree_norm(grad, ord=jnp.inf)
     return LBFGSResult(
         params=x,
