@@ -228,3 +228,30 @@ class TestPredictionLocations:
 
         expect = cdist(locs, ref[None, :])[:, 0] < 1.1
         np.testing.assert_array_equal(max_dist_bool(locs, ref, 1.1), expect)
+
+
+class TestDataLoaderFacade:
+    def test_reference_surface(self, sample_df, tmp_path):
+        from gpsat_tpu.dataloader import DataLoader, DataPrep
+
+        # load + select through the facade
+        p = str(tmp_path / "d.csv")
+        sample_df.to_csv(p, index=False)
+        df = DataLoader.load(p, where=[{"col": "x", "comp": ">", "val": 2.0}])
+        assert len(df) == 3
+
+        # store helpers
+        h5 = str(tmp_path / "s.h5")
+        DataLoader.write_to_hdf(sample_df, h5, "data")
+        assert DataLoader.get_keys(h5) == ["data"]
+        out = DataLoader.read_hdf(h5, "data", where="x >= 3")
+        assert len(out) == 3
+
+        # binning facade
+        binned, _ = DataPrep.bin_data(
+            sample_df.assign(v=1.0), x_range=[0, 6], y_range=[0, 12], grid_res=2.0, val_col="v"
+        ), None
+        # attribute round trip
+        with DataLoader.connect_to_hdf_store(h5) as s:
+            s.put_attrs("data", bin_config={"grid_res": 2.0})
+        assert DataLoader.get_attribute_from_table(h5, "data", "bin_config") == {"grid_res": 2.0}
