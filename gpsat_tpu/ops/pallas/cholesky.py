@@ -35,90 +35,101 @@ _MAX_VMEM_N = 1024  # 4 MB matrix + workspace comfortably inside VMEM
 
 
 def _unblocked_chol_block(A, T):
-    """Factorize a TxT SPD block in-register (lower), via T rank-1 steps.
+    """Factorize [Bc, T, T] SPD blocks in-register (lower), T rank-1 steps.
 
-    Mosaic TC lowering has no dynamic_slice, so all traced-index accesses
-    are expressed as masked full-block reductions (T^2 VPU work per step).
+    Mosaic TC lowering has no dynamic_slice, so traced-index accesses are
+    masked full-block reductions; the Bc tiles advance TOGETHER through the
+    sequential steps — that amortization is what makes the kernel pay
+    (sequential depth is the latency wall, not FLOPs).
     """
-    rows = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    Bc = A.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, T, T), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, T, T), 2)
 
     def step(j, M):
-        diag_jj = jnp.sum(jnp.where((rows == j) & (cols == j), M, 0.0))
-        d = jax.lax.rsqrt(diag_jj)
-        col_j = jnp.sum(jnp.where(cols == j, M, 0.0), axis=1)  # [T]
+        diag_jj = jnp.sum(jnp.where((rows == j) & (cols == j), M, 0.0), axis=(1, 2))  # [Bc]
+        d = jax.lax.rsqrt(diag_jj)[:, None]
+        col_j = jnp.sum(jnp.where(cols == j, M, 0.0), axis=2)  # [Bc, T]
         # column j: diag -> sqrt (= M[j,j]*d), below-diag scaled by d
-        colj = jnp.where(rows[:, 0] >= j, col_j * d, 0.0)
-        M = jnp.where(cols == j, colj[:, None], M)
+        colj = jnp.where(rows[:, :, 0] >= j, col_j * d, 0.0)  # [Bc, T]
+        M = jnp.where(cols == j, colj[:, :, None], M)
         # trailing rank-1 update on columns > j, rows >= col
-        upd = colj[:, None] * colj[None, :]
+        upd = colj[:, :, None] * colj[:, None, :]
         M = jnp.where((cols > j) & (rows >= cols), M - upd, M)
         return M
 
     A = jax.lax.fori_loop(0, T, step, A)
-    # zero the strict upper triangle
     return jnp.where(rows >= cols, A, 0.0)
 
 
 def _tri_inv_block(L, T):
-    """Invert a TxT lower-triangular matrix by forward substitution
-    (masked full-block form; no dynamic indexing)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    """Invert [Bc, T, T] lower-triangular blocks by forward substitution
+    (masked full-block form; Bc tiles advance together)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, T, T), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, T, T), 2)
     eye = (rows == cols).astype(L.dtype)
 
     def step(i, W):
         # row i of W: (e_i - L[i, :i] @ W[:i, :]) / L[i, i]
-        li = jnp.sum(jnp.where(rows == i, L, 0.0), axis=0)  # row i of L, [T]
-        li = jnp.where(cols[0] < i, li, 0.0)
-        # keep matmuls 2-d: Mosaic rejects 1-d dot operands
+        li = jnp.sum(jnp.where(rows == i, L, 0.0), axis=1)  # [Bc, T]
+        li = jnp.where(cols[:, 0, :] < i, li, 0.0)
+        # batched [Bc,1,T] @ [Bc,T,T]
         acc = jax.lax.dot_general(
-            li[None, :], W, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )[0]
-        lii = jnp.sum(jnp.where((rows == i) & (cols == i), L, 0.0))
-        ei = (rows[:, 0] == i).astype(L.dtype)
-        wi = (ei - acc) / lii
-        return jnp.where(rows == i, wi[None, :], W)
+            li[:, None, :], W, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )[:, 0, :]
+        lii = jnp.sum(jnp.where((rows == i) & (cols == i), L, 0.0), axis=(1, 2))  # [Bc]
+        ei = (rows[:, :, 0] == i).astype(L.dtype)
+        wi = (ei - acc) / lii[:, None]
+        return jnp.where(rows == i, jnp.broadcast_to(wi[:, None, :], W.shape), W)
 
     return jax.lax.fori_loop(0, T, step, jnp.zeros_like(L))
 
 
-def _chol_kernel(a_ref, out_ref, *, N: int, T: int):
-    # work in-place on the output VMEM block; the kb loop is a python loop
-    # so every ref slice below is static (Mosaic TC has no dynamic_slice)
-    out_ref[0] = a_ref[0]
+def _chol_kernel(a_ref, out_ref, *, Bc: int, N: int, T: int):
+    # work in-place on the output VMEM block ([Bc, N, N]); the kb loop is a
+    # python loop so every ref slice below is static (no dynamic_slice on TC)
+    out_ref[...] = a_ref[...]
     nblk = N // T
+    bdims = (((2,), (2,)), ((0,), (0,)))  # batched contract dim2-with-dim2
 
     for kb in range(nblk):
         k = kb * T
-        Lkk = _unblocked_chol_block(out_ref[0, k : k + T, k : k + T], T)
-        out_ref[0, k : k + T, k : k + T] = Lkk
+        Lkk = _unblocked_chol_block(out_ref[:, k : k + T, k : k + T], T)
+        out_ref[:, k : k + T, k : k + T] = Lkk
         if kb + 1 < nblk:
             Winv = _tri_inv_block(Lkk, T)
-            panel = out_ref[0, k + T :, k : k + T]  # [R, T], R static
-            # contract dim-1 with dim-1 (== panel @ Winv^T) without a
-            # transpose op, which Mosaic's dot lowering mishandles
-            Lpanel = jax.lax.dot_general(
-                panel, Winv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            out_ref[0, k + T :, k : k + T] = Lpanel
-            out_ref[0, k + T :, k + T :] = out_ref[0, k + T :, k + T :] - jax.lax.dot_general(
-                Lpanel, Lpanel, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            panel = out_ref[:, k + T :, k : k + T]  # [Bc, R, T], R static
+            # batched panel @ Winv^T without a transpose op
+            Lpanel = jax.lax.dot_general(panel, Winv, bdims, preferred_element_type=jnp.float32)
+            out_ref[:, k + T :, k : k + T] = Lpanel
+            out_ref[:, k + T :, k + T :] = out_ref[:, k + T :, k + T :] - jax.lax.dot_general(
+                Lpanel, Lpanel, bdims, preferred_element_type=jnp.float32
             )
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-    out_ref[0] = jnp.where(rows >= cols, out_ref[0], 0.0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, N, N), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, N, N), 2)
+    out_ref[...] = jnp.where(rows >= cols, out_ref[...], 0.0)
+
+
+def _pick_bc(B: int, N: int) -> int:
+    """Tiles per program: amortize the sequential panel steps across as
+    many tiles as fit in VMEM (in+out buffers ~2*Bc*N^2*4 bytes <= ~10MB)."""
+    budget = 10 * 1024 * 1024
+    bc = max(1, budget // (2 * N * N * 4))
+    while bc > 1 and B % bc != 0:
+        bc -= 1
+    return int(bc)
 
 
 def _pallas_chol_batched(K: jnp.ndarray, T: int = BLOCK) -> jnp.ndarray:
     B, N, _ = K.shape
-    kernel = functools.partial(_chol_kernel, N=N, T=min(T, N))
+    Bc = _pick_bc(B, N)
+    kernel = functools.partial(_chol_kernel, Bc=Bc, N=N, T=min(T, N))
     return pl.pallas_call(
         kernel,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, N, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, N, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        grid=(B // Bc,),
+        in_specs=[pl.BlockSpec((Bc, N, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((Bc, N, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, N), K.dtype),
         cost_estimate=pl.CostEstimate(
             flops=int(B * N**3 / 3 * 2), bytes_accessed=int(2 * B * N * N * 4), transcendentals=B * N

@@ -187,6 +187,90 @@ def compare_dataframes(df1: pd.DataFrame, df2: pd.DataFrame, merge_on, val_cols)
     return merged
 
 
+def json_load(path: str) -> dict:
+    """Load JSON with tuple-key restoration (ref: utils.py:87)."""
+    with open(path) as f:
+        return nested_dict_literal_eval(json.load(f))
+
+
+def not_nan(x) -> np.ndarray:
+    """~isnan as an array (ref: utils.py:965)."""
+    return ~pd.isnull(np.asarray(x))
+
+
+def assign_category_col(val: str, df: pd.DataFrame, categories=None) -> pd.Categorical:
+    """Constant categorical column of len(df) (ref: utils.py:1041)."""
+    return pd.Categorical([val] * len(df), categories=categories)
+
+
+def log_lines(*args, level: str = "debug"):
+    """Send each arg to the logging module (ref: utils.py:1329)."""
+    import logging
+
+    fn = getattr(logging, level, logging.debug)
+    for a in args:
+        fn(str(a) if not isinstance(a, str) else a)
+
+
+def convert_lon_lat_str(x: str) -> float:
+    """Parse "74 0.1878 N" / "140 0.1198 W"-style strings to decimal
+    degrees (ref: utils.py:1885)."""
+    assert isinstance(x, str), f"expected str, got: {type(x)}"
+    parts = x.strip().split(" ")
+    deg, minutes, hemi = float(parts[0]), float(parts[1]), parts[-1].upper()
+    out = deg + minutes / 60.0
+    if hemi in ("S", "W"):
+        out = -out
+    return out
+
+
+def expand_dict_by_vals(d: dict, expand_keys) -> list:
+    """Cartesian expansion of list-valued keys into a list of dicts
+    (ref: utils.py:1933)."""
+    import itertools
+
+    expand_keys = [expand_keys] if isinstance(expand_keys, str) else list(expand_keys)
+    lists = [d[k] if isinstance(d[k], list) else [d[k]] for k in expand_keys]
+    out = []
+    for combo in itertools.product(*lists):
+        new = {k: v for k, v in d.items() if k not in expand_keys}
+        new.update(dict(zip(expand_keys, combo)))
+        out.append(new)
+    return out
+
+
+def pretty_print_class(cls) -> str:
+    """'module.ClassName' without the <class ...> wrapper (ref: utils.py:1965)."""
+    s = str(cls if isinstance(cls, type) else type(cls))
+    return s.split("'")[1] if "'" in s else s
+
+
+def diff_distance(x, p: int = 1) -> np.ndarray:
+    """|diff| with a leading NaN, for track-gap detection (ref: utils.py:2490)."""
+    x = np.asarray(x, dtype=float)
+    d = np.abs(np.diff(x)) ** p
+    return np.concatenate([[np.nan], d])
+
+
+def move_to_archive(top_dir: str, file_names=None, suffix: str = "", archive_sub_dir: str = "Archive", verbose: bool = False):
+    """Move files into an Archive/ subdirectory (ref: utils.py:178)."""
+    import os
+    import shutil
+
+    assert os.path.isdir(top_dir), f"not a directory: {top_dir}"
+    file_names = [file_names] if isinstance(file_names, str) else list(file_names or [])
+    dst_dir = os.path.join(top_dir, archive_sub_dir)
+    os.makedirs(dst_dir, exist_ok=True)
+    for fn in file_names:
+        src = os.path.join(top_dir, fn)
+        if not os.path.exists(src):
+            if verbose:
+                print(f"missing, skipping: {src}")
+            continue
+        base, ext = os.path.splitext(fn)
+        shutil.move(src, os.path.join(dst_dir, f"{base}{suffix}{ext}"))
+
+
 def get_config_from_sysargv(argv_num: int = 1):
     """Read a JSON config path from sys.argv (ref: GPSat/utils.py:139-177)."""
     import sys
