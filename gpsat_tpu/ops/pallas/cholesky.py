@@ -42,20 +42,21 @@ def _unblocked_chol_block(A, T):
     sequential steps — that amortization is what makes the kernel pay
     (sequential depth is the latency wall, not FLOPs).
     """
-    Bc = A.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, T, T), 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, T, T), 2)
 
     def step(j, M):
-        diag_jj = jnp.sum(jnp.where((rows == j) & (cols == j), M, 0.0), axis=(1, 2))  # [Bc]
-        d = jax.lax.rsqrt(diag_jj)[:, None]
-        col_j = jnp.sum(jnp.where(cols == j, M, 0.0), axis=2)  # [Bc, T]
+        # all intermediates kept >=3-d: Mosaic's layout inference CHECK-
+        # fails on 1-d values inside TC kernels
+        diag_jj = jnp.sum(jnp.where((rows == j) & (cols == j), M, 0.0), axis=(1, 2), keepdims=True)
+        d = jax.lax.rsqrt(diag_jj)  # [Bc,1,1]
+        col_j = jnp.sum(jnp.where(cols == j, M, 0.0), axis=2, keepdims=True)  # [Bc,T,1]
         # column j: diag -> sqrt (= M[j,j]*d), below-diag scaled by d
-        colj = jnp.where(rows[:, :, 0] >= j, col_j * d, 0.0)  # [Bc, T]
-        M = jnp.where(cols == j, colj[:, :, None], M)
+        colj = jnp.where(rows[:, :, :1] >= j, col_j * d, 0.0)  # [Bc,T,1]
+        M = jnp.where(cols == j, colj, M)
         # trailing rank-1 update on columns > j, rows >= col
-        upd = colj[:, :, None] * colj[:, None, :]
-        M = jnp.where((cols > j) & (rows >= cols), M - upd, M)
+        col_row = jnp.swapaxes(colj, 1, 2)  # [Bc,1,T]
+        M = jnp.where((cols > j) & (rows >= cols), M - colj * col_row, M)
         return M
 
     A = jax.lax.fori_loop(0, T, step, A)
@@ -67,20 +68,18 @@ def _tri_inv_block(L, T):
     (masked full-block form; Bc tiles advance together)."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, T, T), 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, T, T), 2)
-    eye = (rows == cols).astype(L.dtype)
 
     def step(i, W):
-        # row i of W: (e_i - L[i, :i] @ W[:i, :]) / L[i, i]
-        li = jnp.sum(jnp.where(rows == i, L, 0.0), axis=1)  # [Bc, T]
-        li = jnp.where(cols[:, 0, :] < i, li, 0.0)
-        # batched [Bc,1,T] @ [Bc,T,T]
+        # row i of W: (e_i - L[i, :i] @ W[:i, :]) / L[i, i]; >=3-d throughout
+        li = jnp.sum(jnp.where(rows == i, L, 0.0), axis=1, keepdims=True)  # [Bc,1,T]
+        li = jnp.where(cols[:, :1, :] < i, li, 0.0)
         acc = jax.lax.dot_general(
-            li[:, None, :], W, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )[:, 0, :]
-        lii = jnp.sum(jnp.where((rows == i) & (cols == i), L, 0.0), axis=(1, 2))  # [Bc]
-        ei = (rows[:, :, 0] == i).astype(L.dtype)
-        wi = (ei - acc) / lii[:, None]
-        return jnp.where(rows == i, jnp.broadcast_to(wi[:, None, :], W.shape), W)
+            li, W, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # [Bc,1,T]
+        lii = jnp.sum(jnp.where((rows == i) & (cols == i), L, 0.0), axis=(1, 2), keepdims=True)
+        ei = (cols[:, :1, :] == i).astype(L.dtype)  # [1,1,T]
+        wi = (ei - acc) / lii  # [Bc,1,T]
+        return jnp.where(rows == i, wi, W)
 
     return jax.lax.fori_loop(0, T, step, jnp.zeros_like(L))
 
@@ -113,7 +112,9 @@ def _chol_kernel(a_ref, out_ref, *, Bc: int, N: int, T: int):
 
 def _pick_bc(B: int, N: int) -> int:
     """Tiles per program: amortize the sequential panel steps across as
-    many tiles as fit in VMEM (in+out buffers ~2*Bc*N^2*4 bytes <= ~10MB)."""
+    many tiles as fit in VMEM. The pallas pipeline double-buffers the
+    aliased in/out block across grid steps, so budget ~2 copies of
+    Bc*N^2*4 bytes within ~10 MB."""
     budget = 10 * 1024 * 1024
     bc = max(1, budget // (2 * N * N * 4))
     while bc > 1 and B % bc != 0:
@@ -131,6 +132,8 @@ def _pallas_chol_batched(K: jnp.ndarray, T: int = BLOCK) -> jnp.ndarray:
         in_specs=[pl.BlockSpec((Bc, N, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((Bc, N, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, N), K.dtype),
+        # factor in place: one aliased buffer instead of separate in+out
+        input_output_aliases={0: 0},
         cost_estimate=pl.CostEstimate(
             flops=int(B * N**3 / 3 * 2), bytes_accessed=int(2 * B * N * N * 4), transcendentals=B * N
         ),
