@@ -508,7 +508,7 @@ class LocalExpertOI:
             return pd.Index([vals[0]], name=coords_col[0])
         return pd.MultiIndex.from_tuples([vals], names=coords_col)
 
-    def _run_details_row(self, rl, coords_col, num_obs, run_time, objective, optimised, success, model_name, device, config_id):
+    def _run_details_row(self, rl, coords_col, num_obs, run_time, objective, optimised, success, model_name, device, config_id, num_iter=0):
         idx = self._expert_index(rl, coords_col)
         return pd.DataFrame(
             {
@@ -518,6 +518,7 @@ class LocalExpertOI:
                 "objective_value": [objective],
                 "parameters_optimised": [bool(optimised)],
                 "optimise_success": [bool(success)],
+                "num_iter": [num_iter],
                 "model": [model_name[:64]],
                 "device": [device[:64]],
                 "config_id": [config_id],
@@ -539,6 +540,10 @@ class LocalExpertOI:
         if ip.get("noise_variance") is not None:
             overrides["likelihood_variance"] = ip["noise_variance"]
         out = core.init_cparams(D, overrides=overrides)
+        if ip.get("smart_init"):
+            # data-driven per-tile init computed in the engine (documented
+            # divergence from the reference's fixed unit init)
+            out["smart_init"] = True
         # nudge initial values inside any sigmoid constraint bounds
         # (ref: gpflow_models.py:470-479 via set_parameter_constraints tol=1e-2)
         if self.constraints:
@@ -558,12 +563,14 @@ class LocalExpertOI:
 
     def _load_params_for_batch(self, b, xprt_locs, coords_col, init_cparams, core, store_path, table_suffix):
         """Apply model_load_params: warm starts from a results file."""
+        init_cparams = dict(init_cparams)
+        smart = init_cparams.pop("smart_init", False)
         lp = self.model_load_params
         if not lp:
-            return init_cparams
+            return {**init_cparams, "smart_init": smart} if smart else init_cparams
         if lp.get("previous", False):
             # batched analogue of the reference's serial EMA warm start
-            return init_cparams
+            return {**init_cparams, "smart_init": smart} if smart else init_cparams
         # direct parameter values (reference's **param_dict path,
         # local_experts.py:553-606)
         reserved = {"file", "table_suffix", "previous", "previous_params", "param_names", "index_adjust"}
@@ -664,6 +671,7 @@ class LocalExpertOI:
                     model_name,
                     device_name,
                     config_id,
+                    num_iter=int(res["num_iter"][i]),
                 )
             )
 

@@ -80,6 +80,10 @@ class Bijector:
         if self.name == "softplus":
             return inverse_softplus(jnp.asarray(y) - self.shift)
         if self.name == "sigmoid":
+            # nudge inside the open interval so out-of-range inputs (e.g.
+            # data-driven inits) map to large-but-finite unconstrained values
+            width = jnp.asarray(self.high) - jnp.asarray(self.low)
+            y = jnp.clip(jnp.asarray(y), self.low + 1e-6 * width, self.high - 1e-6 * width)
             return inverse_sigmoid_lh(y, self.low, self.high)
         if self.name == "exp":
             return jnp.log(y)

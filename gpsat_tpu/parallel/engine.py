@@ -238,6 +238,26 @@ def make_batched_adam_runner(
     )
 
 
+def _smart_init(batch: TileBatch) -> Dict[str, np.ndarray]:
+    """Data-driven per-tile initialization: lengthscales from the masked
+    coordinate spread, variances from the observed variance. Cuts L-BFGS
+    iterations ~5-10x vs unit init (see bench history) at the cost of a
+    documented divergence from the reference's fixed unit init."""
+    m = batch.mask > 0
+    Xm = np.where(m[..., None], batch.X, np.nan)
+    ym = np.where(m, batch.y, np.nan)
+    with np.errstate(all="ignore"):
+        ls = np.nanstd(Xm, axis=1)
+        var_y = np.nanvar(ym, axis=1)
+    ls = np.where(np.isfinite(ls) & (ls > 0), ls, 1.0)
+    var_y = np.where(np.isfinite(var_y) & (var_y > 0), var_y, 1.0)
+    return {
+        "lengthscales": ls.astype(batch.X.dtype),
+        "kernel_variance": var_y.astype(batch.X.dtype),
+        "likelihood_variance": (0.1 * var_y).astype(batch.X.dtype),
+    }
+
+
 def run_tile_batch(
     batch: TileBatch,
     init_cparams: Dict[str, np.ndarray],
@@ -251,6 +271,9 @@ def run_tile_batch(
     init_cparams: constrained params, each either unbatched (applied to all
     experts) or with a leading [B] axis (per-expert warm starts).
     """
+    init_cparams = dict(init_cparams)
+    if init_cparams.pop("smart_init", False):
+        init_cparams = {**_smart_init(batch), **init_cparams}
     if core.prepare_batch_init is not None:
         init_cparams = core.prepare_batch_init(batch, init_cparams)
 
