@@ -292,17 +292,18 @@ class LocalExpertOI:
         cprint(f"for table: {table} keeping {keep.sum()} / {len(keep)} expert locations", c="OKCYAN")
         return xprt_locs.loc[keep].copy()
 
-    def _core_for(self, model_cls) -> ModelCore:
-        """Build the functional core for the configured model + init params."""
-        ip = self.model_init_params
+    def _core_for(self, model_cls, init_params=None, constraints=None) -> ModelCore:
+        """Build the functional core for a model + init params."""
+        ip = self.model_init_params if init_params is None else init_params
+        constraints = self.constraints if constraints is None else constraints
         from gpsat_tpu.ops import transforms as T
 
         kernel = ip.get("kernel", "Matern32")
         bijectors = None
-        if self.constraints:
+        if constraints:
             bijectors = {}
             coords_scale = np.asarray(ip.get("coords_scale", 1.0), dtype=float).reshape(-1)
-            for pname, c in self.constraints.items():
+            for pname, c in constraints.items():
                 low = np.asarray(c["low"], dtype=float)
                 high = np.asarray(c["high"], dtype=float)
                 # lengthscale constraints given in raw units are rescaled by
@@ -389,33 +390,50 @@ class LocalExpertOI:
 
         mesh = mesh if mesh is not None else default_mesh()
         device_name = str(mesh.devices.flat[0].device_kind) if mesh.devices.size else "cpu"
-        model_name = f"gpsat_tpu.{getattr(self.model, '__name__', str(self.model))}"
 
-        core = self._core_for(self.model)
-        fixed = tuple(self.optim_kwargs.get("fixed_params", ())) + tuple(core.default_fixed_params)
-        fixed = tuple(dict.fromkeys(fixed))
-        if core.optimizer == "adam":
-            from gpsat_tpu.parallel.engine import make_batched_adam_runner
+        def build_lane(model_cls, init_params, constraints, optim_kwargs):
+            """(core, runner, model_name) for a model configuration."""
+            core = self._core_for(model_cls, init_params=init_params, constraints=constraints)
+            fixed = tuple(optim_kwargs.get("fixed_params", ())) + tuple(core.default_fixed_params)
+            fixed = tuple(dict.fromkeys(fixed))
+            if core.optimizer == "adam":
+                from gpsat_tpu.parallel.engine import make_batched_adam_runner
 
-            runner = make_batched_adam_runner(
-                core,
-                fixed_params=fixed,
-                max_iter=int(self.optim_kwargs.get("max_iter", 2000)),
-                optimise=optimise,
-                learning_rate=float(self.optim_kwargs.get("learning_rate", 1e-2)),
-                check_every=int(self.optim_kwargs.get("check_every", 10)),
-                persistence=int(self.optim_kwargs.get("persistence", 100)),
-                mesh=mesh,
-            )
-        else:
-            runner = make_batched_runner(
-                core,
-                fixed_params=fixed,
-                max_iter=int(self.optim_kwargs.get("max_iter", 10_000)),
-                optimise=optimise,
-                linesearch=self.optim_kwargs.get("linesearch", "zoom"),
-                max_linesearch_steps=int(self.optim_kwargs.get("max_linesearch_steps", 32)),
-                mesh=mesh,
+                runner = make_batched_adam_runner(
+                    core,
+                    fixed_params=fixed,
+                    max_iter=int(optim_kwargs.get("max_iter", 2000)),
+                    optimise=optimise,
+                    learning_rate=float(optim_kwargs.get("learning_rate", 1e-2)),
+                    check_every=int(optim_kwargs.get("check_every", 10)),
+                    persistence=int(optim_kwargs.get("persistence", 100)),
+                    mesh=mesh,
+                )
+            else:
+                runner = make_batched_runner(
+                    core,
+                    fixed_params=fixed,
+                    max_iter=int(optim_kwargs.get("max_iter", 10_000)),
+                    optimise=optimise,
+                    linesearch=optim_kwargs.get("linesearch", "zoom"),
+                    max_linesearch_steps=int(optim_kwargs.get("max_linesearch_steps", 32)),
+                    mesh=mesh,
+                )
+            name = f"gpsat_tpu.{getattr(model_cls, '__name__', str(model_cls))}"
+            return core, runner, name
+
+        core, runner, model_name = build_lane(
+            self.model, self.model_init_params, self.constraints, self.optim_kwargs
+        )
+        # data-poor experts route to the replacement model
+        # (ref: local_experts.py:1021-1035, 339-346)
+        repl_lane = None
+        if self.replacement_threshold is not None:
+            repl_lane = build_lane(
+                self.replacement_model,
+                self.replacement_init_params,
+                self.replacement_constraints,
+                self.replacement_optim_kwargs,
             )
 
         # --- per-group: load, local-select, tile, execute, store ---
@@ -458,44 +476,63 @@ class LocalExpertOI:
             if not row_ids:
                 continue
 
-            ip = self.model_init_params
-            tiles = batching.assemble_tiles(
-                coords_all,
-                obs_all,
-                tile_indices,
-                pred_coords,
-                expert_index=np.asarray(row_ids),
-                coords_scale=ip.get("coords_scale"),
-                obs_mean=ip.get("obs_mean"),
-                max_batch_size=max_batch_size,
-            )
+            # split experts between the main model and (optionally) the
+            # replacement model for data-poor tiles
+            lanes = []
+            if repl_lane is not None:
+                thr = int(self.replacement_threshold)
+                sel_main = [j for j, ix in enumerate(tile_indices) if len(ix) >= thr]
+                sel_repl = [j for j, ix in enumerate(tile_indices) if len(ix) < thr]
+                if sel_main:
+                    lanes.append((sel_main, (core, runner, model_name), self.model_init_params, self.constraints))
+                if sel_repl:
+                    lanes.append((sel_repl, repl_lane, self.replacement_init_params, self.replacement_constraints))
+            else:
+                lanes.append((list(range(len(row_ids))), (core, runner, model_name), self.model_init_params, self.constraints))
 
-            init_cparams = self._initial_cparams(core, ip)
-            for b in tiles:
-                t0 = time.perf_counter()
-                per_expert_init = self._load_params_for_batch(b, xprt_locs, coords_col, init_cparams, core, store_path, table_suffix)
-                if per_expert_init is None:
-                    continue  # load failure policy: skip batch experts
-                res = run_tile_batch(b, per_expert_init, runner, core, mesh=mesh)
-                bt = time.perf_counter() - t0
-                self._store_batch(
-                    res,
-                    core,
-                    xprt_locs,
-                    coords_col,
-                    pred_coords,
-                    row_ids,
-                    store_path,
-                    table_suffix,
-                    optimise,
-                    model_name,
-                    device_name,
-                    config_id,
-                    bt,
-                    predict,
+            for lane_sel, (lane_core, lane_runner, lane_name), ip, lane_constraints in lanes:
+                l_tiles = [tile_indices[j] for j in lane_sel]
+                l_preds = [pred_coords[j] for j in lane_sel]
+                l_rows = [row_ids[j] for j in lane_sel]
+                tiles = batching.assemble_tiles(
+                    coords_all,
+                    obs_all,
+                    l_tiles,
+                    l_preds,
+                    expert_index=np.asarray(l_rows),
+                    coords_scale=ip.get("coords_scale"),
+                    obs_mean=ip.get("obs_mean"),
+                    max_batch_size=max_batch_size,
                 )
-                done += len(res["expert_index"])
-                cprint(f"{done} / {total} experts done ({bt:.2f}s for batch of {b.B})", c="OKCYAN")
+
+                init_cparams = self._initial_cparams(lane_core, ip, constraints=lane_constraints)
+                for b in tiles:
+                    t0 = time.perf_counter()
+                    per_expert_init = self._load_params_for_batch(
+                        b, xprt_locs, coords_col, init_cparams, lane_core, store_path, table_suffix
+                    )
+                    if per_expert_init is None:
+                        continue  # load failure policy: skip batch experts
+                    res = run_tile_batch(b, per_expert_init, lane_runner, lane_core, mesh=mesh)
+                    bt = time.perf_counter() - t0
+                    self._store_batch(
+                        res,
+                        lane_core,
+                        xprt_locs,
+                        coords_col,
+                        l_preds,
+                        l_rows,
+                        store_path,
+                        table_suffix,
+                        optimise,
+                        lane_name,
+                        device_name,
+                        config_id,
+                        bt,
+                        predict,
+                    )
+                    done += len(res["expert_index"])
+                    cprint(f"{done} / {total} experts done ({bt:.2f}s for batch of {b.B})", c="OKCYAN")
 
         cprint(f"'run': {time.perf_counter() - t_start:.3f} seconds", c="OKGREEN")
         return None
@@ -526,7 +563,7 @@ class LocalExpertOI:
             index=idx,
         )
 
-    def _initial_cparams(self, core: ModelCore, ip: dict) -> dict:
+    def _initial_cparams(self, core: ModelCore, ip: dict, constraints=None) -> dict:
         """Initial constrained params from init_params (+ constraint nudge)."""
         from gpsat_tpu.ops import transforms as T
 
@@ -546,9 +583,10 @@ class LocalExpertOI:
             out["smart_init"] = True
         # nudge initial values inside any sigmoid constraint bounds
         # (ref: gpflow_models.py:470-479 via set_parameter_constraints tol=1e-2)
-        if self.constraints:
+        constraints = self.constraints if constraints is None else constraints
+        if constraints:
             coords_scale = np.asarray(ip.get("coords_scale", 1.0), dtype=float).reshape(-1)
-            for pname, c in self.constraints.items():
+            for pname, c in constraints.items():
                 if pname not in out:
                     continue
                 low = np.asarray(c["low"], dtype=float)

@@ -152,3 +152,30 @@ class TestLocalExpertOI:
         assert len(skipped) == 1
         assert not skipped["optimise_success"].iloc[0]
         assert np.isnan(skipped["objective_value"].iloc[0])
+
+
+class TestReplacementModel:
+    def test_data_poor_experts_use_replacement(self, obs_df, tmp_path):
+        # two experts: one rich, one with few points (threshold routes it
+        # to the replacement lane; ref: local_experts.py:1021-1035)
+        experts = pd.DataFrame({"x": [3.0, 9.8], "y": [3.0, 9.8], "t": [1.0, 1.0]})
+        store_path = str(tmp_path / "repl.h5")
+        oi = make_oi(
+            obs_df,
+            experts,
+            replacement_threshold=100,
+            replacement_model="GPflowGPRModel",
+            replacement_init_params={"kernel": "Matern12", "noise_variance": 0.01},
+            replacement_optim_kwargs={"max_iter": 100},
+        )
+        oi.run(store_path=store_path, min_obs=3)
+        with TableStore(store_path, mode="r") as store:
+            rd = store.select("run_details").reset_index()
+        assert len(rd) == 2
+        rich = rd[rd["x"] == 3.0].iloc[0]
+        poor = rd[rd["x"] == 9.8].iloc[0]
+        assert rich["num_obs"] >= 100 and poor["num_obs"] < 100
+        # both ran, the poor one under the replacement model name
+        assert rich["model"].endswith("GPRModel")
+        assert poor["model"].endswith("GPRModel")
+        assert np.isfinite(rd["objective_value"]).all()
