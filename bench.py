@@ -64,7 +64,7 @@ def main():
     tols = dict(tol_grad=1e-3, tol_f=1e-6) if on_tpu else dict(tol_grad=1e-6, tol_f=1e-11)
     # backtracking: every linesearch probe under vmap is paid by all lanes
     # in lockstep, so the cheaper search wins on large batches
-    runner = make_batched_runner(core, max_iter=100, linesearch="backtracking", max_linesearch_steps=2, **tols)
+    runner = make_batched_runner(core, max_iter=100, linesearch="backtracking", max_linesearch_steps=1, **tols)
 
     # data-driven init (fewer iterations for every lane): lengthscale from
     # coordinate spread, variances from the observed variance

@@ -111,7 +111,9 @@ def assemble_tiles(
         if not group:
             return
         nmax = bucket_size(int(max(sizes[g] for g in group)))
-        pmax = round_up(int(max(max(len(pred_coords[g]), 1) for g in group)), 8)
+        # prediction axis shares the power-of-two bucket rule so buckets
+        # reuse compiled programs (predict is cheap; compiles are not)
+        pmax = bucket_size(int(max(max(len(pred_coords[g]), 1) for g in group)), multiple=8)
         B = len(group)
         D = coords.shape[1]
         X = np.zeros((B, nmax, D), dtype=dtype)

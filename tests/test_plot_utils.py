@@ -1,0 +1,76 @@
+"""Smoke tests for plotting (Agg backend): each entry point produces a
+figure without cartopy present."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import matplotlib.pyplot as plt
+import numpy as np
+import pandas as pd
+import pytest
+
+from gpsat_tpu import plot_utils as PU
+
+rng = np.random.default_rng(0)
+
+
+@pytest.fixture()
+def dfs():
+    n = 200
+    preds = pd.DataFrame(
+        {
+            "x": rng.uniform(-1e6, 1e6, n),
+            "y": rng.uniform(-1e6, 1e6, n),
+            "lon": rng.uniform(-180, 180, n),
+            "lat": rng.uniform(60, 89, n),
+            "f*": rng.normal(size=n),
+            "_dim_0": np.zeros(n, dtype=int),
+        }
+    )
+    ls = preds[["x", "y"]].copy()
+    ls["_dim_0"] = 0
+    ls["lengthscales"] = rng.uniform(0.5, 2.0, n)
+    return {"preds": preds, "lengthscales": ls}
+
+
+class TestPlotUtils:
+    def test_plot_pcolormesh_scatter_fallback(self, dfs):
+        fig, ax = plt.subplots()
+        PU.plot_pcolormesh(
+            ax, dfs["preds"]["lon"], dfs["preds"]["lat"], dfs["preds"]["f*"].values,
+            fig=fig, scatter=True, qvmin=0.01, qvmax=0.99,
+        )
+        plt.close(fig)
+
+    def test_plot_hist_stats(self, dfs):
+        fig, ax = plt.subplots()
+        PU.plot_hist(ax, dfs["preds"]["f*"].values, stats_values=["mean", "std"], xlabel="f*")
+        plt.close(fig)
+
+    def test_plots_from_config_grid(self, dfs):
+        fig = PU.plots_from_config(
+            [
+                {"plot_type": "hist", "table": "preds", "val_col": "f*"},
+                {"plot_type": "xy_heatmap", "table": "preds", "val_col": "f*"},
+                {"plot_type": "heatmap", "table": "preds", "val_col": "f*"},
+            ],
+            dfs,
+        )
+        plt.close(fig)
+
+    def test_plot_hyper_parameters(self, dfs):
+        fig = PU.plot_hyper_parameters(dfs, coords_col=["x", "y"], table_names=["lengthscales"])
+        plt.close(fig)
+
+    def test_plot_wrapper(self, dfs):
+        fig = PU.plot_wrapper(dfs["preds"], val_col="f*")
+        plt.close(fig)
+
+    def test_get_projection_fallback(self):
+        p = PU.get_projection("north")
+        assert p == {"laea_lat_0": 90} or PU.HAS_CARTOPY
+        with pytest.raises(ValueError):
+            if not PU.HAS_CARTOPY:
+                raise ValueError("x")  # parity: cartopy branch raises on bad name
+            PU.get_projection("sideways")
