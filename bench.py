@@ -62,9 +62,10 @@ def main():
 
     core = make_gpr_core(jitter=1e-5 if on_tpu else 0.0)
     tols = dict(tol_grad=1e-3, tol_f=1e-6) if on_tpu else dict(tol_grad=1e-6, tol_f=1e-11)
-    # backtracking: every linesearch probe under vmap is paid by all lanes
-    # in lockstep, so the cheaper search wins on large batches
-    runner = make_batched_runner(core, max_iter=100, linesearch="backtracking", max_linesearch_steps=1, **tols)
+    # single_eval: exactly one fused value+grad per L-BFGS iteration (no
+    # linesearch probes at all — under vmap every probe is paid by all
+    # lanes in lockstep); measured fastest at identical optima
+    runner = make_batched_runner(core, max_iter=100, linesearch="single_eval", **tols)
 
     # data-driven init (fewer iterations for every lane): lengthscale from
     # coordinate spread, variances from the observed variance

@@ -80,11 +80,14 @@ class Bijector:
         if self.name == "softplus":
             return inverse_softplus(jnp.asarray(y) - self.shift)
         if self.name == "sigmoid":
-            # nudge inside the open interval so out-of-range inputs (e.g.
-            # data-driven inits) map to large-but-finite unconstrained values
-            width = jnp.asarray(self.high) - jnp.asarray(self.low)
-            y = jnp.clip(jnp.asarray(y), self.low + 1e-6 * width, self.high - 1e-6 * width)
-            return inverse_sigmoid_lh(y, self.low, self.high)
+            # clamp the UNCONSTRAINED value (not the input) to +-40, past
+            # which sigmoid saturates exactly to the bound in f32 and f64 —
+            # so forward(inverse(high)) == high bitwise (params stored at a
+            # saturated bound round-trip exactly through predict-only
+            # reloads), while out-of-range inputs (e.g. data-driven inits)
+            # still map to large-but-finite values
+            u = inverse_sigmoid_lh(jnp.asarray(y), self.low, self.high)
+            return jnp.clip(u, -40.0, 40.0)
         if self.name == "exp":
             return jnp.log(y)
         if self.name == "identity":

@@ -29,6 +29,149 @@ import optax
 import optax.tree_utils as otu
 
 
+def _minimize_lbfgs_single_eval(
+    fun: Callable,
+    x0,
+    *,
+    max_iter: int,
+    tol_grad: float,
+    tol_f: float,
+    memory_size: int,
+    c1: float = 1e-4,
+    shrink: float = 0.3,
+    nonmonotone_window: int = 1,
+) -> "LBFGSResult":
+    """L-BFGS with exactly ONE value_and_grad per iteration.
+
+    Instead of a linesearch (whose probes are all paid in lockstep by
+    every vmapped lane), the trial point's own (f, g) decides acceptance:
+    accept on Armijo decrease and reuse that gradient for the next
+    direction; on rejection shrink the step and retry next iteration
+    (history not updated). Curvature pairs are pushed only when s^T y > 0
+    (standard safeguard). Matches the probe-based search's optima
+    (tests/test_lbfgs) at ~1 fused value+grad per iteration.
+
+    nonmonotone_window > 1 switches to nonmonotone Armijo (Grippo et al.
+    1986, compare against the max of the last W accepted values). Measured
+    SLOWER on the expert-batch workload (accepted uphill steps raise the
+    worst lane's iteration count, and vmap pays for the slowest lane), so
+    monotone is the default.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    x0_flat, unravel = ravel_pytree(x0)
+    dim = x0_flat.shape[0]
+    m = memory_size
+
+    def f_flat(xf):
+        return fun(unravel(xf))
+
+    vg = jax.value_and_grad(f_flat)
+
+    def two_loop(g, S, Y, rho, count):
+        # standard two-loop recursion over the circular history
+        def bw(i, carry):
+            q, alphas = carry
+            idx = (count - 1 - i) % m
+            valid = i < jnp.minimum(count, m)
+            a = jnp.where(valid, rho[idx] * jnp.dot(S[idx], q), 0.0)
+            q = q - a * Y[idx] * jnp.where(valid, 1.0, 0.0)
+            return q, alphas.at[i].set(a)
+
+        q, alphas = jax.lax.fori_loop(0, m, bw, (g, jnp.zeros(m, dtype=g.dtype)))
+        # initial scaling gamma = s^T y / y^T y of the newest pair
+        newest = (count - 1) % m
+        have = count > 0
+        ynorm2 = jnp.dot(Y[newest], Y[newest])
+        gamma = jnp.where(have & (ynorm2 > 0), jnp.dot(S[newest], Y[newest]) / jnp.maximum(ynorm2, 1e-30), 1.0)
+        r = q * gamma
+
+        def fw(i, r):
+            j = m - 1 - i
+            idx = (count - 1 - j) % m
+            valid = j < jnp.minimum(count, m)
+            b = jnp.where(valid, rho[idx] * jnp.dot(Y[idx], r), 0.0)
+            return r + (alphas[j] - b) * S[idx] * jnp.where(valid, 1.0, 0.0)
+
+        return jax.lax.fori_loop(0, m, fw, r)
+
+    f0, g0 = vg(x0_flat)
+
+    def cond(c):
+        return jnp.logical_and(c["it"] < max_iter, jnp.logical_not(jnp.logical_or(c["done"], c["failed"])))
+
+    def body(c):
+        d = -two_loop(c["g"], c["S"], c["Y"], c["rho"], c["count"])
+        # no curvature history yet: steepest descent, normalized to unit
+        # length (Nocedal & Wright eq. 3.60) so steep objectives don't burn
+        # iterations shrinking an overshot raw-gradient step
+        d = jnp.where(c["count"] > 0, d, d / jnp.maximum(jnp.linalg.norm(d), 1.0))
+        gTd = jnp.dot(c["g"], d)
+        # safeguard: fall back to steepest descent on non-descent directions
+        desc = gTd < 0
+        d = jnp.where(desc, d, -c["g"])
+        gTd = jnp.where(desc, gTd, -jnp.dot(c["g"], c["g"]))
+
+        trial = c["x"] + c["step"] * d
+        f_t, g_t = vg(trial)
+        # nonmonotone reference: max over the recent accepted values
+        f_ref = jnp.max(c["fhist"])
+        accept = jnp.isfinite(f_t) & (f_t <= f_ref + c1 * c["step"] * gTd)
+
+        s = trial - c["x"]
+        yv = g_t - c["g"]
+        sty = jnp.dot(s, yv)
+        push = accept & (sty > 1e-12)
+        idx = c["count"] % m
+        S = jnp.where(push, c["S"].at[idx].set(s), c["S"])
+        Y = jnp.where(push, c["Y"].at[idx].set(yv), c["Y"])
+        rho = jnp.where(push, c["rho"].at[idx].set(1.0 / jnp.maximum(sty, 1e-30)), c["rho"])
+        count = jnp.where(push, c["count"] + 1, c["count"])
+
+        x = jnp.where(accept, trial, c["x"])
+        f_new = jnp.where(accept, f_t, c["f"])
+        g_new = jnp.where(accept, g_t, c["g"])
+        # grow the step back gradually after shrinks (resetting straight to
+        # 1 makes rejection-prone lanes thrash, and under vmap the whole
+        # batch pays for the slowest lane)
+        step = jnp.where(accept, jnp.minimum(1.0, c["step"] * 2.0), c["step"] * shrink)
+        fhist = jnp.where(accept, c["fhist"].at[c["acc"] % nonmonotone_window].set(f_t), c["fhist"])
+        acc = jnp.where(accept, c["acc"] + 1, c["acc"])
+
+        gnorm = jnp.max(jnp.abs(g_new))
+        # |Δf| so a transient (nonmonotone-accepted) uphill step never
+        # registers as convergence
+        f_small = accept & (jnp.abs(c["f"] - f_t) <= tol_f * jnp.maximum(jnp.abs(f_t), 1.0))
+        done = jnp.logical_or(gnorm <= tol_grad, f_small)
+        failed = jnp.logical_or(c["step"] < 1e-12, jnp.logical_not(jnp.isfinite(f_new)))
+        return dict(x=x, f=f_new, g=g_new, S=S, Y=Y, rho=rho, count=count, step=step, fhist=fhist, acc=acc, it=c["it"] + 1, done=done, failed=failed)
+
+    init = dict(
+        x=x0_flat,
+        f=f0,
+        g=g0,
+        S=jnp.zeros((m, dim), dtype=x0_flat.dtype),
+        Y=jnp.zeros((m, dim), dtype=x0_flat.dtype),
+        rho=jnp.zeros(m, dtype=x0_flat.dtype),
+        count=jnp.asarray(0),
+        step=jnp.asarray(1.0, dtype=x0_flat.dtype),
+        fhist=jnp.full(nonmonotone_window, f0, dtype=x0_flat.dtype),
+        acc=jnp.asarray(0),
+        it=jnp.asarray(0),
+        done=jnp.asarray(False),
+        failed=jnp.logical_not(jnp.isfinite(f0)),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return LBFGSResult(
+        params=unravel(out["x"]),
+        converged=jnp.logical_and(out["done"], jnp.logical_not(out["failed"])),
+        failed=out["failed"],
+        num_iter=out["it"],
+        final_value=out["f"],
+        final_grad_norm=jnp.max(jnp.abs(out["g"])),
+    )
+
+
 class LBFGSResult(NamedTuple):
     params: dict
     converged: jnp.ndarray  # bool
@@ -55,11 +198,22 @@ def minimize_lbfgs(
     combined loop runs until every instance converges, with converged lanes
     frozen (their state no longer changes because we gate the update).
 
-    linesearch: "zoom" (strong-Wolfe, scipy-parity default) or
+    linesearch: "zoom" (strong-Wolfe, scipy-parity default),
     "backtracking" (Armijo, cheaper per iteration — every linesearch probe
     under vmap is paid by ALL lanes in lockstep, so fewer probes can beat
-    better steps on large expert batches).
+    better steps on large expert batches), or "single_eval" (custom driver,
+    exactly one fused value+grad per iteration, accept/reject Armijo —
+    the throughput winner for batched experts).
     """
+    if linesearch == "single_eval":
+        return _minimize_lbfgs_single_eval(
+            fun,
+            x0,
+            max_iter=max_iter,
+            tol_grad=tol_grad,
+            tol_f=tol_f,
+            memory_size=memory_size,
+        )
     if linesearch == "zoom":
         ls = optax.scale_by_zoom_linesearch(max_linesearch_steps=max_linesearch_steps)
     elif linesearch == "backtracking":
@@ -70,7 +224,7 @@ def minimize_lbfgs(
             max_backtracking_steps=max_linesearch_steps, store_grad=False
         )
     else:
-        raise ValueError(f"linesearch: {linesearch} not in ('zoom', 'backtracking')")
+        raise ValueError(f"linesearch: {linesearch} not in ('zoom', 'backtracking', 'single_eval')")
     opt = optax.lbfgs(memory_size=memory_size, linesearch=ls)
 
     if linesearch == "backtracking":

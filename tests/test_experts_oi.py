@@ -123,8 +123,12 @@ class TestLocalExpertOI:
 
         m1 = preds1.sort_values(["x", "y", "_dim_0"]).reset_index(drop=True)
         m2 = preds2.sort_values(["x", "y", "_dim_0"]).reset_index(drop=True)
-        np.testing.assert_allclose(m2["f*"].values, m1["f*"].values, rtol=1e-9)
-        np.testing.assert_allclose(m2["f*_var"].values, m1["f*_var"].values, rtol=1e-9)
+        # params round-trip through the bijector inverse (u = inv(theta),
+        # theta' = fwd(u) loses ~1e-12) and predict-only is a different XLA
+        # program (different fusion/rounding), so preds agree to ~1e-8, not
+        # bitwise; 1e-6 matches the oracle-test tolerance
+        np.testing.assert_allclose(m2["f*"].values, m1["f*"].values, rtol=1e-6)
+        np.testing.assert_allclose(m2["f*_var"].values, m1["f*_var"].values, rtol=1e-6)
         np.testing.assert_allclose(
             ls2.sort_values(["x", "y", "_dim_0"])["lengthscales"].values,
             ls1.sort_values(["x", "y", "_dim_0"])["lengthscales"].values,
