@@ -328,6 +328,7 @@ class LocalExpertOI:
         table_suffix: str = "",
         mesh=None,
         max_batch_size: Optional[int] = None,
+        profile_dir: Optional[str] = None,
     ):
         self.config["run_kwargs"] = json_serializable(
             dict(
@@ -342,6 +343,26 @@ class LocalExpertOI:
             )
         )
         t_start = time.perf_counter()
+
+        if profile_dir is not None:
+            # the reference only offers per-expert wall timing
+            # (GPSat/local_experts.py:945,1176-1196); here device work can be
+            # traced for TensorBoard/XProf on top of that
+            from gpsat_tpu.decorators import profile_trace
+
+            with profile_trace(profile_dir):
+                return self.run(
+                    store_path=store_path,
+                    store_every=store_every,
+                    check_config_compatible=check_config_compatible,
+                    skip_valid_checks_on=skip_valid_checks_on,
+                    optimise=optimise,
+                    predict=predict,
+                    min_obs=min_obs,
+                    table_suffix=table_suffix,
+                    mesh=mesh,
+                    max_batch_size=max_batch_size,
+                )
 
         assert isinstance(self.expert_locs, pd.DataFrame), "expert_locs must be a DataFrame — call set_expert_locations"
         assert self.data is not None and self.data.data_source is not None, "'data_source' is None"
@@ -392,8 +413,19 @@ class LocalExpertOI:
         device_name = str(mesh.devices.flat[0].device_kind) if mesh.devices.size else "cpu"
 
         def build_lane(model_cls, init_params, constraints, optim_kwargs):
-            """(core, runner, model_name) for a model configuration."""
-            core = self._core_for(model_cls, init_params=init_params, constraints=constraints)
+            """(core, runner, model_name) for a model configuration.
+
+            Models without a batched functional core (VFF, ASVGP, sklearn,
+            torch, pure-numpy — any BaseGPRModel) run on a host-serial lane:
+            one model per expert, the reference's own execution model
+            (ref: local_experts.py:930-1260). runner=None marks that lane.
+            """
+            name = f"gpsat_tpu.{getattr(model_cls, '__name__', str(model_cls))}"
+            try:
+                core = self._core_for(model_cls, init_params=init_params, constraints=constraints)
+            except NotImplementedError:
+                host_core = _HostCore(model_cls, len(coords_col), init_params, optim_kwargs)
+                return host_core, None, name
             fixed = tuple(optim_kwargs.get("fixed_params", ())) + tuple(core.default_fixed_params)
             fixed = tuple(dict.fromkeys(fixed))
             if core.optimizer == "adam":
@@ -419,7 +451,6 @@ class LocalExpertOI:
                     max_linesearch_steps=int(optim_kwargs.get("max_linesearch_steps", 32)),
                     mesh=mesh,
                 )
-            name = f"gpsat_tpu.{getattr(model_cls, '__name__', str(model_cls))}"
             return core, runner, name
 
         core, runner, model_name = build_lane(
@@ -513,7 +544,12 @@ class LocalExpertOI:
                     )
                     if per_expert_init is None:
                         continue  # load failure policy: skip batch experts
-                    res = run_tile_batch(b, per_expert_init, lane_runner, lane_core, mesh=mesh)
+                    if lane_runner is None:
+                        res = self._run_host_batch(
+                            b, lane_core, per_expert_init, lane_constraints, coords_col, xprt_locs, optimise, predict
+                        )
+                    else:
+                        res = run_tile_batch(b, per_expert_init, lane_runner, lane_core, mesh=mesh)
                     bt = time.perf_counter() - t0
                     self._store_batch(
                         res,
@@ -655,6 +691,130 @@ class LocalExpertOI:
                     out[pname][bi] = vals.reshape(np.shape(tgt)) if np.ndim(tgt) else vals[0]
         return out
 
+    def _run_host_batch(self, b, host_core, per_expert_init, constraints, coords_col, xprt_locs, optimise, predict):
+        """Serial per-expert execution for models without a batched core —
+        the reference's own loop (ref: local_experts.py:930-1260) run over
+        one assembled tile bucket; returns the same result dict as
+        run_tile_batch so storage/restart behave identically."""
+        model_cls = host_core.model_cls
+        ip = host_core.init_params
+        model_kwargs = _host_model_kwargs(ip)
+        optim_kwargs = {k: v for k, v in host_core.optim_kwargs.items() if k != "fixed_params"}
+        coords_scale = np.asarray(ip.get("coords_scale", 1.0), dtype=float).reshape(-1)
+
+        base = host_core.init_cparams(len(coords_col))
+        init = dict(per_expert_init)
+        init.pop("smart_init", None)
+        perx = {}
+        for p, v in init.items():
+            tgt = np.shape(base.get(p, np.asarray(0.0)))
+            v = np.asarray(v, dtype=float)
+            if v.shape != (b.B,) + tgt:
+                v = np.broadcast_to(v, (b.B,) + tgt).copy()
+            perx[p] = v
+
+        # scale constraint bounds the same way the batched path does
+        scaled_constraints = {}
+        for pname, c in (constraints or {}).items():
+            low, high = np.asarray(c["low"], dtype=float), np.asarray(c["high"], dtype=float)
+            if pname == "lengthscales" and ip.get("coords_scale") is not None:
+                low, high = low / coords_scale, high / coords_scale
+            scaled_constraints[pname] = {"low": low, "high": high}
+
+        res = {
+            "expert_index": [], "num_obs": [], "objective": [], "converged": [], "num_iter": [],
+            "f_mean": [], "f_var": [], "y_var": [], "pred_mask": [], "obs_mean": [],
+        }
+        pvals = {p: [] for p in host_core.param_names}
+        Pmax = b.Pmax
+        for j in range(b.B):
+            ei = int(b.expert_index[j])
+            if ei < 0:
+                continue
+            n = int(b.num_obs[j])
+            rl = xprt_locs.iloc[int(ei)]
+            expert_loc = np.asarray([rl[c] for c in coords_col], dtype=float) / coords_scale
+            model = model_cls(
+                coords=np.asarray(b.X[j, :n]),
+                obs=np.asarray(b.y[j, :n]),
+                **_filter_kwargs(model_cls, {"verbose": False, "expert_loc": expert_loc, **model_kwargs}),
+            )
+            # only push values that differ from the lane defaults (explicit
+            # user inits, constraint nudges, or file-loaded warm starts) —
+            # the reference passes init_params through the constructor and
+            # never force-sets defaults (ref: local_experts.py:1046-1101),
+            # which matters for models with untrainable params (sklearn's
+            # fixed-alpha noise)
+            for p in perx:
+                if p not in host_core.param_names:
+                    continue
+                v = perx[p][j]
+                if p in base and np.array_equal(np.asarray(v, dtype=float), np.asarray(base[p], dtype=float)):
+                    continue
+                try:
+                    getattr(model, f"set_{p}")(v)
+                except Exception as e:
+                    warnings.warn(f"host lane: set_{p} failed ({e}); using model default")
+            if scaled_constraints:
+                try:
+                    fn = model.set_parameter_constraints
+                    fn(scaled_constraints, **_filter_kwargs(fn, {"move_within_tol": True, "tol": 1e-2}))
+                except Exception as e:
+                    warnings.warn(f"host lane: constraints not applied ({e})")
+            ok = True
+            if optimise:
+                try:
+                    ok = bool(model.optimise_parameters(**_filter_kwargs(model.optimise_parameters, optim_kwargs)))
+                except Exception as e:
+                    warnings.warn(f"host lane: optimise_parameters failed: {e}")
+                    ok = False
+            try:
+                obj = float(model.get_objective_function_value())
+            except Exception:
+                obj = np.nan
+
+            p_count = int(b.pred_mask[j].sum())
+            fm = np.zeros(Pmax); fv = np.zeros(Pmax); yv = np.zeros(Pmax)
+            if predict and p_count:
+                pred = model.predict(
+                    coords=np.asarray(b.Xnew[j, :p_count]),
+                    **_filter_kwargs(model.predict, {"apply_scale": False}),
+                )
+                fm[:p_count] = np.asarray(pred["f*"], dtype=float).reshape(-1)
+                fv[:p_count] = np.asarray(pred["f*_var"], dtype=float).reshape(-1)
+                if "y_var" in pred:
+                    yv[:p_count] = np.asarray(pred["y_var"], dtype=float).reshape(-1)
+                else:
+                    # models without an explicit noisy-prediction variance
+                    # (e.g. sklearn, ref: sklearn_models.py predict): add the
+                    # likelihood variance when exposed, else reuse f*_var
+                    try:
+                        nv = float(np.ravel(model.get_likelihood_variance())[0])
+                    except Exception:
+                        nv = 0.0
+                    yv[:p_count] = fv[:p_count] + nv
+
+            res["expert_index"].append(ei)
+            res["num_obs"].append(n)
+            res["objective"].append(obj)
+            res["converged"].append(ok)
+            res["num_iter"].append(int(optim_kwargs.get("n_iter", optim_kwargs.get("max_iter", 0))) if optimise else 0)
+            res["f_mean"].append(fm)
+            res["f_var"].append(fv)
+            res["y_var"].append(yv)
+            res["pred_mask"].append(np.asarray(b.pred_mask[j], dtype=float))
+            res["obs_mean"].append(float(b.obs_mean[j]))
+            for p in host_core.param_names:
+                try:
+                    pvals[p].append(np.asarray(getattr(model, f"get_{p}")(), dtype=float))
+                except Exception:
+                    pvals[p].append(np.asarray(np.nan))
+        out = {k: np.asarray(v) for k, v in res.items()}
+        for p, vals in pvals.items():
+            if vals:
+                out[p] = np.stack([np.atleast_1d(v) if np.ndim(vals[0]) else v for v in vals])
+        return out
+
     def _store_batch(
         self,
         res,
@@ -771,6 +931,88 @@ def _plot_locations_and_obs_impl(
 
 
 LocalExpertOI.plot_locations_and_obs = _plot_locations_and_obs_impl
+
+
+class _HostCore:
+    """Core-shaped shim for host-serial (non-batched) model lanes.
+
+    Provides the two pieces the OI bookkeeping needs from a ModelCore —
+    ``param_names`` and ``init_cparams`` — by instantiating a throwaway
+    model on dummy data and reading its reflection-based parameter API
+    (the reference's BaseGPRModel contract, ref: base_model.py:270-277).
+    """
+
+    optimizer = "host"
+
+    def __init__(self, model_cls, n_dims: int, init_params: dict, optim_kwargs: dict):
+        self.model_cls = model_cls
+        self.init_params = dict(init_params or {})
+        self.optim_kwargs = dict(optim_kwargs or {})
+        self._defaults = {}
+        try:
+            probe = model_cls(
+                coords=np.linspace(0.0, 1.0, 4)[:, None] * np.ones(n_dims)[None, :],
+                obs=np.zeros(4),
+                **_filter_kwargs(model_cls, {"verbose": False, **_host_model_kwargs(self.init_params)}),
+            )
+            self.param_names = list(probe.param_names)
+            for p in self.param_names:
+                try:
+                    self._defaults[p] = np.asarray(getattr(probe, f"get_{p}")(), dtype=float)
+                except Exception:
+                    pass
+        except Exception:
+            # probe construction can fail (e.g. models needing richer data);
+            # fall back to the canonical GPR trio
+            self.param_names = ["lengthscales", "kernel_variance", "likelihood_variance"]
+
+    def init_cparams(self, D: int, overrides=None) -> dict:
+        out = {}
+        for p in self.param_names:
+            if p in self._defaults:
+                out[p] = self._defaults[p].copy()
+            elif p == "lengthscales":
+                out[p] = np.ones(D)
+            else:
+                out[p] = np.asarray(1.0)
+        if overrides:
+            for k, v in overrides.items():
+                if k in out:
+                    out[k] = np.reshape(np.asarray(v, dtype=float), np.shape(out[k])) if np.shape(out[k]) else np.asarray(v, dtype=float)
+        return out
+
+
+_HOST_RESERVED_INIT_KEYS = (
+    "coords_scale",
+    "obs_mean",
+    "obs_scale",
+    "smart_init",
+    "jitter",
+)
+
+
+def _host_model_kwargs(init_params: dict) -> dict:
+    """init_params minus the keys the OI layer itself consumes (scaling and
+    de-meaning are applied during tile assembly, so the model must not
+    re-apply them)."""
+    return {k: v for k, v in init_params.items() if k not in _HOST_RESERVED_INIT_KEYS}
+
+
+def _filter_kwargs(fn, kwargs: dict) -> dict:
+    """Drop kwargs a callable doesn't accept (unless it takes **kwargs) —
+    host models range from full BaseGPRModel signatures to the reference's
+    bare PurePythonGPR(coords, obs, ...) (ref: pure_python_gpr.py:269-342)."""
+    import inspect
+
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):
+        return dict(kwargs)
+    params = sig.parameters.values()
+    if any(p.kind == inspect.Parameter.VAR_KEYWORD for p in params):
+        return dict(kwargs)
+    names = {p.name for p in params}
+    return {k: v for k, v in kwargs.items() if k in names}
 
 
 def make_core_for_model(model_cls, kernel: str, bijectors, init_params) -> ModelCore:

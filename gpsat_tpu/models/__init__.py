@@ -14,7 +14,7 @@ def get_model(name: str):
     from gpsat_tpu.models.sgpr import SGPRModel
     from gpsat_tpu.models.sklearn_model import SklearnGPRModel
     from gpsat_tpu.models.svgp import SVGPModel
-    from gpsat_tpu.models.torch_gpr import TorchGPRModel
+    from gpsat_tpu.models.torch_gpr import TorchGPRModel, TorchKISSGPModel
     from gpsat_tpu.models.vff import VFFModel
 
     registry = {
@@ -26,6 +26,7 @@ def get_model(name: str):
         "SklearnGPRModel": SklearnGPRModel,
         "ASVGPModel": ASVGPModel,
         "TorchGPRModel": TorchGPRModel,
+        "TorchKISSGPModel": TorchKISSGPModel,
         "PureNumpyGPR": PureNumpyGPR,
         # reference-name aliases (GPSat/models/__init__.py:3-28)
         "GPflowGPRModel": GPRModel,
@@ -35,6 +36,7 @@ def get_model(name: str):
         "sklearnGPRModel": SklearnGPRModel,
         "GPflowASVGPModel": ASVGPModel,
         "GPyTorchGPRModel": TorchGPRModel,
+        "GPyTorchKISSGPModel": TorchKISSGPModel,
         "PurePythonGPR": PureNumpyGPR,
     }
     assert name in registry, f"model: {name} not in registry: {sorted(registry)}"

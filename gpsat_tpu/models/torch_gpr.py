@@ -6,9 +6,10 @@ no convergence check, extra 'smoothness' (Matern nu) parameter). GPyTorch
 is not in this image; this implements the same exact-GPR math directly in
 torch (cpu), keeping the reference's training semantics — including the
 fixed-iteration, no-convergence-check optimizer — and the BaseGPRModel
-contract. A KISS-GP variant is intentionally not reproduced (grid
-interpolation is an approximation strategy superseded by this framework's
-SGPR/SVGP/VFF tiles).
+contract. TorchKISSGPModel mirrors the reference's GPyTorchKISSGPModel
+(ref: gpytorch_models.py:321-382, ScaleKernel(GridInterpolationKernel)):
+structured kernel interpolation K ~= W Kuu W^T on a per-dimension uniform
+grid with multilinear interpolation weights.
 """
 
 from __future__ import annotations
@@ -90,6 +91,10 @@ class TorchGPRModel(BaseGPRModel):
         d = self._t.cdist(X1 / ls, X2 / ls)
         return self._pos(self.raw_kv) * _matern(d, self.smoothness)
 
+    def _prior_var(self, Xs):
+        """Prior variance diag k(x*, x*) — overridden by approximations."""
+        return self._pos(self.raw_kv)
+
     def _neg_lml(self):
         t = self._t
         n = self.X.shape[0]
@@ -154,7 +159,7 @@ class TorchGPRModel(BaseGPRModel):
             alpha = t.cholesky_solve(self.Y[:, None], L)
             f_mean = (Ks.T @ alpha)[:, 0]
             v = t.linalg.solve_triangular(L, Ks, upper=False)
-            f_var = self._pos(self.raw_kv) - (v * v).sum(0)
+            f_var = self._prior_var(Xs) - (v * v).sum(0)
             y_var = f_var + self._pos(self.raw_nv)
         out = {
             "f*": f_mean.numpy().astype(float),
@@ -197,3 +202,65 @@ class TorchGPRModel(BaseGPRModel):
 
     def set_smoothness(self, v):
         self.smoothness = float(v)
+
+
+class TorchKISSGPModel(TorchGPRModel):
+    """KISS-GP / SKI: K ~= W Kuu W^T on a uniform per-dimension grid
+    (ref: GPSat/models/gpytorch_models.py:321-382, which wraps the base
+    kernel in ScaleKernel(GridInterpolationKernel)).
+
+    W holds multilinear interpolation weights of each data point onto the
+    D-dimensional product grid (2^D nonzeros per row, stored dense — tiles
+    are small); Kuu is the exact Matern Gram on the grid. Everything else
+    (LML, optimizer, predict) is inherited: only the Gram and the prior
+    variance are approximated, matching gpytorch's behavior of evaluating
+    the interpolated kernel everywhere.
+    """
+
+    def __init__(self, *args, grid_size: int = 16, **kwargs):
+        super().__init__(*args, **kwargs)
+        t = self._t
+        self.grid_size = int(grid_size)
+        D = self.X.shape[1]
+        m = self.grid_size
+        # per-dim uniform grid padded one spacing beyond the data range so
+        # boundary points interpolate rather than extrapolate (gpytorch's
+        # grid_bounds default behavior)
+        grids = []
+        for d in range(D):
+            lo = float(self.X[:, d].min())
+            hi = float(self.X[:, d].max())
+            span = max(hi - lo, 1e-6)
+            h = span / max(m - 3, 1)
+            grids.append(t.linspace(lo - h, hi + h, m, dtype=t.float32))
+        self._grids = grids
+        # product grid points [M, D], M = m^D
+        mesh = t.meshgrid(*grids, indexing="ij")
+        self._U = t.stack([g.reshape(-1) for g in mesh], dim=1)
+
+    def _interp_weights(self, X):
+        """Multilinear interpolation weights [N, m^D] onto the product grid."""
+        t = self._t
+        N, D = X.shape
+        m = self.grid_size
+        W = None
+        for d in range(D):
+            g = self._grids[d]
+            h = g[1] - g[0]
+            pos = (X[:, d] - g[0]) / h
+            idx = pos.floor().long().clamp(0, m - 2)
+            frac = (pos - idx.to(pos.dtype)).clamp(0.0, 1.0)
+            wd = t.zeros(N, m, dtype=t.float32)
+            wd.scatter_(1, idx[:, None], (1.0 - frac)[:, None])
+            wd.scatter_add_(1, (idx + 1)[:, None], frac[:, None])
+            W = wd if W is None else (W[:, :, None] * wd[:, None, :]).reshape(N, -1)
+        return W
+
+    def _gram(self, X1, X2):
+        Kuu = super()._gram(self._U, self._U)
+        return self._interp_weights(X1) @ Kuu @ self._interp_weights(X2).T
+
+    def _prior_var(self, Xs):
+        Kuu = super()._gram(self._U, self._U)
+        W = self._interp_weights(Xs)
+        return ((W @ Kuu) * W).sum(1)

@@ -97,3 +97,31 @@ class TestTorchGPR:
 
     def test_registry(self):
         assert get_model("GPyTorchGPRModel") is TorchGPRModel
+
+
+class TestTorchKISSGP:
+    """KISS-GP / SKI (ref: GPSat/models/gpytorch_models.py:321-382)."""
+
+    def test_grid_refinement_converges_to_exact(self, data_1d):
+        x, y = data_1d
+        exact = TorchGPRModel(coords=x, obs=y, verbose=False)
+        exact.set_parameters(lengthscales=1.3, kernel_variance=0.9, likelihood_variance=0.02)
+        pe = exact.predict(np.array([[2.0], [5.0]]), apply_scale=False)
+
+        kiss_cls = get_model("GPyTorchKISSGPModel")
+        errs = []
+        for gs in (8, 64):
+            km = kiss_cls(coords=x, obs=y, verbose=False, grid_size=gs)
+            km.set_parameters(lengthscales=1.3, kernel_variance=0.9, likelihood_variance=0.02)
+            pk = km.predict(np.array([[2.0], [5.0]]), apply_scale=False)
+            errs.append(np.max(np.abs(pk["f*"] - pe["f*"])))
+        assert errs[1] < errs[0]  # finer grid -> closer to exact
+        assert errs[1] < 5e-3
+
+    def test_train_and_predict(self, data_1d):
+        x, y = data_1d
+        km = get_model("GPyTorchKISSGPModel")(coords=x, obs=y, verbose=False, grid_size=24, noise_variance=0.01)
+        assert km.optimise_parameters(optimiser="adam", n_iter=60, lr=0.1)
+        out = km.predict(np.array([[5.0]]), apply_scale=False)
+        assert abs(out["f*"][0] - np.sin(5.0)) < 0.2
+        assert out["y_var"][0] > out["f*_var"][0]
