@@ -131,10 +131,19 @@ def _minimize_lbfgs_single_eval(
         x = jnp.where(accept, trial, c["x"])
         f_new = jnp.where(accept, f_t, c["f"])
         g_new = jnp.where(accept, g_t, c["g"])
-        # grow the step back gradually after shrinks (resetting straight to
+        # on rejection, pick the next step by quadratic interpolation of
+        # phi(a) = f(x + a d) through (f, gTd, f_t) — the minimizer of the
+        # fitted parabola, clamped to [0.1, 0.5]*step (Nocedal & Wright
+        # §3.5); costs nothing extra since all three quantities are already
+        # in hand, and lands much closer than a fixed shrink factor.
+        # On acceptance grow the step back gradually (resetting straight to
         # 1 makes rejection-prone lanes thrash, and under vmap the whole
-        # batch pays for the slowest lane)
-        step = jnp.where(accept, jnp.minimum(1.0, c["step"] * 2.0), c["step"] * shrink)
+        # batch pays for the slowest lane).
+        denom = f_t - c["f"] - gTd * c["step"]
+        quad = -0.5 * gTd * c["step"] ** 2 / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+        quad = jnp.where(jnp.isfinite(quad), quad, shrink * c["step"])
+        shrunk = jnp.clip(quad, 0.1 * c["step"], 0.5 * c["step"])
+        step = jnp.where(accept, jnp.minimum(1.0, c["step"] * 2.0), shrunk)
         fhist = jnp.where(accept, c["fhist"].at[c["acc"] % nonmonotone_window].set(f_t), c["fhist"])
         acc = jnp.where(accept, c["acc"] + 1, c["acc"])
 
