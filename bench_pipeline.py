@@ -83,8 +83,7 @@ def main():
             "constraints": {"lengthscales": {"low": 5_000, "high": 2_000_000}},
             "optim_kwargs": {
                 "max_iter": 100,
-                "linesearch": "backtracking",
-                "max_linesearch_steps": 4,
+                "linesearch": "single_eval",
             },
         },
         "pred_loc": {"method": "from_dataframe", "df": pred_df, "max_dist": 200_000.0},
@@ -101,6 +100,8 @@ def main():
     n_run = int((rd["num_obs"] >= 10).sum())
     conv = int(rd["optimise_success"].sum())
     eps = n_run / elapsed
+    import sys
+    print(f"iters mean/max: {rd['num_iter'].mean():.0f}/{rd['num_iter'].max()}", file=sys.stderr)
 
     out = {
         "metric": "pan_arctic_oi_experts_per_sec_e2e",

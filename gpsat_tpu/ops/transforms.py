@@ -31,7 +31,8 @@ def softplus(x: Array) -> Array:
 def inverse_softplus(y: Array) -> Array:
     # x = log(exp(y) - 1) = y + log(1 - exp(-y)), stable for large/small y
     y = jnp.asarray(y)
-    eps_thresh = np.log(np.finfo(np.asarray(y).dtype if hasattr(y, "dtype") else np.float64).eps) + 2.0
+    dt = getattr(y, "dtype", None)
+    eps_thresh = np.log(np.finfo(dt if dt is not None and np.issubdtype(dt, np.floating) else np.float64).eps) + 2.0
     small = y < jnp.exp(eps_thresh)
     big = y > -eps_thresh
     # clip the argument of expm1 to keep the unused branch NaN-free under where()
