@@ -73,8 +73,23 @@ def _fused_fwd_impl(kernel, X, y, mask, lengthscales, kernel_variance, likelihoo
     k, r = _kernel_and_r(kernel, X, lengthscales, kernel_variance)
     K = LA.add_diag(k, likelihood_variance + jitter)
     Km = LA.mask_gram(K, m)
-    L = LA.cholesky(Km)
     ym = (y * m)[:, None]
+    if LA.panel_path_enabled(Km):
+        # stacked-panel factor pair: the pallas kernel (under the expert
+        # vmap, via custom_vmap) factors all tiles' diagonal blocks
+        # simultaneously and emits their inverses; value solve and full
+        # W = L^-1 become block matmuls
+        L, Wdiag = LA.chol_panel_pair(Km)
+        v = LA.tri_solve_from_diag(L, Wdiag, ym)
+        quad = jnp.sum(v * v)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+        lml = -0.5 * quad - 0.5 * logdet - 0.5 * n * jnp.log(2.0 * jnp.pi)
+        W = LA.tri_inv_from_diag(L, Wdiag)
+        Kinv = jnp.matmul(W.T, W, precision=jax.lax.Precision.HIGHEST)
+        alpha = jnp.matmul(Kinv, ym, precision=jax.lax.Precision.HIGHEST)
+        residuals = (X, m, lengthscales, kernel_variance, r, Kinv, alpha[:, 0])
+        return lml, residuals
+    L = LA.cholesky(Km)
     # value via one triangular solve — value-only callers (linesearch
     # probes) never touch the residuals below, so XLA dead-code-eliminates
     # the O(N^3) inverse work for them

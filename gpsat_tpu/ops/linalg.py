@@ -129,6 +129,150 @@ def chol_inv(K: Array, T: int = 128):
     return L, tri_inv_blocked(L, T)
 
 
+# ---------------------------------------------------------------------------
+# Stacked-panel factor pair: Cholesky + diagonal-block inverses in one pass.
+#
+# The per-expert objectives run under vmap; a pallas_call inside vmap gets a
+# singleton leading block dimension, which Mosaic's layout inference rejects
+# (3-d refs, layout.h:320). custom_vmap sidesteps this: the UNBATCHED rule is
+# plain XLA, and the BATCHED rule hands the whole expert batch to the 2-d
+# stacked-panel kernel (ops/pallas/panel_chol) with the O(N^3) trailing
+# updates as XLA batched matmuls.
+# ---------------------------------------------------------------------------
+
+_PANEL_T = 128
+
+
+def panel_path_enabled(K: Array) -> bool:
+    """Static (trace-time) gate for the stacked-panel factor path."""
+    import os
+
+    # default OFF: measured 2.6x SLOWER than the XLA path on v5e — VMEM
+    # caps the per-grid-step block count at 8, so the kernel serializes
+    # 16 grid repeats x 128 steps x 4 panels = 8192 sequential steps where
+    # XLA's batched Cholesky pays only N=512 fat ones. On a single
+    # TensorCore, Cholesky is latency-bound by sequential-step count and
+    # XLA already minimizes it; kept as an opt-in experiment + the
+    # correctness harness for future multi-core / larger-VMEM parts.
+    flag = os.environ.get("GPSAT_PALLAS_PANEL", "0")
+    if flag not in ("1", "force"):
+        return False
+    N = K.shape[-1]
+    if K.dtype != jnp.float32 or N % _PANEL_T != 0 or N < 2 * _PANEL_T:
+        return False
+    if flag == "force":  # CPU test suites run the kernel in interpret mode
+        return True
+    try:
+        import jax.extend.backend as _be
+
+        return _be.get_backend().platform not in ("cpu",)
+    except Exception:
+        return False
+
+
+def _diag_blocks(L: Array, T: int) -> Array:
+    Nb = L.shape[-1] // T
+    return jnp.stack([L[p * T : (p + 1) * T, p * T : (p + 1) * T] for p in range(Nb)])
+
+
+def _chol_panel_pair_unbatched(K: Array):
+    L = cholesky(K)
+    T = _PANEL_T
+    eyeT = jnp.eye(T, dtype=L.dtype)
+    Wdiag = jax.vmap(lambda Li: jax.scipy.linalg.solve_triangular(Li, eyeT, lower=True))(
+        _diag_blocks(L, T)
+    )
+    return L, Wdiag
+
+
+def _chol_panels_batched(K: Array):
+    """Right-looking blocked Cholesky of [B, N, N]: panel factorizations on
+    the pallas stacked kernel, trailing updates as MXU batched matmuls.
+    Returns (L [B, N, N], Wdiag [B, Nb, T, T])."""
+    from gpsat_tpu.ops.pallas.panel_chol import factor_panels
+
+    T = _PANEL_T
+    hi = jax.lax.Precision.HIGHEST
+    B, N, _ = K.shape
+    Nb = N // T
+    A = K
+    cols = []
+    Wdiags = []
+    for p in range(Nb):
+        D = A[:, :T, :T]
+        Ld, Di = factor_panels(D)
+        Wdiags.append(Di)
+        if p < Nb - 1:
+            rest = A[:, T:, :T]  # [B, R, T]
+            Lpan = jnp.matmul(rest, jnp.swapaxes(Di, 1, 2), precision=hi)
+            A = A[:, T:, T:] - jnp.matmul(Lpan, jnp.swapaxes(Lpan, 1, 2), precision=hi)
+            col = jnp.concatenate([Ld, Lpan], axis=1)  # [B, N - p*T, T]
+        else:
+            col = Ld
+        cols.append(jnp.pad(col, ((0, 0), (p * T, 0), (0, 0))))
+    L = jnp.concatenate(cols, axis=2)
+    return L, jnp.stack(Wdiags, axis=1)
+
+
+from jax import custom_batching as _cb
+
+
+@_cb.custom_vmap
+def chol_panel_pair(K: Array):
+    """(L, Wdiag) where Wdiag[p] = inv(L[pT:(p+1)T, pT:(p+1)T]).
+
+    Under vmap (the expert batch) this routes to the pallas stacked-panel
+    driver; unbatched it is plain XLA.
+    """
+    return _chol_panel_pair_unbatched(K)
+
+
+@chol_panel_pair.def_vmap
+def _chol_panel_pair_vmap(axis_size, in_batched, K):
+    (k_batched,) = in_batched
+    if not k_batched:
+        out = _chol_panel_pair_unbatched(K)
+        return out, (False, False)
+    return _chol_panels_batched(K), (True, True)
+
+
+def tri_inv_from_diag(L: Array, Wdiag: Array, T: int = _PANEL_T) -> Array:
+    """W = L^-1 given precomputed diagonal-block inverses (tri_inv_blocked
+    with its stacked diagonal solve already paid by the panel kernel)."""
+    N = L.shape[-1]
+    nblk = N // T
+    Lb = [[L[i * T : (i + 1) * T, k * T : (k + 1) * T] for k in range(nblk)] for i in range(nblk)]
+    Wb = [[None] * nblk for _ in range(nblk)]
+    for i in range(nblk):
+        Wb[i][i] = Wdiag[i]
+    for i in range(1, nblk):
+        for k in range(i - 1, -1, -1):
+            acc = None
+            for j in range(k, i):
+                term = jnp.matmul(Lb[i][j], Wb[j][k], precision=jax.lax.Precision.HIGHEST)
+                acc = term if acc is None else acc + term
+            Wb[i][k] = -jnp.matmul(Wdiag[i], acc, precision=jax.lax.Precision.HIGHEST)
+    zero = jnp.zeros((T, T), dtype=L.dtype)
+    rows = [jnp.concatenate([Wb[i][k] if k <= i else zero for k in range(nblk)], axis=1) for i in range(nblk)]
+    return jnp.concatenate(rows, axis=0)
+
+
+def tri_solve_from_diag(L: Array, Wdiag: Array, b: Array, T: int = _PANEL_T) -> Array:
+    """Solve L v = b (lower) by block forward substitution using the
+    precomputed diagonal-block inverses: Nb block steps of matmuls instead
+    of XLA's N sequential scalar substitution steps."""
+    N = L.shape[-1]
+    nblk = N // T
+    hi = jax.lax.Precision.HIGHEST
+    vs = []
+    for p in range(nblk):
+        rhs = b[p * T : (p + 1) * T]
+        for j in range(p):
+            rhs = rhs - jnp.matmul(L[p * T : (p + 1) * T, j * T : (j + 1) * T], vs[j], precision=hi)
+        vs.append(jnp.matmul(Wdiag[p], rhs, precision=hi))
+    return jnp.concatenate(vs, axis=0)
+
+
 def cho_solve(L: Array, B: Array) -> Array:
     """Solve K x = B given K = L L^T."""
     return tri_solve(L, tri_solve(L, B), trans=True)
