@@ -38,6 +38,14 @@ def _builtin_registry_init():
 
     REGISTERED_FUNCS.setdefault("WGS84toEASE2", _proj.WGS84toEASE2)
     REGISTERED_FUNCS.setdefault("EASE2toWGS84", _proj.EASE2toWGS84)
+    # datetime helpers common in OI configs (the reference writes these as
+    # eval'd lambda strings, e.g. configs/example_local_expert_oi.json;
+    # named ops are the safe spelling)
+    REGISTERED_FUNCS.setdefault("to_datetime", lambda x: pd.to_datetime(x).values)
+    REGISTERED_FUNCS.setdefault(
+        "days_since_epoch",
+        lambda x: (pd.to_datetime(x) - pd.Timestamp("1970-01-01")).total_seconds().values / 86400.0,
+    )
 
 
 def get_col_values(df: pd.DataFrame, col, return_numpy: bool = True):
