@@ -5,6 +5,12 @@ per-date gap-based track numbering, writing back to the store.
 Usage: python examples/generate_track_id.py <store.h5> [table] [datetime_col]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo-root run without install
+
+
 import sys
 
 from gpsat_tpu.data.store import TableStore

@@ -9,6 +9,12 @@ flow, self-contained with synthetic data):
 Run: python examples/inline_example.py [--quick]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo-root run without install
+
+
 import argparse
 import os
 import tempfile

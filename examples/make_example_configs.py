@@ -5,6 +5,12 @@ here the data is synthesized so the pipeline is self-contained).
 Usage: python examples/make_example_configs.py <work_dir>
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo-root run without install
+
+
 import json
 import os
 import sys

@@ -4,6 +4,12 @@
 Usage: python examples/plot_from_results.py <results.h5> [table_suffix]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo-root run without install
+
+
 import sys
 
 import matplotlib
