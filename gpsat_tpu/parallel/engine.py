@@ -87,8 +87,8 @@ def make_batched_runner(
     fixed_params: tuple = (),
     max_iter: int = 500,
     optimise: bool = True,
-    tol_grad: float = 1e-6,
-    tol_f: float = 1e-11,
+    tol_grad: Optional[float] = None,
+    tol_f: Optional[float] = None,
     linesearch: str = "zoom",
     max_linesearch_steps: int = 32,
     mesh: Optional[Mesh] = None,
@@ -97,9 +97,19 @@ def make_batched_runner(
 
     With a mesh, the expert axis is sharded via shard_map so each device
     optimizes its local tiles with no cross-device synchronization.
+
+    tol_grad/tol_f default by compute dtype: 1e-6/1e-11 in f64 (scipy
+    L-BFGS-B parity) but 1e-3/1e-6 in f32 — the f64-grade thresholds sit
+    below f32 arithmetic noise, so lanes burn iterations (and under vmap
+    the whole batch pays for the slowest lane) chasing unreachable
+    decreases.
     """
 
     def batched(X, y, mask, Xnew, uparams0):
+        f32 = jnp.dtype(X.dtype) == jnp.float32
+        tg = tol_grad if tol_grad is not None else (1e-3 if f32 else 1e-6)
+        tf = tol_f if tol_f is not None else (1e-6 if f32 else 1e-11)
+
         def one(d, xn, u):
             return _fit_predict_one(
                 core,
@@ -109,8 +119,8 @@ def make_batched_runner(
                 fixed_params=tuple(fixed_params),
                 max_iter=max_iter,
                 optimise=optimise,
-                tol_grad=tol_grad,
-                tol_f=tol_f,
+                tol_grad=tg,
+                tol_f=tf,
                 linesearch=linesearch,
                 max_linesearch_steps=max_linesearch_steps,
             )
