@@ -38,6 +38,34 @@ def get_data_path(*sub_dirs: str) -> str:
     return get_parent_path("data", *sub_dirs)
 
 
+def enable_compilation_cache(cache_dir: str = None):
+    """Turn on JAX's persistent compilation cache for the OI programs.
+
+    The batched L-BFGS + predict program takes minutes to compile on TPU
+    toolchains; with the cache every later process start reuses it. Called
+    automatically on first LocalExpertOI.run (opt out:
+    GPSAT_NO_COMPILE_CACHE=1). Directory: ``cache_dir`` argument,
+    $GPSAT_CACHE_DIR, or ~/.cache/gpsat_tpu/jax.
+    """
+    import jax
+
+    if _os.environ.get("GPSAT_NO_COMPILE_CACHE") == "1":
+        return None
+    if jax.config.jax_compilation_cache_dir:  # user already configured one
+        return jax.config.jax_compilation_cache_dir
+    cache_dir = cache_dir or _os.environ.get(
+        "GPSAT_CACHE_DIR", _os.path.expanduser("~/.cache/gpsat_tpu/jax")
+    )
+    try:
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache everything that took a nontrivial compile
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        return None
+    return cache_dir
+
+
 def enable_x64():
     """Enable float64 in JAX (call before tracing; used by CLIs and tests).
 

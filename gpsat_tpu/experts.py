@@ -344,6 +344,12 @@ class LocalExpertOI:
         )
         t_start = time.perf_counter()
 
+        # minutes-long TPU compiles of the batch programs are reused across
+        # process restarts (opt out: GPSAT_NO_COMPILE_CACHE=1)
+        from gpsat_tpu import enable_compilation_cache
+
+        enable_compilation_cache()
+
         if profile_dir is not None:
             # the reference only offers per-expert wall timing
             # (GPSat/local_experts.py:945,1176-1196); here device work can be

@@ -167,7 +167,9 @@ def _minimize_lbfgs_single_eval(
         fhist=jnp.full(nonmonotone_window, f0, dtype=x0_flat.dtype),
         acc=jnp.asarray(0),
         it=jnp.asarray(0),
-        done=jnp.asarray(False),
+        # already-converged starts (warm restarts, predict-reload sweeps)
+        # must exit immediately instead of burning rejection cycles
+        done=jnp.max(jnp.abs(g0)) <= tol_grad,
         failed=jnp.logical_not(jnp.isfinite(f0)),
     )
     out = jax.lax.while_loop(cond, body, init)
