@@ -149,6 +149,32 @@ class TestXval:
         assert c0["run_kwargs"]["table_suffix"] == "_0"
 
 
+class TestCompilationCache:
+    def test_enable_respects_user_config_and_optout(self, monkeypatch, tmp_path):
+        import jax
+
+        from gpsat_tpu import enable_compilation_cache
+
+        # opt-out wins
+        monkeypatch.setenv("GPSAT_NO_COMPILE_CACHE", "1")
+        assert enable_compilation_cache() is None
+        monkeypatch.delenv("GPSAT_NO_COMPILE_CACHE")
+
+        # user-configured dir is respected, not overwritten
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            jax.config.update("jax_compilation_cache_dir", str(tmp_path / "user"))
+            assert enable_compilation_cache() == str(tmp_path / "user")
+            # fresh default goes to GPSAT_CACHE_DIR
+            jax.config.update("jax_compilation_cache_dir", None)
+            monkeypatch.setenv("GPSAT_CACHE_DIR", str(tmp_path / "auto"))
+            out = enable_compilation_cache()
+            assert out == str(tmp_path / "auto")
+            assert (tmp_path / "auto").is_dir()
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)
+
+
 class TestTableMarshalling:
     def test_array_to_dataframe_roundtrip(self):
         from gpsat_tpu.utils import array_to_dataframe, dataframe_to_array
