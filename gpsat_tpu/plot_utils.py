@@ -300,3 +300,41 @@ def plot_wrapper(
     plot_hist(ax1, plt_df[val_col].values, xlabel=val_col)
     fig.tight_layout()
     return fig
+
+
+def plot_minimal_example(model_cls, model_init=None, opt_params=None, pred_params=None):
+    """Run any BaseGPRModel through the gpflow getting-started example and
+    plot fit +-1.96 sigma (ref: plot_utils.py:346 plot_gpflow_minimal_example;
+    data from gpflow.github.io basic_usage).
+
+    Returns (predictions dict, parameters dict, figure).
+    """
+    import numpy as np
+
+    model_init = model_init or {}
+    opt_params = opt_params or {}
+    pred_params = pred_params or {}
+
+    # the gpflow minimal-example dataset
+    X = np.array([0.865, 0.666, 0.804, 0.771, 0.147, 0.866, 0.007, 0.026,
+                  0.171, 0.889, 0.243, 0.028])[:, None]
+    Y = np.array([1.57, 3.48, 3.12, 3.91, 3.07, 1.35, 3.80, 3.82, 3.49,
+                  1.30, 4.00, 3.82])[:, None]
+
+    model = model_cls(coords=X, obs=Y, **model_init)
+    model.optimise_parameters(**opt_params)
+    Xnew = np.linspace(-0.1, 1.1, 100)[:, None]
+    pred = model.predict(coords=Xnew, apply_scale=False, **pred_params)
+    params = model.get_parameters() if hasattr(model, "get_parameters") else {
+        p: getattr(model, f"get_{p}")() for p in model.param_names
+    }
+
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.plot(X[:, 0], Y[:, 0], "kx", label="observations")
+    f, fv = np.asarray(pred["f*"]).ravel(), np.asarray(pred["f*_var"]).ravel()
+    ax.plot(Xnew[:, 0], f, "C0", label="posterior mean")
+    ax.fill_between(Xnew[:, 0], f - 1.96 * np.sqrt(fv), f + 1.96 * np.sqrt(fv),
+                    color="C0", alpha=0.2, label="95% f*")
+    ax.legend()
+    ax.set_title(getattr(model_cls, "__name__", str(model_cls)))
+    return pred, params, fig

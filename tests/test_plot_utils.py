@@ -67,6 +67,15 @@ class TestPlotUtils:
         fig = PU.plot_wrapper(dfs["preds"], val_col="f*")
         plt.close(fig)
 
+    def test_plot_minimal_example(self):
+        from gpsat_tpu.models import get_model
+
+        pred, params, fig = PU.plot_minimal_example(
+            get_model("GPflowGPRModel"), opt_params={"max_iter": 100}
+        )
+        assert np.isfinite(pred["f*"]).all() and "lengthscales" in params
+        plt.close(fig)
+
     def test_get_projection_fallback(self):
         p = PU.get_projection("north")
         assert p == {"laea_lat_0": 90} or PU.HAS_CARTOPY
