@@ -79,6 +79,16 @@ def load(
     if isinstance(where, dict):
         where = [where]
 
+    if isinstance(source, dict):
+        if "_dataframe_" in source:
+            raise ValueError(
+                "source is a serialized DataFrame fingerprint — in-memory "
+                "DataFrame sources don't survive a JSON round trip; use a "
+                "file path in configs written to disk"
+            )
+        # a DataFrame expressed as a column dict in a JSON config
+        # (ref: GPSat/config_dataclasses.py:11-216 DataFrame<->dict round-trip)
+        source = pd.DataFrame(source)
     if isinstance(source, pd.DataFrame):
         df = sel.data_select(source, where=where)
     elif isinstance(source, TableStore):

@@ -165,19 +165,88 @@ class XvalConfig:
             if self.output_file is not None:
                 rkw["store_path"] = self.output_file
 
+            # NOT json_serializable here: in-memory DataFrame sources must
+            # survive for run_from_config; main() serializes when writing
+            # the configs to a JSON file (where path sources are required)
             oic.append(
-                json_serializable(
-                    {
-                        "data": dc,
-                        "model": m,
-                        "locations": locs,
-                        "pred_loc": pl,
-                        "run_kwargs": rkw,
-                        "comment": f"{self.comment} [xval hold-out: {vals_out[i]}]",
-                    }
-                )
+                {
+                    "data": dc,
+                    "model": m,
+                    "locations": locs,
+                    "pred_loc": pl,
+                    "run_kwargs": rkw,
+                    "comment": f"{self.comment} [xval hold-out: {vals_out[i]}]",
+                }
             )
         return oic
+
+
+def evaluate_xval_results(
+    store_path: str,
+    truth_df: pd.DataFrame,
+    obs_col: str,
+    *,
+    inference_radius: Union[int, float],
+    pred_loc_cols: Optional[List[str]] = None,
+    xprt_loc_cols: Optional[List[str]] = None,
+    pred_table_pattern: str = r"preds_.+",
+    join_round: Optional[int] = None,
+) -> pd.DataFrame:
+    """Score a cross-validation results store against held-out truth.
+
+    For every ``preds_<suffix>`` table (one per hold-out slice, written by
+    the configs XvalConfig emits) the per-expert predictions are glued with
+    Gaussian weights, joined to the truth on the prediction coordinates,
+    and scored with RMSE and mean NLL — the reference's archived evaluation
+    flow (ref: examples/Archive/evaluate_xval_performance.py:16-87) as a
+    library function. Returns one row per hold-out table plus their means.
+
+    join_round: optional decimals to round coordinates to before joining
+    (the reference rounds to reconcile float drift).
+    """
+    from gpsat_tpu.data.store import TableStore
+    from gpsat_tpu.postprocess import glue_local_predictions_2d
+    from gpsat_tpu.utils.misc import nll, rmse
+
+    pred_loc_cols = pred_loc_cols or ["pred_loc_x", "pred_loc_y"]
+    xprt_loc_cols = xprt_loc_cols or ["x", "y"]
+
+    with TableStore(store_path, mode="r") as store:
+        tables = [t for t in store.keys() if re.fullmatch(pred_table_pattern, t.lstrip("/"))]
+        preds = {t: store.select(t).reset_index() for t in tables}
+    assert preds, f"no tables matching {pred_table_pattern!r} in {store_path}"
+
+    truth = truth_df.copy()
+    rows = []
+    for t, df in preds.items():
+        glued = glue_local_predictions_2d(
+            df, pred_loc_cols, xprt_loc_cols, ["f*", "y_var"], inference_radius
+        )
+        g = glued.reset_index()
+        tr = truth
+        if join_round is not None:
+            g = g.copy()
+            tr = truth.copy()
+            for c in pred_loc_cols:
+                g[c] = g[c].round(join_round)
+                tr[c] = tr[c].round(join_round)
+        merged = g.merge(tr[pred_loc_cols + [obs_col]], on=pred_loc_cols, how="inner")
+        if len(merged) == 0:
+            rows.append({"table": t, "n": 0, "rmse": np.nan, "nll": np.nan})
+            continue
+        sig = np.sqrt(np.clip(merged["y_var"].values, 1e-12, None))
+        rows.append(
+            {
+                "table": t,
+                "n": len(merged),
+                "rmse": rmse(merged[obs_col].values, merged["f*"].values),
+                "nll": nll(merged[obs_col].values, merged["f*"].values, sig),
+            }
+        )
+    out = pd.DataFrame(rows)
+    mean_row = {"table": "MEAN", "n": int(out["n"].sum()),
+                "rmse": out["rmse"].mean(), "nll": out["nll"].mean()}
+    return pd.concat([out, pd.DataFrame([mean_row])], ignore_index=True)
 
 
 def main(config: dict = None):
@@ -196,7 +265,7 @@ def main(config: dict = None):
     )
     out_path = config.get("output_config_file", "xval_configs.json")
     with open(out_path, "w") as f:
-        json.dump(oic, f, indent=4)
+        json.dump(json_serializable(oic), f, indent=4)
     cprint(f"wrote {len(oic)} xval configs to: {out_path}", c="OKGREEN")
     return oic
 

@@ -149,6 +149,56 @@ class TestXval:
         assert c0["run_kwargs"]["table_suffix"] == "_0"
 
 
+class TestXvalEvaluate:
+    def test_full_xval_workflow(self, tmp_path):
+        """Expand -> run per hold-out -> score held-out predictions
+        (ref: examples/Archive/evaluate_xval_performance.py flow)."""
+        from gpsat_tpu.local_expert_oi import run_from_config
+        from gpsat_tpu.xval import evaluate_xval_results
+
+        rng = np.random.default_rng(0)
+        n_per = 80
+        rows = []
+        for track in range(2):
+            x = rng.uniform(-3, 3, n_per)
+            y = rng.uniform(-3, 3, n_per)
+            rows.append(
+                pd.DataFrame(
+                    {"x": x, "y": y, "track": track,
+                     "z": np.sin(x) * np.cos(y) + 0.05 * rng.normal(size=n_per)}
+                )
+            )
+        obs = pd.concat(rows, ignore_index=True)
+        out = str(tmp_path / "xval.h5")
+        ref_config = {
+            "data": {"data_source": obs, "obs_col": "z", "coords_col": ["x", "y"],
+                     "local_select": [{"col": ["x", "y"], "comp": "<", "val": 4.0}]},
+            "locations": {"source": pd.DataFrame({"x": [0.0], "y": [0.0]})},
+            "model": {"oi_model": "GPflowGPRModel",
+                      "optim_kwargs": {"max_iter": 150, "linesearch": "single_eval"}},
+            "run_kwargs": {"store_path": out, "min_obs": 5},
+        }
+        xval_config = {
+            "pred_loc": {"method": "from_source"},
+            "row_select_values": ["track"],
+            "func": "lambda track: track == {track}",
+            "col_args": ["track"],
+            "output_file": out,
+        }
+        oic = XvalConfig(ref_config=ref_config, xval_config=xval_config).make_xval_oi_configs(
+            verbose=False
+        )
+        assert len(oic) == 2
+        for cfg in oic:
+            run_from_config(cfg)
+        truth = obs.rename(columns={"x": "pred_loc_x", "y": "pred_loc_y"})
+        scores = evaluate_xval_results(out, truth, "z", inference_radius=4.0, join_round=9)
+        per = scores[scores.table != "MEAN"]
+        assert len(per) == 2 and (per["n"] == n_per).all()
+        assert (per["rmse"] < 0.2).all()  # noise floor 0.05
+        assert np.isfinite(per["nll"]).all()
+
+
 class TestCompilationCache:
     def test_enable_respects_user_config_and_optout(self, monkeypatch, tmp_path):
         import jax
