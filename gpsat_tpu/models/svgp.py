@@ -14,9 +14,10 @@ S = q_sqrt q_sqrt^T with q_sqrt lower-triangular.
 
 ELBO = (N/B) sum_batch E_q[log p(y_n|f_n)] - KL(q(v) || N(0, I)).
 
-Likelihoods: exact variational expectations for Gaussian; Gauss-Hermite
-quadrature for StudentT (the reference's by-string non-Gaussian
-likelihood path, :1083-1092).
+Likelihoods: exact variational expectations for Gaussian and Poisson
+(exp-link moment is closed-form); Gauss-Hermite quadrature for StudentT
+and Bernoulli/probit (the reference's by-string non-Gaussian likelihood
+path, :1083-1092).
 """
 
 from __future__ import annotations
@@ -78,7 +79,25 @@ def variational_expectations(likelihood: str, y, f_mean, f_var, lik_params: dict
             - (df + 1) / 2 * jnp.log1p(z**2 / df)
         )
         return logp @ w
-    raise NotImplementedError(f"likelihood: {likelihood} not implemented (use 'Gaussian' or 'StudentT')")
+    if likelihood == "Bernoulli":
+        # classification with a probit link (gpflow's Bernoulli default);
+        # y in {0, 1} or {-1, +1}
+        import jax.scipy.stats as jss
+
+        ys = jnp.where(y > 0, 1.0, -1.0)
+        x, w = _gh_nodes(50)
+        f = f_mean[:, None] + jnp.sqrt(jnp.maximum(f_var, 1e-30))[:, None] * x[None, :]
+        logp = jss.norm.logcdf(ys[:, None] * f)
+        return logp @ w
+    if likelihood == "Poisson":
+        # counts with an exp link: E[log p] = y*E[f] - E[exp f] - log y!
+        # where E[exp f] = exp(mu + var/2) is closed-form
+        import jax.scipy.special as jsp
+
+        return y * f_mean - jnp.exp(f_mean + 0.5 * f_var) - jsp.gammaln(y + 1.0)
+    raise NotImplementedError(
+        f"likelihood: {likelihood} not implemented (use 'Gaussian', 'StudentT', 'Bernoulli' or 'Poisson')"
+    )
 
 
 # --------------------------------------------------------------------------

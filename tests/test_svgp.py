@@ -121,6 +121,33 @@ class TestSVGP:
         mc = student_t.logpdf(np.asarray(y), df=3.0, loc=f, scale=0.3).mean(axis=0)
         np.testing.assert_allclose(np.asarray(ve), mc, atol=5e-3)
 
+    def test_bernoulli_ve_matches_montecarlo(self):
+        import jax.numpy as jnp
+        from scipy.stats import norm
+
+        rng = np.random.default_rng(1)
+        y = jnp.asarray([1.0, 0.0, 1.0])
+        mu = jnp.asarray([0.5, -0.3, 2.0])
+        var = jnp.asarray([0.4, 0.2, 1.0])
+        ve = variational_expectations("Bernoulli", y, mu, var, {})
+        f = rng.normal(size=(200_000, 3)) * np.sqrt(np.asarray(var)) + np.asarray(mu)
+        ys = np.where(np.asarray(y) > 0, 1.0, -1.0)
+        mc = norm.logcdf(ys * f).mean(axis=0)
+        np.testing.assert_allclose(np.asarray(ve), mc, atol=5e-3)
+
+    def test_poisson_ve_matches_montecarlo(self):
+        import jax.numpy as jnp
+        from scipy.stats import poisson
+
+        rng = np.random.default_rng(2)
+        y = jnp.asarray([0.0, 2.0, 5.0])
+        mu = jnp.asarray([-0.5, 0.3, 1.4])
+        var = jnp.asarray([0.3, 0.2, 0.5])
+        ve = variational_expectations("Poisson", y, mu, var, {})
+        f = rng.normal(size=(400_000, 3)) * np.sqrt(np.asarray(var)) + np.asarray(mu)
+        mc = poisson.logpmf(np.asarray(y), np.exp(f)).mean(axis=0)
+        np.testing.assert_allclose(np.asarray(ve), mc, atol=5e-3)
+
     def test_early_stopping_and_registry(self, oracle):
         assert get_model("GPflowSVGPModel") is SVGPModel
         np.random.seed(5)
