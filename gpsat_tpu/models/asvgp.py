@@ -2,9 +2,9 @@
 
 The reference exposes GPflowASVGPModel by importing an external (non-
 vendored) clone (ref: GPSat/models/asvgp_model.py:9-11, optional
-capability). This build implements the method directly for the Matern12
-kernel with first-order (hat) B-splines, the case whose RKHS inner
-products are closed-form:
+capability). This build implements the method directly for the
+Matern12/B1 (hat) and Matern32/B2 (quadratic) kernel/spline pairs. The
+Matern12 RKHS inner products are closed-form:
 
   Matern12 RKHS on [a, b]:
     <f, g> = (1/(2 s2)) [ (1/l) int f g + l int f' g' + f(a)g(a) + f(b)g(b) ]
@@ -17,9 +17,10 @@ products are closed-form:
 
 Collapsed ELBO / posterior identical in form to VFF's GPR_kron
 (gpsat_tpu.models.vff), with Kronecker structure across dimensions. The
-bound converges to the exact Matern12 GPR as the knot grid refines
-(tested). Higher-order Matern/spline pairs follow the same pattern and are
-left gated (matching the reference's optional status).
+bound converges to the exact GPR as the knot grid refines (tested for
+both pairs). Matern32/B2 assembles the banded RKHS Gram by exact 3-point
+Gauss-Legendre quadrature with boundary corrections (matern32_spline_kuu);
+Matern52/B3 is left gated (matching the reference's optional status).
 """
 
 from __future__ import annotations
@@ -66,19 +67,111 @@ def matern12_spline_kuu(knots: np.ndarray, lengthscale, variance) -> jnp.ndarray
     return (Mm / lengthscale + lengthscale * Sm + Bm) / (2.0 * variance)
 
 
+def b2_basis(x: jnp.ndarray, knots: jnp.ndarray, deriv: int = 0) -> jnp.ndarray:
+    """Quadratic (B2) spline basis on a uniform grid: [M, N], M = n_int + 2.
+
+    phi_i(x) = B((x-a)/h - (i-2)) with B the C^1 quadratic B-spline on
+    [0, 3]; deriv in {0, 1, 2} returns the basis / its derivatives (B2''
+    is piecewise constant, fine for the Matern32 RKHS integrals since B2
+    is C^1).
+    """
+    a = knots[0]
+    h = knots[1] - knots[0]
+    n_int = len(knots) - 1
+    M = n_int + 2
+    i = jnp.arange(M)
+    t = (x[None, :] - a) / h - (i[:, None] - 2.0)  # [M, N] in knot units
+    in0 = (t >= 0) & (t < 1)
+    in1 = (t >= 1) & (t < 2)
+    in2 = (t >= 2) & (t <= 3)
+    if deriv == 0:
+        v = jnp.where(in0, 0.5 * t**2, 0.0)
+        v = jnp.where(in1, 0.5 * (-2 * t**2 + 6 * t - 3), v)
+        v = jnp.where(in2, 0.5 * (3 - t) ** 2, v)
+        return v
+    if deriv == 1:
+        v = jnp.where(in0, t, 0.0)
+        v = jnp.where(in1, -2 * t + 3, v)
+        v = jnp.where(in2, t - 3, v)
+        return v / h
+    if deriv == 2:
+        v = jnp.where(in0, 1.0, 0.0)
+        v = jnp.where(in1, -2.0, v)
+        v = jnp.where(in2, 1.0, v)
+        return v / h**2
+    raise ValueError(f"deriv: {deriv}")
+
+
+def matern32_spline_kuu(knots: np.ndarray, lengthscale, variance) -> jnp.ndarray:
+    """Banded RKHS Gram of the B2 basis under the Matern32 kernel.
+
+    Matern32 RKHS on [a, b] (lam = sqrt(3)/l; identified numerically to
+    machine precision from the reproducing property <k(x,.), k(y,.)> =
+    k(x, y), matching the VFF-paper construction the reference's external
+    ASVGP dependency builds on):
+
+      <f, g> = C [ int_a^b f''g'' + 2 lam^2 f'g' + lam^4 f g
+                   + 2 lam^3 (f g)(a) + 2 lam (f'g')(a) - lam^2 (fg' + f'g)(a)
+                   + 2 lam^3 (f g)(b) + 2 lam (f'g')(b) + lam^2 (fg' + f'g)(b) ]
+      C = 1 / (4 lam^3 s2)
+
+    Integrals of B2 products are degree <= 4 polynomials per interval:
+    3-point Gauss-Legendre is exact.
+    """
+    knots = jnp.asarray(knots)
+    lam = jnp.sqrt(3.0) / lengthscale
+    a, b = knots[0], knots[-1]
+    h = knots[1] - knots[0]
+    n_int = len(knots) - 1
+    # 3-point GL nodes/weights on [0, 1]
+    gl_x = np.array([0.5 - np.sqrt(15) / 10, 0.5, 0.5 + np.sqrt(15) / 10])
+    gl_w = np.array([5.0 / 18, 8.0 / 18, 5.0 / 18])
+    xq = (knots[:-1][:, None] + h * gl_x[None, :]).reshape(-1)  # [3 n_int]
+    wq = jnp.tile(jnp.asarray(gl_w), n_int) * h
+
+    F = b2_basis(xq, knots, 0)
+    Fp = b2_basis(xq, knots, 1)
+    Fpp = b2_basis(xq, knots, 2)
+    integ = (
+        (Fpp * wq) @ Fpp.T
+        + 2.0 * lam**2 * (Fp * wq) @ Fp.T
+        + lam**4 * (F * wq) @ F.T
+    )
+    ends = jnp.asarray([a, b]).reshape(2)
+    V = b2_basis(ends, knots, 0)  # [M, 2]
+    Dv = b2_basis(ends, knots, 1)
+    va, vb = V[:, 0], V[:, 1]
+    da, db = Dv[:, 0], Dv[:, 1]
+    bnd = (
+        2.0 * lam**3 * (jnp.outer(va, va) + jnp.outer(vb, vb))
+        + 2.0 * lam * (jnp.outer(da, da) + jnp.outer(db, db))
+        - lam**2 * (jnp.outer(va, da) + jnp.outer(da, va))
+        + lam**2 * (jnp.outer(vb, db) + jnp.outer(db, vb))
+    )
+    return (integ + bnd) / (4.0 * lam**3 * variance)
+
+
+_SPLINE_PAIRS = {
+    # kernel -> (basis eval fn(x, knots) -> [M, N], kuu fn(knots, l, s2))
+    "Matern12": (hat_basis_eval, matern12_spline_kuu),
+    "Matern32": (lambda x, kn: b2_basis(x, kn, 0), matern32_spline_kuu),
+}
+
+
 def _per_dim(cparams: dict, D: int):
     ls = cparams["lengthscales"].reshape(D)
     var_d = cparams["kernel_variance"] ** (1.0 / D)
     return ls, var_d
 
 
-def _factors(cparams: dict, data: dict, knots_list, *, D: int):
+def _factors(cparams: dict, data: dict, knots_list, *, D: int, kernel: str = "Matern12"):
     X, y, m = data["X"], data["y"], data["mask"].astype(data["X"].dtype)
     ls, var_d = _per_dim(cparams, D)
     s2 = cparams["likelihood_variance"]
-    Kuf_dims = [hat_basis_eval(X[:, i], jnp.asarray(knots_list[i])) for i in range(D)]
+    basis_eval, kuu_fn = _SPLINE_PAIRS[kernel]
+    Kuf_dims = [basis_eval(X[:, i], jnp.asarray(knots_list[i])) for i in range(D)]
     Kuf = make_kvs(Kuf_dims) * m[None, :]
-    Kuu_dims = [matern12_spline_kuu(knots_list[i], ls[i], var_d) for i in range(D)]
+    Kuu_dims = [kuu_fn(knots_list[i], ls[i], var_d) for i in range(D)]
     Kuu = kron(Kuu_dims)
     Kuu_inv = kron([jnp.linalg.inv(Kd) for Kd in Kuu_dims])
     Mtot = Kuu.shape[0]
@@ -95,9 +188,9 @@ def _factors(cparams: dict, data: dict, knots_list, *, D: int):
     return dict(L=L, c=c, Kuu_inv=Kuu_inv, Kuu_logdet=Kuu_logdet, KufKfu=KufKfu, ym=ym, m=m, s2=s2)
 
 
-def elbo(cparams: dict, data: dict, knots_list):
+def elbo(cparams: dict, data: dict, knots_list, kernel: str = "Matern12"):
     D = data["X"].shape[1]
-    t = _factors(cparams, data, knots_list, D=D)
+    t = _factors(cparams, data, knots_list, D=D, kernel=kernel)
     n = jnp.sum(t["m"])
     kv = cparams["kernel_variance"]
     log_det_P = 2.0 * jnp.sum(jnp.log(jnp.diagonal(t["L"])))
@@ -111,10 +204,11 @@ def elbo(cparams: dict, data: dict, knots_list):
     return out
 
 
-def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, knots_list):
+def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, knots_list, kernel: str = "Matern12"):
     D = data["X"].shape[1]
-    t = _factors(cparams, data, knots_list, D=D)
-    Kus_dims = [hat_basis_eval(Xnew[:, i], jnp.asarray(knots_list[i])) for i in range(D)]
+    t = _factors(cparams, data, knots_list, D=D, kernel=kernel)
+    basis_eval, _ = _SPLINE_PAIRS[kernel]
+    Kus_dims = [basis_eval(Xnew[:, i], jnp.asarray(knots_list[i])) for i in range(D)]
     Kus = make_kvs(Kus_dims)
     tmp = LA.tri_solve(t["L"], Kus)
     f_mean = (tmp.T @ t["c"])[:, 0]
@@ -125,7 +219,7 @@ def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, knots_list):
 
 
 class ASVGPModel(BaseGPRModel):
-    """Host-facing ASVGP expert (Matern12 + B1 splines)."""
+    """Host-facing ASVGP expert (Matern12/B1 and Matern32/B2 spline pairs)."""
 
     def __init__(
         self,
@@ -151,9 +245,9 @@ class ASVGPModel(BaseGPRModel):
             data=data, coords_col=coords_col, obs_col=obs_col, coords=coords, obs=obs,
             coords_scale=coords_scale, obs_scale=obs_scale, obs_mean=obs_mean, verbose=verbose,
         )
-        assert kernel == "Matern12", (
-            "ASVGP here implements the Matern12/B1-spline pair (closed-form RKHS "
-            "inner products); higher orders are not implemented — use VFF or SGPR"
+        assert kernel in _SPLINE_PAIRS, (
+            f"ASVGP implements the Matern12/B1 and Matern32/B2 spline pairs; "
+            f"got kernel={kernel!r} — use VFF or SGPR for other kernels"
         )
         assert num_inducing_features is not None, "num_inducing_features must be specified"
         self.kernel = kernel
@@ -184,7 +278,7 @@ class ASVGPModel(BaseGPRModel):
 
     def get_objective_function_value(self) -> float:
         c = {k: jnp.asarray(v) for k, v in self._params.items()}
-        return float(elbo(c, self._data_dict(), self.knots_list))
+        return float(elbo(c, self._data_dict(), self.knots_list, self.kernel))
 
     def optimise_parameters(self, max_iter: int = 10_000, fixed_params=None, **opt_kwargs) -> bool:
         from gpsat_tpu.optim.lbfgs import minimize_lbfgs
@@ -199,7 +293,7 @@ class ASVGPModel(BaseGPRModel):
 
         def objective(uf):
             c = {k: bij[k].forward(v) for k, v in {**uf, **u_fixed}.items()}
-            return -elbo(c, data, knots)
+            return -elbo(c, data, knots, self.kernel)
 
         res = minimize_lbfgs(objective, u_free, max_iter=max_iter, **opt_kwargs)
         u_opt = {**res.params, **u_fixed}
@@ -217,7 +311,7 @@ class ASVGPModel(BaseGPRModel):
         if apply_scale:
             coords = coords / self.coords_scale
         c = {k: jnp.asarray(v) for k, v in self._params.items()}
-        pred = predict(c, self._data_dict(), jnp.asarray(coords), self.knots_list)
+        pred = predict(c, self._data_dict(), jnp.asarray(coords), self.knots_list, self.kernel)
         out = {
             "f*": np.asarray(pred["f_mean"]),
             "f*_var": np.asarray(pred["f_var"]),
