@@ -182,28 +182,60 @@ class TestASVGP:
             prev_gap, prev_err = gap, err
         assert prev_err < 0.05
 
-    def test_matern32_b2_kuu_reproduces_kernel(self):
+    @pytest.mark.parametrize(
+        "kernel,basis_name,kuu_name,tol",
+        [
+            ("Matern32", "b2_basis", "matern32_spline_kuu", 2e-3),
+            ("Matern52", "b3_basis", "matern52_spline_kuu", 1e-3),
+        ],
+    )
+    def test_spline_kuu_reproduces_kernel(self, kernel, basis_name, kuu_name, tol):
         # Nystrom check of the inter-domain construction:
         # Kfu Kuu^-1 Kuf -> k(x, y) as the knot grid refines
         import jax.numpy as jnp
 
-        from gpsat_tpu.models.asvgp import b2_basis, matern32_spline_kuu
+        from gpsat_tpu.models import asvgp
         from gpsat_tpu.ops.kernels import gram
 
+        basis = getattr(asvgp, basis_name)
+        kuu_fn = getattr(asvgp, kuu_name)
         rng = np.random.default_rng(0)
         x = np.sort(rng.uniform(0.5, 2.5, 12))
         l, s2 = 0.4, 1.3
-        Kexact = np.asarray(gram("Matern32", jnp.asarray(x[:, None]), jnp.asarray(x[:, None]), jnp.asarray([l]), s2))
+        Kexact = np.asarray(gram(kernel, jnp.asarray(x[:, None]), jnp.asarray(x[:, None]), jnp.asarray([l]), s2))
         errs = []
         for M in (16, 128):
             knots = np.linspace(0.0, 3.0, M)
-            Kuu = np.asarray(matern32_spline_kuu(knots, l, s2))
-            Phi = np.asarray(b2_basis(jnp.asarray(x), jnp.asarray(knots), 0))
+            Kuu = np.asarray(kuu_fn(knots, l, s2))
+            Phi = np.asarray(basis(jnp.asarray(x), jnp.asarray(knots), 0))
             errs.append(np.max(np.abs(Phi.T @ np.linalg.solve(Kuu, Phi) - Kexact)))
-        assert errs[1] < errs[0] and errs[1] < 2e-3
+        assert errs[1] < errs[0] and errs[1] < tol
+
+    def test_converges_to_exact_matern52(self, data_1d):
+        from gpsat_tpu.models.asvgp import ASVGPModel
+        from gpsat_tpu.models.gpr import GPRModel
+
+        g = GPRModel(data=data_1d, coords_col="x", obs_col="y", obs_mean=None, kernel="Matern52")
+        g.set_parameters(lengthscales=np.array([1.5]), kernel_variance=1.0, likelihood_variance=0.01)
+        lml = -g.get_objective_function_value()
+        xs = np.linspace(1, 9, 9)[:, None]
+        ref = g.predict(xs)
+        prev_gap, prev_err = np.inf, np.inf
+        for M in [20, 60, 200]:
+            a = ASVGPModel(
+                data=data_1d, coords_col="x", obs_col="y", obs_mean=None,
+                kernel="Matern52", num_inducing_features=M, margin=1.0,
+            )
+            a.set_parameters(lengthscales=np.array([1.5]), kernel_variance=1.0, likelihood_variance=0.01)
+            gap = lml - a.get_objective_function_value()
+            assert 0 < gap < prev_gap, "bound must tighten with finer knots"
+            err = np.abs(a.predict(xs)["f*"] - ref["f*"]).max()
+            assert err < prev_err + 1e-9
+            prev_gap, prev_err = gap, err
+        assert prev_err < 0.05
 
     def test_unsupported_kernel_gated(self, data_1d):
         from gpsat_tpu.models.asvgp import ASVGPModel
 
-        with pytest.raises(AssertionError, match="Matern12/B1 and Matern32/B2"):
-            ASVGPModel(data=data_1d, coords_col="x", obs_col="y", kernel="Matern52", num_inducing_features=10)
+        with pytest.raises(AssertionError, match="spline pairs"):
+            ASVGPModel(data=data_1d, coords_col="x", obs_col="y", kernel="RBF", num_inducing_features=10)
