@@ -681,12 +681,28 @@ class LocalExpertOI:
                 # (ref: local_experts.py:608-689)
                 pdf = store.select(tbl).reset_index()
                 grouped = {k: g for k, g in pdf.groupby(list(coords_col))}
+                # "nearest": warm-start from the closest stored expert when
+                # there is no exact coordinate match — the batch-compatible
+                # replacement for the reference's serial EMA warm start
+                # (ref: local_experts.py:1200-1217, divergence #2)
+                kdt = keys = None
+                if lp.get("nearest", False) and grouped:
+                    from scipy.spatial import cKDTree
+
+                    keys = list(grouped.keys())
+                    pts = np.asarray(
+                        [k if isinstance(k, tuple) else (k,) for k in keys], dtype=float
+                    )
+                    kdt = cKDTree(pts)
                 for bi, ei in enumerate(b.expert_index):
                     if ei < 0:
                         continue
                     row = xprt_locs.iloc[int(ei)]
                     kt = tuple(row[c] for c in coords_col)
                     g = grouped.get(kt if len(kt) > 1 else kt[0], None)
+                    if (g is None or len(g) == 0) and kdt is not None:
+                        _, j = kdt.query(np.asarray(kt, dtype=float))
+                        g = grouped[keys[int(j)]]
                     if g is None or len(g) == 0:
                         continue
                     dim_cols = sorted(c for c in g.columns if c.startswith("_dim_"))

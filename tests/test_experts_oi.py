@@ -135,6 +135,31 @@ class TestLocalExpertOI:
             rtol=1e-12,
         )
 
+    def test_nearest_warm_start(self, obs_df, expert_df, tmp_path):
+        """load_params={"nearest": true}: experts with no exact coordinate
+        match warm-start from the closest stored expert — the
+        batch-compatible replacement for the reference's serial EMA warm
+        start (ref: local_experts.py:1200-1217, divergence #2)."""
+        p1 = str(tmp_path / "coarse.h5")
+        make_oi(obs_df, expert_df).run(store_path=p1)
+        with TableStore(p1, mode="r") as store:
+            ls1 = store.select("lengthscales").reset_index()
+
+        shifted = expert_df.copy()
+        shifted["x"] = shifted["x"] + 0.3  # no exact matches
+        p2 = str(tmp_path / "fine.h5")
+        oi2 = make_oi(obs_df, shifted, load_params={"file": p1, "nearest": True})
+        # predict-only: loaded params pass straight through to the tables
+        oi2.run(store_path=p2, optimise=False, skip_valid_checks_on=["model"])
+        with TableStore(p2, mode="r") as store:
+            ls2 = store.select("lengthscales").reset_index()
+            rd = store.select("run_details")
+        assert len(rd) == len(expert_df)
+        # every loaded value equals some stored neighbor's value
+        np.testing.assert_allclose(
+            np.sort(ls2["lengthscales"].values), np.sort(ls1["lengthscales"].values), rtol=1e-12
+        )
+
     def test_results_reader(self, obs_df, expert_df, tmp_path):
         store_path = str(tmp_path / "results.h5")
         make_oi(obs_df, expert_df).run(store_path=store_path)
