@@ -1070,6 +1070,17 @@ def make_core_for_model(model_cls, kernel: str, bijectors, init_params) -> Model
             likelihood=init_params.get("likelihood", "Gaussian") or "Gaussian",
             train_inducing_points=bool(init_params.get("train_inducing_points", False)),
         )
+    if name in ("ASVGPModel", "GPflowASVGPModel"):
+        from gpsat_tpu.models.asvgp import make_asvgp_core
+
+        return make_asvgp_core(
+            # host ASVGPModel (and the reference's asvgp_model.py) default
+            # to Matern12, not the engine's generic Matern32
+            kernel=init_params.get("kernel", "Matern12"),
+            bijectors=bijectors_from(bijectors),
+            num_inducing_features=int(init_params.get("num_inducing_features", 20)),
+            margin=init_params.get("margin", 0.1),
+        )
     raise NotImplementedError(f"no functional core for model: {model_cls}")
 
 

@@ -48,10 +48,11 @@ def hat_basis_eval(x: jnp.ndarray, knots: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - d)
 
 
-def matern12_spline_kuu(knots: np.ndarray, lengthscale, variance) -> jnp.ndarray:
+def matern12_spline_kuu(knots, lengthscale, variance) -> jnp.ndarray:
     """Tridiagonal RKHS Gram of the hat basis under the Matern12 kernel."""
+    knots = jnp.asarray(knots)
     M = len(knots)
-    h = float(knots[1] - knots[0])
+    h = knots[1] - knots[0]
     # mass matrix (interior rows 2h/3; boundary rows h/3)
     main_mass = jnp.full(M, 2 * h / 3).at[0].set(h / 3).at[-1].set(h / 3)
     off_mass = jnp.full(M - 1, h / 6)
@@ -435,3 +436,91 @@ class ASVGPModel(BaseGPRModel):
 
     def set_likelihood_variance(self, v):
         self._params["likelihood_variance"] = np.asarray(np.ravel(v)[0], dtype=float)
+
+
+# --------------------------------------------------------------------------
+# batched functional core (TPU engine)
+# --------------------------------------------------------------------------
+
+def make_asvgp_core(
+    kernel: str = "Matern12",
+    bijectors: Optional[dict] = None,
+    num_inducing_features: int = 20,
+    margin: Union[float, List[float]] = 0.1,
+):
+    """ASVGP as a batched ModelCore: spline experts run on the TPU engine
+    (vmapped over padded tiles) instead of the host-serial lane.
+
+    Per-expert knot grids are a fixed parameter (the SGPR inducing-point
+    pattern): prepare_batch_init lays a uniform [D, M] grid over each
+    tile's masked coordinate range +- margin, exactly what the host
+    ASVGPModel does per expert.
+    """
+    from gpsat_tpu.models.functional import ModelCore
+
+    assert kernel in _SPLINE_PAIRS, f"kernel {kernel!r} not in {sorted(_SPLINE_PAIRS)}"
+    M = int(num_inducing_features)
+    bij = {name: T.POSITIVE for name in PARAM_NAMES}
+    bij["knots"] = T.IDENTITY
+    if bijectors:
+        bij.update({k: v for k, v in bijectors.items() if k != "knots"})
+
+    def forward(uparams):
+        return {k: bij[k].forward(v) for k, v in uparams.items()}
+
+    def inverse(cparams):
+        return {k: bij[k].inverse(jnp.asarray(v)) for k, v in cparams.items()}
+
+    def objective(uparams, data):
+        c = forward(uparams)
+        D = data["X"].shape[1]
+        knots_list = [c["knots"][d] for d in range(D)]
+        trio = {k: c[k] for k in PARAM_NAMES}
+        return -elbo(trio, data, knots_list, kernel)
+
+    def predict_fn(cparams, data, Xnew):
+        D = data["X"].shape[1]
+        knots_list = [jnp.asarray(cparams["knots"])[d] for d in range(D)]
+        trio = {k: cparams[k] for k in PARAM_NAMES}
+        return predict(trio, data, Xnew, knots_list, kernel)
+
+    def init_cparams(D, dtype=np.float64, overrides=None):
+        out = {
+            "lengthscales": np.ones(D, dtype=dtype),
+            "kernel_variance": np.asarray(1.0, dtype=dtype),
+            "likelihood_variance": np.asarray(1.0, dtype=dtype),
+            "knots": np.zeros((D, M), dtype=dtype),
+        }
+        for k, v in (overrides or {}).items():
+            if k in out and k != "knots":
+                out[k] = np.reshape(np.asarray(v, dtype=float), np.shape(out[k])) if np.shape(out[k]) else np.asarray(v, dtype=float)
+        return out
+
+    def prepare_batch_init(batch, init_cparams_):
+        m = np.asarray(batch.mask)[..., None]
+        X = np.asarray(batch.X)
+        mg = np.asarray(margin, dtype=float).reshape(-1)
+        lo = np.where(m > 0, X, np.inf).min(axis=1) - mg  # [B, D]
+        hi = np.where(m > 0, X, -np.inf).max(axis=1) + mg
+        # dead tiles (all-masked): harmless unit domain
+        bad = ~np.isfinite(lo) | ~np.isfinite(hi)
+        lo = np.where(bad, 0.0, lo)
+        hi = np.where(bad, 1.0, hi)
+        t = np.linspace(0.0, 1.0, M)
+        knots = lo[..., None] + (hi - lo)[..., None] * t[None, None, :]  # [B, D, M]
+        out = dict(init_cparams_)
+        out["knots"] = knots
+        return out
+
+    return ModelCore(
+        name=f"asvgp_{kernel}",
+        objective=objective,
+        predict=predict_fn,
+        forward=forward,
+        inverse=inverse,
+        init_cparams=init_cparams,
+        param_names=("lengthscales", "kernel_variance", "likelihood_variance", "knots"),
+        default_fixed_params=("knots",),
+        prepare_batch_init=prepare_batch_init,
+        optimizer="lbfgs",
+    )
