@@ -1070,6 +1070,15 @@ def make_core_for_model(model_cls, kernel: str, bijectors, init_params) -> Model
             likelihood=init_params.get("likelihood", "Gaussian") or "Gaussian",
             train_inducing_points=bool(init_params.get("train_inducing_points", False)),
         )
+    if name in ("VFFModel", "GPflowVFFModel"):
+        from gpsat_tpu.models.vff import make_vff_core
+
+        return make_vff_core(
+            kernel=kernel,
+            bijectors=bijectors_from(bijectors),
+            num_inducing_features=int(init_params.get("num_inducing_features", 10)),
+            domain_size=init_params.get("domain_size"),
+        )
     if name in ("ASVGPModel", "GPflowASVGPModel"):
         from gpsat_tpu.models.asvgp import make_asvgp_core
 

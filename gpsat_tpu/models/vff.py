@@ -409,3 +409,90 @@ class VFFModel(BaseGPRModel):
 
     def set_likelihood_variance_constraints(self, low, high, **kw):
         self._set_constraint("likelihood_variance", low, high, **kw)
+
+
+# --------------------------------------------------------------------------
+# batched functional core (TPU engine)
+# --------------------------------------------------------------------------
+
+def make_vff_core(
+    kernel: str = "Matern32",
+    bijectors: Optional[dict] = None,
+    num_inducing_features: int = 10,
+    domain_size=None,
+    margin: float = 1e-3,
+):
+    """VFF as a batched ModelCore: Fourier-feature experts run on the TPU
+    engine (vmapped over padded tiles) instead of the host-serial lane.
+
+    The per-expert cuboidal domain [a, b]^D (ref: vff_model.py:178-211)
+    becomes a fixed [D, 2] model parameter laid over each tile's masked
+    coordinate range by prepare_batch_init (grown to ``domain_size`` when
+    given, centered on the tile's data).
+    """
+    from gpsat_tpu.models.functional import ModelCore
+
+    assert kernel in SUPPORTED_KERNELS, f"VFF kernel must be one of {SUPPORTED_KERNELS}"
+    M = int(num_inducing_features)
+    bij = {name: T.POSITIVE for name in PARAM_NAMES}
+    bij["domain"] = T.IDENTITY
+    if bijectors:
+        bij.update({k: v for k, v in bijectors.items() if k != "domain"})
+
+    def forward(uparams):
+        return {k: bij[k].forward(v) for k, v in uparams.items()}
+
+    def inverse(cparams):
+        return {k: bij[k].inverse(jnp.asarray(v)) for k, v in cparams.items()}
+
+    def objective(uparams, data):
+        c = forward(uparams)
+        trio = {k: c[k] for k in PARAM_NAMES}
+        return -elbo(trio, data, kernel=kernel, a=c["domain"][:, 0], b=c["domain"][:, 1], M=M)
+
+    def predict_fn(cparams, data, Xnew):
+        dom = jnp.asarray(cparams["domain"])
+        trio = {k: cparams[k] for k in PARAM_NAMES}
+        return predict(trio, data, Xnew, kernel=kernel, a=dom[:, 0], b=dom[:, 1], M=M)
+
+    def init_cparams(D, dtype=np.float64, overrides=None):
+        out = {
+            "lengthscales": np.ones(D, dtype=dtype),
+            "kernel_variance": np.asarray(1.0, dtype=dtype),
+            "likelihood_variance": np.asarray(1.0, dtype=dtype),
+            "domain": np.tile(np.asarray([0.0, 1.0], dtype=dtype), (D, 1)),
+        }
+        for k, v in (overrides or {}).items():
+            if k in out and k != "domain":
+                out[k] = np.reshape(np.asarray(v, dtype=float), np.shape(out[k])) if np.shape(out[k]) else np.asarray(v, dtype=float)
+        return out
+
+    def prepare_batch_init(batch, init_cparams_):
+        m = np.asarray(batch.mask)[..., None]
+        X = np.asarray(batch.X)
+        lo = np.where(m > 0, X, np.inf).min(axis=1) - margin  # [B, D]
+        hi = np.where(m > 0, X, -np.inf).max(axis=1) + margin
+        bad = ~np.isfinite(lo) | ~np.isfinite(hi)
+        lo = np.where(bad, 0.0, lo)
+        hi = np.where(bad, 1.0, hi)
+        if domain_size is not None:
+            ds = np.asarray(domain_size, dtype=float).reshape(-1)
+            mid = 0.5 * (lo + hi)
+            half = np.maximum(0.5 * (hi - lo), 0.5 * ds)
+            lo, hi = mid - half, mid + half
+        out = dict(init_cparams_)
+        out["domain"] = np.stack([lo, hi], axis=-1)  # [B, D, 2]
+        return out
+
+    return ModelCore(
+        name=f"vff_{kernel}",
+        objective=objective,
+        predict=predict_fn,
+        forward=forward,
+        inverse=inverse,
+        init_cparams=init_cparams,
+        param_names=("lengthscales", "kernel_variance", "likelihood_variance", "domain"),
+        default_fixed_params=("domain",),
+        prepare_batch_init=prepare_batch_init,
+        optimizer="lbfgs",
+    )

@@ -81,6 +81,44 @@ class TestVFF:
     def test_registry(self):
         assert get_model("GPflowVFFModel") is VFFModel
 
+    def test_batched_core_matches_host_model(self):
+        """GPflowVFFModel through LocalExpertOI runs on the batched engine
+        (make_vff_core: per-expert [a, b]^D domains as a fixed param)."""
+        import os
+        import tempfile
+
+        import pandas as pd
+
+        from gpsat_tpu.data.store import TableStore
+        from gpsat_tpu.experts import LocalExpertOI
+
+        rng = np.random.default_rng(4)
+        n = 250
+        df = pd.DataFrame({"x": rng.uniform(-3, 3, n), "y": rng.uniform(-3, 3, n)})
+        df["obs"] = np.sin(df["x"]) * np.cos(df["y"]) + 0.05 * rng.normal(size=n)
+        p = os.path.join(tempfile.mkdtemp(), "vff.h5")
+        oi = LocalExpertOI(
+            expert_loc_config={"source": pd.DataFrame({"x": [0.0, 1.0], "y": [0.0, 0.0]})},
+            data_config={"data_source": df, "obs_col": "obs", "coords_col": ["x", "y"],
+                         "local_select": [{"col": ["x", "y"], "comp": "<", "val": 4.0}]},
+            model_config={"oi_model": "GPflowVFFModel",
+                          "init_params": {"kernel": "Matern32", "num_inducing_features": 10,
+                                           "noise_variance": 0.0025},
+                          "optim_kwargs": {"max_iter": 300, "linesearch": "single_eval"}},
+            pred_loc_config={"method": "expert_loc"},
+        )
+        oi.run(store_path=p)
+        with TableStore(p, mode="r") as s:
+            rd = s.select("run_details")
+            preds = s.select("preds").reset_index().sort_values(["x", "y"])
+        assert rd["optimise_success"].all()
+        for (ex, ey), eng in zip([(0.0, 0.0), (1.0, 0.0)], preds["f*"].values):
+            hm = VFFModel(coords=df[["x", "y"]].values, obs=df["obs"].values,
+                          kernel="Matern32", num_inducing_features=10, noise_variance=0.0025)
+            hm.optimise_parameters(max_iter=300)
+            host = float(hm.predict(np.array([[ex, ey]]))["f*"][0])
+            assert abs(eng - host) < 5e-3
+
     def test_edge_correction_continuity(self, data_1d):
         # Kuf edge corrections: predictions just outside the domain stay
         # finite and continuous for Matern12/32
