@@ -453,7 +453,9 @@ class LocalExpertOI:
                     fixed_params=fixed,
                     max_iter=int(optim_kwargs.get("max_iter", 10_000)),
                     optimise=optimise,
-                    linesearch=optim_kwargs.get("linesearch", "zoom"),
+                    # None -> dtype-aware default in make_batched_runner
+                    # (zoom in f64 parity mode, single_eval in f32 production)
+                    linesearch=optim_kwargs.get("linesearch", None),
                     max_linesearch_steps=int(optim_kwargs.get("max_linesearch_steps", 32)),
                     mesh=mesh,
                 )

@@ -246,12 +246,21 @@ def minimize_lbfgs(
     else:
         value_and_grad = optax.value_and_grad_from_state(fun)
 
+    # Consecutive zero/negative-decrease iterations before declaring the
+    # lane stalled (converged=False). A probe-capped linesearch that
+    # exhausts its budget returns an unmoved or uphill iterate: Δf <= 0.
+    # Genuine Wolfe/Armijo-accepted steps always decrease, so legitimate
+    # runs never accumulate a streak.
+    _STALL_LIMIT = 4
+
     def cond(carry):
-        _, state, prev_val, done, failed, it = carry
-        return jnp.logical_and(it < max_iter, jnp.logical_not(jnp.logical_or(done, failed)))
+        _, state, prev_val, done, failed, stall, it = carry
+        live = jnp.logical_not(jnp.logical_or(done, failed))
+        live = jnp.logical_and(live, stall < _STALL_LIMIT)
+        return jnp.logical_and(it < max_iter, live)
 
     def body(carry):
-        x, state, prev_val, done, failed, it = carry
+        x, state, prev_val, done, failed, stall, it = carry
         value, grad = value_and_grad(x, state=state)
         updates, new_state = opt.update(grad, state, x, value=value, grad=grad, value_fn=fun)
         new_x = optax.apply_updates(x, updates)
@@ -268,13 +277,18 @@ def minimize_lbfgs(
         gnorm = otu.tree_norm(new_grad, ord=jnp.inf)
         # scale by the current value only: prev_val can be +inf on the first
         # backtracking iteration and must not blow up the threshold
-        f_small = (prev_val - new_val) <= tol_f * jnp.maximum(jnp.abs(new_val), 1.0)
+        decrease = prev_val - new_val
+        # strictly-positive decrease required: a failed (probe-capped)
+        # linesearch yields Δf == 0 (unmoved iterate) or Δf < 0 (uphill),
+        # neither of which may register as the scipy-factr convergence test
+        f_small = jnp.logical_and(decrease > 0, decrease <= tol_f * jnp.maximum(jnp.abs(new_val), 1.0))
         new_done = jnp.logical_or(gnorm <= tol_grad, f_small)
+        new_stall = jnp.where(jnp.logical_or(decrease > 0, new_done), 0, stall + 1)
         new_failed = jnp.logical_not(jnp.isfinite(new_val))
         # on failure keep the previous iterate
         keep = jnp.logical_not(new_failed)
         x_out = jax.tree_util.tree_map(lambda a, b: jnp.where(keep, b, a), x, new_x)
-        return (x_out, new_state, new_val, new_done, new_failed, it + 1)
+        return (x_out, new_state, new_val, new_done, new_failed, new_stall, it + 1)
 
     state0 = opt.init(x0)
     v0 = fun(x0)
@@ -283,8 +297,8 @@ def minimize_lbfgs(
     # re-evaluates f(x0), so seed prev_val with +inf there to avoid a
     # trivial zero-decrease stop
     prev0 = v0 if linesearch == "zoom" else jnp.asarray(jnp.inf, dtype=v0.dtype)
-    carry = (x0, state0, prev0, jnp.asarray(False), init_failed, jnp.asarray(0))
-    x, state, val, done, failed, it = jax.lax.while_loop(cond, body, carry)
+    carry = (x0, state0, prev0, jnp.asarray(False), init_failed, jnp.asarray(0), jnp.asarray(0))
+    x, state, val, done, failed, stall, it = jax.lax.while_loop(cond, body, carry)
 
     if linesearch == "zoom":
         grad = otu.tree_get(state, "grad")

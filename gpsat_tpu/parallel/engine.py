@@ -89,7 +89,7 @@ def make_batched_runner(
     optimise: bool = True,
     tol_grad: Optional[float] = None,
     tol_f: Optional[float] = None,
-    linesearch: str = "zoom",
+    linesearch: Optional[str] = None,
     max_linesearch_steps: int = 32,
     mesh: Optional[Mesh] = None,
 ) -> Callable:
@@ -103,12 +103,19 @@ def make_batched_runner(
     below f32 arithmetic noise, so lanes burn iterations (and under vmap
     the whole batch pays for the slowest lane) chasing unreachable
     decreases.
+
+    linesearch also defaults by compute dtype when None: "zoom"
+    (strong-Wolfe, scipy-parity) in f64 but "single_eval" (one fused
+    value+grad per iteration — the measured TPU throughput winner, see
+    docs/architecture.md) in f32, so the production path is fast out of
+    the box without optim_kwargs.
     """
 
     def batched(X, y, mask, Xnew, uparams0):
         f32 = jnp.dtype(X.dtype) == jnp.float32
         tg = tol_grad if tol_grad is not None else (1e-3 if f32 else 1e-6)
         tf = tol_f if tol_f is not None else (1e-6 if f32 else 1e-11)
+        ls = linesearch if linesearch is not None else ("single_eval" if f32 else "zoom")
 
         def one(d, xn, u):
             return _fit_predict_one(
@@ -121,7 +128,7 @@ def make_batched_runner(
                 optimise=optimise,
                 tol_grad=tg,
                 tol_f=tf,
-                linesearch=linesearch,
+                linesearch=ls,
                 max_linesearch_steps=max_linesearch_steps,
             )
 

@@ -75,3 +75,74 @@ class TestLBFGS:
             np.testing.assert_allclose(
                 outs[mode]["lengthscales"], outs["zoom"]["lengthscales"], rtol=1e-3
             )
+
+
+class TestNoFalseConvergence:
+    def test_probe_capped_backtracking_is_honest(self):
+        # A single backtracking probe at a steep quadratic overshoots and is
+        # rejected -> the iterate does not move -> delta-f == 0. That must
+        # NOT register as the factr convergence test (it used to): either
+        # the run genuinely reaches the optimum, or converged is False.
+        steep = lambda p: 1e6 * jnp.sum(p["x"] ** 2)  # noqa: E731
+        x0 = {"x": jnp.ones(3)}
+        res = jax.jit(
+            lambda x0: minimize_lbfgs(
+                steep, x0, max_iter=50, linesearch="backtracking", max_linesearch_steps=1
+            )
+        )(x0)
+        if bool(res.converged):
+            assert float(res.final_value) < 1e-3, (
+                "reported converged=True while stuck at f="
+                f"{float(res.final_value)} (false convergence)"
+            )
+
+    def test_stalled_lane_exits_early(self):
+        # the stall guard must terminate a no-progress loop well before
+        # max_iter instead of burning the full budget
+        steep = lambda p: 1e6 * jnp.sum(p["x"] ** 2)  # noqa: E731
+        x0 = {"x": jnp.ones(3)}
+        res = jax.jit(
+            lambda x0: minimize_lbfgs(
+                steep, x0, max_iter=10_000, linesearch="backtracking", max_linesearch_steps=1
+            )
+        )(x0)
+        converged_properly = bool(res.converged) and float(res.final_value) < 1e-3
+        assert converged_properly or int(res.num_iter) < 10_000
+
+
+class TestDtypeAwareLinesearchDefault:
+    def test_f32_defaults_to_single_eval_f64_to_zoom(self, monkeypatch):
+        from gpsat_tpu.models.functional import make_gpr_core
+        from gpsat_tpu.parallel import engine
+        from gpsat_tpu.parallel.batching import TileBatch
+        from gpsat_tpu.parallel.engine import make_batched_runner, run_tile_batch
+
+        seen = []
+        orig = engine.minimize_lbfgs
+
+        def spy(fun, x0, **kw):
+            seen.append(kw.get("linesearch"))
+            return orig(fun, x0, **kw)
+
+        monkeypatch.setattr(engine, "minimize_lbfgs", spy)
+
+        rng = np.random.default_rng(0)
+        B, N, P, D = 2, 32, 4, 2
+        core = make_gpr_core(jitter=1e-5)
+        for dt, expect in [(np.float32, "single_eval"), (np.float64, "zoom")]:
+            X = rng.uniform(-2, 2, (B, N, D)).astype(dt)
+            y = (np.sin(X[..., 0]) + 0.1 * rng.normal(size=(B, N))).astype(dt)
+            batch = TileBatch(
+                X=X,
+                y=y,
+                mask=np.ones((B, N), dtype=dt),
+                Xnew=rng.uniform(-2, 2, (B, P, D)).astype(dt),
+                pred_mask=np.ones((B, P), dtype=dt),
+                obs_mean=np.zeros(B, dtype=dt),
+                expert_index=np.arange(B),
+                num_obs=np.full(B, N),
+            )
+            seen.clear()
+            runner = make_batched_runner(core, max_iter=2)
+            run_tile_batch(batch, {"likelihood_variance": 0.1}, runner, core)
+            assert seen == [expect], f"dtype {dt}: expected {expect}, traced {seen}"
