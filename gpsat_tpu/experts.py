@@ -539,6 +539,7 @@ class LocalExpertOI:
                     l_tiles,
                     l_preds,
                     expert_index=np.asarray(l_rows),
+                    expert_locs=xprt_locs[coords_col].values[np.asarray(l_rows)],
                     coords_scale=ip.get("coords_scale"),
                     obs_mean=ip.get("obs_mean"),
                     max_batch_size=max_batch_size,

@@ -120,8 +120,12 @@ def make_kuf(kernel: str, lengthscale, X1d, a: float, b: float, M: int):
         Kuf_sin = jnp.where(lt_a, edge_sa, Kuf_sin)
         Kuf_sin = jnp.where(gt_b, edge_sb, Kuf_sin)
     elif kernel == "Matern52":
-        # edges not implemented (parity with reference: vff.py:503-517);
-        # the host model guarantees in-domain data
+        # edge corrections not implemented (parity with reference:
+        # vff.py:503-517, which hard-fails on out-of-domain X). Callers must
+        # keep X inside [a, b]: the host model raises on out-of-domain
+        # prediction points and the batched core grows its per-tile domain
+        # to cover them — outside [a, b] these cos/sin columns are the
+        # (wrong) periodic extension.
         pass
     else:
         raise NotImplementedError(f"VFF supports {SUPPORTED_KERNELS}, got: {kernel}")
@@ -352,6 +356,16 @@ class VFFModel(BaseGPRModel):
             coords = coords[None, :]
         if apply_scale:
             coords = coords / self.coords_scale
+        if self.kernel == "Matern52":
+            # Matern52 Kuf has no outside-domain edge corrections (the
+            # reference hard-fails there too, ref: vff.py:499-517); fail
+            # loudly rather than return the silently-wrong periodic
+            # extension
+            if np.any(coords < self.a) or np.any(coords > self.b):
+                raise ValueError(
+                    "VFF Matern52 prediction locations must lie inside the domain "
+                    f"[a, b] = [{self.a}, {self.b}]; grow domain_size to cover them"
+                )
         c = {k: jnp.asarray(v) for k, v in self._params.items()}
         pred = predict(c, self._data_dict(), jnp.asarray(coords), kernel=self.kernel, a=self.a, b=self.b, M=self.M)
         out = {
@@ -475,11 +489,26 @@ def make_vff_core(
         bad = ~np.isfinite(lo) | ~np.isfinite(hi)
         lo = np.where(bad, 0.0, lo)
         hi = np.where(bad, 1.0, hi)
+        if kernel == "Matern52":
+            # no outside-domain edge corrections for Matern52 (see make_kuf):
+            # grow the domain to also cover the tile's live prediction
+            # locations, else out-of-domain Xnew gets the silently-wrong
+            # periodic extension
+            pm = np.asarray(batch.pred_mask)[..., None]
+            Xn = np.asarray(batch.Xnew)
+            plo = np.where(pm > 0, Xn, np.inf).min(axis=1) - margin
+            phi = np.where(pm > 0, Xn, -np.inf).max(axis=1) + margin
+            lo = np.where(np.isfinite(plo), np.minimum(lo, plo), lo)
+            hi = np.where(np.isfinite(phi), np.maximum(hi, phi), hi)
         if domain_size is not None:
+            # center on the expert location (matching the host model and the
+            # reference, vff_model.py:178-211: domain = expert +/- domain_size
+            # per side, each side grown to contain the data) when the batch
+            # carries it; data midpoint otherwise
             ds = np.asarray(domain_size, dtype=float).reshape(-1)
-            mid = 0.5 * (lo + hi)
-            half = np.maximum(0.5 * (hi - lo), 0.5 * ds)
-            lo, hi = mid - half, mid + half
+            mid = 0.5 * (lo + hi) if batch.expert_loc is None else np.asarray(batch.expert_loc)
+            lo = mid - np.maximum(mid - lo, ds)
+            hi = mid + np.maximum(hi - mid, ds)
         out = dict(init_cparams_)
         out["domain"] = np.stack([lo, hi], axis=-1)  # [B, D, 2]
         return out

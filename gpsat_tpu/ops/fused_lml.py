@@ -63,6 +63,15 @@ def _dk_dl_factor(kernel: str, r, kernel_variance):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def masked_gpr_lml_fused(kernel, X, y, mask, lengthscales, kernel_variance, likelihood_variance, jitter):
+    """Masked GPR log marginal likelihood with a hand-fused analytic VJP.
+
+    GRADIENT CONTRACT: differentiable w.r.t. the HYPERPARAMETERS ONLY
+    (lengthscales, kernel_variance, likelihood_variance). The custom VJP
+    returns symbolic-zero cotangents for X, y, mask, and jitter — callers
+    that differentiate through inputs (e.g. inducing-point or coordinate
+    optimization) would silently receive zeros; use the autodiff LML path
+    (models/gpr.py neg_lml) for that.
+    """
     lml, _ = _fused_fwd_impl(kernel, X, y, mask, lengthscales, kernel_variance, likelihood_variance, jitter)
     return lml
 

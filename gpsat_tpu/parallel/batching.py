@@ -48,6 +48,7 @@ class TileBatch:
     obs_mean: np.ndarray  # [B] per-tile subtracted mean (0 unless obs_mean='local')
     expert_index: np.ndarray  # [B] row index into the expert-locations table
     num_obs: np.ndarray  # [B] true (unpadded) obs count
+    expert_loc: Optional[np.ndarray] = None  # [B, D] scaled expert locations
 
     @property
     def B(self) -> int:
@@ -69,6 +70,7 @@ def assemble_tiles(
     pred_coords: Sequence[np.ndarray],
     expert_index: Optional[np.ndarray] = None,
     *,
+    expert_locs: Optional[np.ndarray] = None,
     coords_scale=None,
     obs_mean: Optional[str] = None,
     max_batch_size: Optional[int] = None,
@@ -88,6 +90,9 @@ def assemble_tiles(
     obs_mean: None (no de-meaning) or 'local' (subtract per-tile mean,
         ref: base_model.py:195-198).
     max_batch_size: optional cap on experts per batch (memory control).
+    expert_locs: optional [E, D] raw expert locations; scaled like coords
+        and carried per tile (cores that need a reference point, e.g. the
+        VFF domain center, read them from batch.expert_loc).
     """
     E = len(tile_indices)
     assert len(pred_coords) == E
@@ -99,6 +104,10 @@ def assemble_tiles(
     obs = np.asarray(obs, dtype=dtype).reshape(len(coords))
     if coords_scale is not None:
         coords = coords / np.asarray(coords_scale, dtype=dtype)
+    if expert_locs is not None:
+        expert_locs = np.asarray(expert_locs, dtype=dtype).reshape(E, coords.shape[1])
+        if coords_scale is not None:
+            expert_locs = expert_locs / np.asarray(coords_scale, dtype=dtype)
 
     sizes = np.array([len(ix) for ix in tile_indices])
     order = np.argsort(sizes, kind="stable")  # group similar sizes together
@@ -148,6 +157,7 @@ def assemble_tiles(
                 obs_mean=mean,
                 expert_index=expert_index[np.asarray(group)],
                 num_obs=sizes[np.asarray(group)].astype(np.int64),
+                expert_loc=None if expert_locs is None else expert_locs[np.asarray(group)],
             )
         )
 
@@ -184,4 +194,5 @@ def pad_batch_to(batch: TileBatch, B_target: int) -> TileBatch:
         obs_mean=padB(batch.obs_mean),
         expert_index=padB(batch.expert_index, fill=-1),
         num_obs=padB(batch.num_obs, fill=0),
+        expert_loc=None if batch.expert_loc is None else padB(batch.expert_loc),
     )

@@ -317,3 +317,74 @@ class TestASVGP:
 
         with pytest.raises(AssertionError, match="spline pairs"):
             ASVGPModel(data=data_1d, coords_col="x", obs_col="y", kernel="RBF", num_inducing_features=10)
+
+
+class TestVFFDomainGuards:
+    def test_matern52_out_of_domain_prediction_raises(self, data_1d):
+        # the reference hard-fails on out-of-domain X for Matern52
+        # (vff.py:499-517, tf.debugging asserts); silent periodic-extension
+        # predictions must not be reachable from the host model
+        vff = VFFModel(
+            data=data_1d, coords_col="x", obs_col="y", obs_mean=None, kernel="Matern52",
+            num_inducing_features=15,
+        )
+        vff.set_parameters(lengthscales=np.array([1.0]), kernel_variance=1.0, likelihood_variance=0.01)
+        with pytest.raises(ValueError, match="domain"):
+            vff.predict(np.array([[data_1d["x"].max() + 3.0]]))
+        # in-domain prediction still fine
+        out = vff.predict(np.array([[float(data_1d["x"].mean())]]))
+        assert np.isfinite(out["f*"]).all()
+
+    def test_batched_core_matern52_domain_covers_predictions(self):
+        from gpsat_tpu.models.vff import make_vff_core
+        from gpsat_tpu.parallel.batching import TileBatch
+
+        rng = np.random.default_rng(0)
+        B, N, P = 2, 32, 4
+        X = rng.uniform(0.0, 2.0, (B, N, 1))
+        batch = TileBatch(
+            X=X,
+            y=np.sin(X[..., 0]),
+            mask=np.ones((B, N)),
+            Xnew=rng.uniform(3.0, 4.0, (B, P, 1)),  # outside the data range
+            pred_mask=np.ones((B, P)),
+            obs_mean=np.zeros(B),
+            expert_index=np.arange(B),
+            num_obs=np.full(B, N),
+        )
+        core = make_vff_core(kernel="Matern52", num_inducing_features=8)
+        init = core.prepare_batch_init(batch, core.init_cparams(1))
+        dom = np.asarray(init["domain"])  # [B, D, 2]
+        assert (dom[..., 0] <= X.min(axis=1)).all()
+        assert (dom[..., 1] >= batch.Xnew.max(axis=1)).all()
+        # Matern32 keeps the data-derived domain (edge corrections handle
+        # outside-domain points)
+        core32 = make_vff_core(kernel="Matern32", num_inducing_features=8)
+        dom32 = np.asarray(core32.prepare_batch_init(batch, core32.init_cparams(1))["domain"])
+        assert (dom32[..., 1] < 3.0).all()
+
+    def test_batched_core_domain_centers_on_expert_loc(self):
+        from gpsat_tpu.models.vff import make_vff_core
+        from gpsat_tpu.parallel.batching import TileBatch
+
+        rng = np.random.default_rng(0)
+        B, N = 2, 32
+        X = rng.uniform(-1.0, 1.0, (B, N, 1))
+        eloc = np.array([[0.5], [-0.5]])
+        batch = TileBatch(
+            X=X,
+            y=np.sin(X[..., 0]),
+            mask=np.ones((B, N)),
+            Xnew=X[:, :4],
+            pred_mask=np.ones((B, 4)),
+            obs_mean=np.zeros(B),
+            expert_index=np.arange(B),
+            num_obs=np.full(B, N),
+            expert_loc=eloc,
+        )
+        core = make_vff_core(kernel="Matern32", num_inducing_features=8, domain_size=10.0)
+        dom = np.asarray(core.prepare_batch_init(batch, core.init_cparams(1))["domain"])
+        # domain = expert +/- domain_size per side (host-model / reference
+        # convention, vff_model.py:178-211) since data fits inside
+        np.testing.assert_allclose(dom[..., 0], eloc - 10.0)
+        np.testing.assert_allclose(dom[..., 1], eloc + 10.0)
