@@ -3,10 +3,13 @@
 Re-designs the reference's DataLoader.load pipeline
 (ref: GPSat/dataloader.py:1294-1800): suffix-based engine inference, where
 pushdown, row_select, col_funcs (derived columns via config_func, including
-tuple-key multi-output), col_select. Engines: csv/tsv, parquet, and this
-package's h5py TableStore (replacing pandas HDFStore). netCDF/zarr engines
-require xarray, which is not available in this image — they raise with a
-clear message (gate, not silent fallback).
+tuple-key multi-output), col_select. Engines: csv/tsv, parquet, this
+package's h5py TableStore (replacing pandas HDFStore), and netCDF4 via the
+h5py-based reader (gpsat_tpu.data.netcdf — netCDF4 files are HDF5; nc
+sources come back with dims reset to columns, a documented divergence from
+the reference's index-carrying to_dataframe). zarr requires the zarr
+package, absent in this image — it raises with a clear message (gate, not
+silent fallback).
 """
 
 from __future__ import annotations
@@ -110,10 +113,18 @@ def load(
             assert table is not None, "table must be provided when loading from an h5 store"
             with TableStore(source, mode="r") as ts:
                 df = ts.select(table, where=where).reset_index()
-        elif eng in ("zarr", "netcdf4"):
+        elif eng == "netcdf4":
+            # netCDF4 files are HDF5: read via the h5py-based reader
+            # (ref loads via xr.open_dataset + to_dataframe,
+            # GPSat/dataloader.py:388-394)
+            from gpsat_tpu.data.netcdf import read_netcdf
+
+            df = read_netcdf(source, **source_kwargs).reset_index()
+            df = sel.data_select(df, where=where)
+        elif eng == "zarr":
             raise NotImplementedError(
-                f"engine '{eng}' requires xarray, which is not available in this build; "
-                "convert the source to parquet/h5 with gpsat_tpu CLIs first"
+                "engine 'zarr' requires the zarr package, which is not available in "
+                "this build; convert the source to parquet/h5/nc first"
             )
         else:
             raise ValueError(f"engine: {eng} not handled")

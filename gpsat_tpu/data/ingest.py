@@ -92,8 +92,8 @@ def read_from_multiple_files(
     if sub_dirs:
         file_dirs = get_dirs_to_search(file_dirs, sub_dirs=sub_dirs)
 
-    assert read_engine in ("csv", "tsv", "read_csv"), (
-        f"read_engine: {read_engine} not supported (netcdf requires xarray, not in this build)"
+    assert read_engine in ("csv", "tsv", "read_csv", "nc", "netcdf", "xarray"), (
+        f"read_engine: {read_engine} not supported"
     )
 
     frames = []
@@ -111,9 +111,17 @@ def read_from_multiple_files(
             if verbose:
                 print(f"reading: {path}")
             kw = dict(read_kwargs)
-            if read_engine == "tsv":
-                kw.setdefault("sep", "\t")
-            df = pd.read_csv(path, **kw)
+            if read_engine in ("nc", "netcdf", "xarray"):
+                # reference reads nc via xr.open_dataset + to_dataframe
+                # (GPSat/dataloader.py:388-394); here via the h5py reader.
+                # index kept as columns so col/row selections see the dims
+                from gpsat_tpu.data.netcdf import read_netcdf
+
+                df = read_netcdf(path, **kw).reset_index()
+            else:
+                if read_engine == "tsv":
+                    kw.setdefault("sep", "\t")
+                df = pd.read_csv(path, **kw)
             add_cols(df, col_funcs, filename=path)
             if row_select is not None:
                 df = df.loc[sel.row_select_bool(df, row_select)]

@@ -1,0 +1,146 @@
+"""h5py-based netCDF4 reader: to_dataframe contract + CF decoding.
+
+The reference ingests ESA netCDF files via xr.open_dataset(...).to_dataframe()
+(ref: GPSat/dataloader.py:60-66, 388-394, 1294-1414); this build reads the
+same files (netCDF4 == HDF5 + dimension scales) through h5py.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gpsat_tpu.data.netcdf import read_netcdf, write_netcdf
+
+
+@pytest.fixture()
+def track_nc(tmp_path):
+    """1-D satellite-track-style file: time dim + CF time units, fill
+    values, scale/offset packing."""
+    import h5py
+
+    path = os.path.join(tmp_path, "track.nc")
+    n = 50
+    rng = np.random.default_rng(0)
+    t = np.arange(n, dtype=np.float64) * 10.0  # seconds since epoch
+    lat = rng.uniform(60, 80, n)
+    lon = rng.uniform(-180, 180, n)
+    fb = rng.normal(0.2, 0.05, n)
+    fb_packed = np.round((fb - 0.0) / 1e-4).astype(np.int32)
+    fb_packed[3] = -9999  # fill
+    with h5py.File(path, "w") as f:
+        dt = f.create_dataset("time", data=t)
+        dt.make_scale("time")
+        dt.attrs["units"] = b"seconds since 2020-03-01 00:00:00"
+        dt.attrs["calendar"] = b"standard"
+        for name, vals in [("lat", lat), ("lon", lon)]:
+            ds = f.create_dataset(name, data=vals)
+            ds.dims[0].attach_scale(dt)
+        ds = f.create_dataset("freeboard", data=fb_packed)
+        ds.dims[0].attach_scale(dt)
+        ds.attrs["_FillValue"] = np.int32(-9999)
+        ds.attrs["scale_factor"] = np.float64(1e-4)
+        ds.attrs["add_offset"] = np.float64(0.0)
+    return path, dict(t=t, lat=lat, lon=lon, fb=fb)
+
+
+class TestReadNetcdf:
+    def test_track_file_cf_decode(self, track_nc):
+        path, ref = track_nc
+        df = read_netcdf(path)
+        assert set(df.columns) == {"lat", "lon", "freeboard"}
+        assert df.index.name == "time"
+        # CF time decode
+        assert df.index[0] == pd.Timestamp("2020-03-01 00:00:00")
+        assert df.index[1] == pd.Timestamp("2020-03-01 00:00:10")
+        np.testing.assert_allclose(df["lat"].values, ref["lat"])
+        # packed variable: scale/offset applied, fill -> NaN
+        fb = df["freeboard"].values
+        assert np.isnan(fb[3])
+        ok = np.ones(len(fb), bool)
+        ok[3] = False
+        np.testing.assert_allclose(fb[ok], ref["fb"][ok], atol=1e-4)
+
+    def test_variable_subset(self, track_nc):
+        path, _ = track_nc
+        df = read_netcdf(path, variables=["lat"])
+        assert list(df.columns) == ["lat"]
+        with pytest.raises(KeyError):
+            read_netcdf(path, variables=["nope"])
+
+    def test_2d_and_broadcast(self, tmp_path):
+        # gridded variable over (y, x) plus a 1-D variable over y only:
+        # the 1-D variable broadcasts over the full product (to_dataframe
+        # semantics)
+        path = os.path.join(tmp_path, "grid.nc")
+        y = np.array([0.0, 1.0, 2.0])
+        x = np.array([10.0, 20.0])
+        z = np.arange(6, dtype=float).reshape(3, 2)
+        write_netcdf(path, {"z": (("y", "x"), z), "rowsum": ("y", z.sum(axis=1))},
+                     coords={"y": y, "x": x})
+        df = read_netcdf(path)
+        assert df.index.names == ["y", "x"]
+        assert len(df) == 6
+        np.testing.assert_allclose(df["z"].values, z.reshape(-1))
+        np.testing.assert_allclose(
+            df["rowsum"].values, np.repeat(z.sum(axis=1), 2)
+        )
+        # selecting one cell by index
+        assert float(df.loc[(1.0, 20.0), "z"]) == z[1, 1]
+
+    def test_dim_without_coordinate_variable(self, tmp_path):
+        import h5py
+
+        path = os.path.join(tmp_path, "nocoord.nc")
+        with h5py.File(path, "w") as f:
+            # netCDF4-style dimension with no values (phony NAME)
+            d = f.create_dataset("obs", data=np.zeros(4))
+            d.make_scale("obs")
+            d.attrs["NAME"] = (
+                b"This is a netCDF dimension but not a netCDF variable.         4"
+            )
+            v = f.create_dataset("v", data=np.array([5.0, 6.0, 7.0, 8.0]))
+            v.dims[0].attach_scale(d)
+        df = read_netcdf(path)
+        np.testing.assert_array_equal(df.index.values, np.arange(4))
+        np.testing.assert_allclose(df["v"].values, [5, 6, 7, 8])
+
+    def test_groups_rejected(self, tmp_path):
+        import h5py
+
+        path = os.path.join(tmp_path, "grouped.nc")
+        with h5py.File(path, "w") as f:
+            f.create_group("sub")
+        with pytest.raises(NotImplementedError, match="group"):
+            read_netcdf(path)
+
+
+class TestLoadAndIngestNc:
+    def test_load_with_where_and_col_funcs(self, track_nc):
+        from gpsat_tpu.data import dataloader
+
+        path, ref = track_nc
+        df = dataloader.load(
+            path,
+            where=[{"col": "lat", "comp": ">=", "val": 70.0}],
+            col_funcs={"lat2": {"func": "lambda lat: lat * 2", "col_args": "lat"}},
+        )
+        assert (df["lat"] >= 70.0).all()
+        np.testing.assert_allclose(df["lat2"].values, df["lat"].values * 2)
+        # time survives as a column after reset_index
+        assert "time" in df.columns
+
+    def test_read_from_multiple_files_nc(self, track_nc, tmp_path):
+        from gpsat_tpu.data.ingest import read_from_multiple_files
+
+        path, ref = track_nc
+        d = os.path.dirname(path)
+        out = read_from_multiple_files(
+            d, r"\.nc$", read_engine="nc",
+            row_select=[{"col": "lat", "comp": ">", "val": 65.0}],
+            col_select=["time", "lat", "lon", "freeboard"],
+        )
+        assert list(out.columns) == ["time", "lat", "lon", "freeboard"]
+        assert (out["lat"] > 65.0).all()
+        assert len(out) == int((ref["lat"] > 65.0).sum())
