@@ -559,6 +559,17 @@ class LocalExpertOI:
                         )
                     else:
                         res = run_tile_batch(b, per_expert_init, lane_runner, lane_core, mesh=mesh)
+                        if optimise and self.optim_kwargs.get("polish") in ("f64", True):
+                            # accuracy tail: short f64 re-optimization from
+                            # the f32 optima + f64 predict on the CPU
+                            # backend (bench_accuracy.py: closes the f32 gap
+                            # from ~5e-4 to ~1e-6 on predictions)
+                            from gpsat_tpu.parallel.engine import polish_tile_batch
+
+                            res = polish_tile_batch(
+                                b, res, lane_core,
+                                max_iter=int(self.optim_kwargs.get("polish_max_iter", 25)),
+                            )
                     bt = time.perf_counter() - t0
                     self._store_batch(
                         res,

@@ -172,6 +172,17 @@ def assemble_tiles(
     return batches
 
 
+def cast_batch(batch: TileBatch, dtype) -> TileBatch:
+    """Same tiles at a different float dtype (integer fields untouched)."""
+    rep = {}
+    for f in dataclasses.fields(batch):
+        v = getattr(batch, f.name)
+        if v is not None and np.issubdtype(np.asarray(v).dtype, np.floating):
+            v = np.asarray(v).astype(dtype)
+        rep[f.name] = v
+    return TileBatch(**rep)
+
+
 def pad_batch_to(batch: TileBatch, B_target: int) -> TileBatch:
     """Pad the expert axis with dead tiles (mask all-zero) so batches can
     share a compiled program / divide a device mesh evenly."""

@@ -275,6 +275,56 @@ def _smart_init(batch: TileBatch) -> Dict[str, np.ndarray]:
     }
 
 
+def polish_tile_batch(
+    batch: TileBatch,
+    coarse_res: Dict[str, np.ndarray],
+    core: Optional[ModelCore] = None,
+    *,
+    jitter: float = 0.0,
+    max_iter: int = 25,
+    tols: Optional[dict] = None,
+    device=None,
+    mesh: Optional[Mesh] = None,
+) -> Dict[str, np.ndarray]:
+    """f64 polish of a coarse (f32/TPU) batch result.
+
+    Re-optimizes every expert in float64 from the coarse optima with a
+    short zoom L-BFGS run and predicts in float64, by default on the CPU
+    backend — the accuracy tail of the TPU-bulk / f64-tail split
+    (BASELINE.md 1e-5 north star; measured by bench_accuracy.py). Warm
+    starts converge in a handful of iterations, so the f64 cost is a small
+    fraction of a cold f64 solve.
+
+    coarse_res: a run_tile_batch result aligned with ``batch`` rows (its
+    param entries are the warm starts).
+    """
+    import jax as _jax
+
+    from gpsat_tpu.models.functional import make_gpr_core
+    from gpsat_tpu.parallel.batching import cast_batch
+
+    if core is None:
+        core = make_gpr_core(jitter=jitter)
+    batch64 = cast_batch(batch, np.float64)
+    B = batch64.B
+    init = {}
+    for k in core.param_names:
+        v = np.asarray(coarse_res[k], dtype=np.float64)
+        assert v.shape[0] == B, (
+            f"coarse_res['{k}'] has {v.shape[0]} rows, batch has {B} — polish "
+            "needs a result aligned with the (unpadded) batch"
+        )
+        init[k] = v
+    runner = make_batched_runner(
+        core, fixed_params=tuple(core.default_fixed_params),
+        max_iter=max_iter, linesearch="zoom",
+        **(tols or dict(tol_grad=1e-6, tol_f=1e-11)), mesh=mesh,
+    )
+    dev = device if device is not None else _jax.devices("cpu")[0]
+    with _jax.default_device(dev):
+        return run_tile_batch(batch64, init, runner, core, mesh=mesh)
+
+
 def run_tile_batch(
     batch: TileBatch,
     init_cparams: Dict[str, np.ndarray],

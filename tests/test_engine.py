@@ -126,3 +126,35 @@ class TestBatchedEngine:
         assert len(res["expert_index"]) == 3
         assert np.isfinite(res["f_mean"]).all()
         assert np.isfinite(res["lengthscales"]).all()
+
+
+class TestPolish:
+    def test_f64_polish_recovers_f64_accuracy(self, problem):
+        """f32 coarse pass + f64 polish must land within ~1e-5 of the pure
+        f64 result on predictions (BASELINE.md north star; measured at
+        ~1e-6 by bench_accuracy.py)."""
+        from gpsat_tpu.parallel.batching import cast_batch
+        from gpsat_tpu.parallel.engine import polish_tile_batch
+
+        batches = batching.assemble_tiles(
+            problem["coords"], problem["obs"], problem["tile_indices"][:4],
+            problem["pred_coords"][:4],
+        )
+        assert len(batches) == 1
+        b64 = batches[0]
+        core = make_gpr_core(jitter=0.0)
+        gold_runner = make_batched_runner(core, max_iter=300, linesearch="zoom")
+        gold = run_tile_batch(b64, {"likelihood_variance": 0.1}, gold_runner, core)
+
+        b32 = cast_batch(b64, np.float32)
+        core32 = make_gpr_core(jitter=1e-5)
+        coarse_runner = make_batched_runner(core32, max_iter=150)
+        coarse = run_tile_batch(b32, {"likelihood_variance": 0.1}, coarse_runner, core32)
+
+        polished = polish_tile_batch(b64, coarse, core, max_iter=25)
+        live = gold["pred_mask"] > 0  # compare live prediction slots only
+        gap_coarse = np.max(np.abs((coarse["f_mean"] - gold["f_mean"])[live]))
+        gap_polished = np.max(np.abs((polished["f_mean"] - gold["f_mean"])[live]))
+        assert gap_polished < 1e-5
+        assert gap_polished < gap_coarse
+        assert np.max(np.abs((polished["f_var"] - gold["f_var"])[live])) < 1e-5
