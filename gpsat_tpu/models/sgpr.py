@@ -90,13 +90,22 @@ def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, *, kernel: str, jitter
 
 
 def pad_inducing_points(Z: np.ndarray, M: int, data_span: float = 1.0) -> np.ndarray:
-    """Pad an [m, D] inducing set to [M, D] with distinct far-away points."""
+    """Pad an [m, D] inducing set to [M, D] with distinct far-away points.
+
+    Pads are decoupled (kernel ~ 0 to data and to each other) yet kept at
+    MODERATE distance: the |a|^2+|b|^2-2ab squared-distance trick loses
+    ~|z|^2 * eps to roundoff, so f32 pads at 1e6*span used to corrupt the
+    Kuu diagonal (error >> true 0) and make Cholesky NaN. 10*span base +
+    3*span spacing keeps the roundoff << inter-pad distances while every
+    pad kernel value stays ~exp(-10*span/lengthscale) ~ 0.
+    """
     m, D = Z.shape
     if m >= M:
         return Z[:M]
+    span = max(data_span, 1.0)
     far_base = Z.max(axis=0) if m else np.zeros(D)
-    extra = np.arange(M - m, dtype=float)[:, None] * (10.0 * max(data_span, 1.0))
-    pad = far_base[None, :] + 1e6 * max(data_span, 1.0) + extra
+    extra = np.arange(M - m, dtype=float)[:, None] * (3.0 * span)
+    pad = far_base[None, :] + 10.0 * span + extra
     return np.concatenate([Z, pad], axis=0)
 
 

@@ -127,3 +127,34 @@ class TestSGPR:
         p2 = predict(mk(Zp), data, Xs, kernel="Matern32")
         np.testing.assert_allclose(np.asarray(p1["f_mean"]), np.asarray(p2["f_mean"]), atol=1e-8)
         np.testing.assert_allclose(np.asarray(p1["f_var"]), np.asarray(p2["f_var"]), atol=1e-8)
+
+
+def test_f32_inducing_slot_padding_stays_finite():
+    """M > tile size in float32: the far-point inducing pads must not
+    corrupt the Kuu Cholesky (regression: 1e6*span pads lost the diagonal
+    to |z|^2*eps roundoff and NaN'd in f32)."""
+    import numpy as np
+
+    from gpsat_tpu.models.sgpr import make_sgpr_core
+    from gpsat_tpu.parallel.batching import TileBatch
+    from gpsat_tpu.parallel.engine import make_batched_runner, run_tile_batch
+
+    rng = np.random.default_rng(0)
+    B, N, P = 2, 48, 4
+    X = rng.uniform(-6, 6, (B, N, 2)).astype(np.float32)
+    batch = TileBatch(
+        X=X,
+        y=(np.sin(X[..., 0]) * np.cos(X[..., 1])).astype(np.float32),
+        mask=np.ones((B, N), np.float32),
+        Xnew=rng.uniform(-4, 4, (B, P, 2)).astype(np.float32),
+        pred_mask=np.ones((B, P), np.float32),
+        obs_mean=np.zeros(B, np.float32),
+        expert_index=np.arange(B),
+        num_obs=np.full(B, N),
+    )
+    core = make_sgpr_core(jitter=1e-5, num_inducing_points=96)  # M = 2N
+    runner = make_batched_runner(core, fixed_params=tuple(core.default_fixed_params), max_iter=60)
+    res = run_tile_batch(batch, {"smart_init": True}, runner, core)
+    assert np.isfinite(res["objective"]).all()
+    assert np.isfinite(res["f_mean"]).all()
+    assert res["converged"].all()
