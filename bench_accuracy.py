@@ -108,6 +108,7 @@ def main():
     ap.add_argument("-B", type=int, default=32)
     ap.add_argument("-N", type=int, default=512)
     ap.add_argument("-P", type=int, default=64)
+    ap.add_argument("--polish-iters", type=int, default=100)
     args = ap.parse_args()
 
     import jax
@@ -145,7 +146,9 @@ def main():
     from gpsat_tpu.parallel.engine import polish_tile_batch
 
     t0 = time.perf_counter()
-    resp = polish_tile_batch(batch64, res32, jitter=0.0, max_iter=25, tols=f64_tols, device=cpu0)
+    resp = polish_tile_batch(
+        batch64, res32, jitter=0.0, max_iter=args.polish_iters, tols=f64_tols, device=cpu0
+    )
     tp = time.perf_counter() - t0
     compare("f32_plus_f64_polish", resp, gold, tp,
             extra="warm-started f64 zoom from f32 optima + f64 predict")
