@@ -74,6 +74,7 @@ def plot_pcolormesh(
     cbar_label=None,
     scatter=False,
     extent=None,
+    ocean_only=False,
     lat_0: float = 90,
     **scatter_args,
 ):
@@ -81,6 +82,16 @@ def plot_pcolormesh(
     lon = np.asarray(lon)
     lat = np.asarray(lat)
     plot_data = np.asarray(plot_data)
+    if ocean_only:
+        # mask land cells (ref: plot_utils.py:65-74, optional dependency)
+        try:
+            from global_land_mask import globe as globe_mask
+
+            plot_data = np.where(globe_mask.is_ocean(lat, lon), plot_data, np.nan)
+        except ImportError:
+            warnings.warn(
+                "ocean_only=True but global-land-mask is not installed; plotting all cells"
+            )
     vmin, vmax = _apply_quantile_clims(plot_data, vmin, vmax, qvmin, qvmax)
 
     if HAS_CARTOPY:
@@ -133,25 +144,45 @@ def plot_hist(
 ):
     """Histogram + optional stats overlay (ref: plot_utils.py:117-178)."""
     data = np.asarray(data).flatten()
-    if select_bool is not None:
-        data = data[select_bool]
+    hist_data = data if select_bool is None else data[select_bool]
     if drop_nan_inf:
-        data = data[np.isfinite(data)]
+        hist_data = hist_data[np.isfinite(hist_data)]
     if q_vminmax is not None:
-        lo, hi = np.nanquantile(data, q=q_vminmax[0]), np.nanquantile(data, q=q_vminmax[1])
-        data = data[(data >= lo) & (data <= hi)]
+        assert len(q_vminmax) == 2, f"q_vminmax needs 2 entries, got: {len(q_vminmax)}"
+        lo, hi = np.nanquantile(hist_data, q=list(q_vminmax))
+        hist_data = hist_data[(hist_data >= lo) & (hist_data <= hi)]
 
-    ax.hist(data, bins=60, density=True, rasterized=rasterized)
+    try:
+        import seaborn as sns
+
+        sns.histplot(data=hist_data, kde=True, ax=ax, rasterized=rasterized)
+    except ImportError:
+        ax.hist(hist_data, bins=60, density=True, rasterized=rasterized)
     if title:
         ax.set_title(title)
     if ylabel:
         ax.set_ylabel(ylabel)
     if xlabel:
         ax.set_xlabel(xlabel)
-    if stats_values:
-        sv = stats_on_vals(data, qs=[0.05, 0.5, 0.95])
-        txt = "\n".join(f"{k}: {sv.loc[k].values[0]:.3g}" for k in stats_values if k in sv.index)
-        ax.text(*stats_loc, txt, transform=ax.transAxes, va="top", fontsize=9)
+    if stats_values is not None:
+        # the reference's stats box (ref: plot_utils.py:153-178): computed
+        # on the FULL (untrimmed) data
+        from scipy.stats import kurtosis, skew
+
+        full = data[np.isfinite(data)] if drop_nan_inf else data
+        stats = {
+            "mean": np.mean(full), "std": np.std(full), "skew": skew(full),
+            "kurtosis": kurtosis(full), "num obs": len(full),
+            "max": np.max(full), "min": np.min(full),
+        }
+        stats_values = [stats_values] if isinstance(stats_values, str) else stats_values
+        for sv in stats_values:
+            assert sv in stats, f"stats_values: {sv} not in stats: {list(stats)}"
+        txt = "\n".join(
+            f"{k}: {stats[k]:.2f}" if isinstance(stats[k], (float, np.floating)) else f"{k}: {stats[k]}"
+            for k in stats_values
+        )
+        ax.text(*stats_loc, txt, ha="center", va="center", transform=ax.transAxes)
     return ax
 
 
@@ -168,24 +199,70 @@ def plot_xy(ax, x, y, title=None, y_label=None, x_label=None, scatter=False, **k
 
 # ---- results-file-driven plots (ref: plot_utils.py:224-345) ----
 
-def plot_xy_from_results_data(ax, dfs, table, x_col, y_col, load_kwargs=None, plot_kwargs=None, verbose=False):
-    df = dfs[table]
+def _load_table(dfs, table, load_kwargs):
+    """Table -> DataFrame through the loader, so load_kwargs (row_select,
+    col_funcs, where, ...) behave exactly like the reference's
+    DataLoader.load(dfs[table], **load_kwargs)."""
+    from gpsat_tpu.data.dataloader import load as dl_load
+
+    if load_kwargs:
+        return dl_load(dfs[table], **load_kwargs)
+    return dfs[table]
+
+
+def plot_xy_from_results_data(ax, dfs, table, x_col, y_col, load_kwargs=None, plot_kwargs=None, verbose=False, **kwargs):
+    df = _load_table(dfs, table, load_kwargs)
     plot_kwargs = plot_kwargs or {}
     return plot_xy(ax, df[x_col].values, df[y_col].values, **plot_kwargs)
 
 
-def plot_hist_from_results_data(ax, dfs, table, val_col, load_kwargs=None, plot_kwargs=None, verbose=False):
-    df = dfs[table]
+def plot_hist_from_results_data(ax, dfs, table, val_col, load_kwargs=None, plot_kwargs=None, verbose=False, **kwargs):
+    df = _load_table(dfs, table, load_kwargs)
     plot_kwargs = plot_kwargs or {}
     return plot_hist(ax, df[val_col].values, **plot_kwargs)
 
 
 def plot_pcolormesh_from_results_data(
-    ax, dfs, table, val_col, lon_col="lon", lat_col="lat", fig=None, load_kwargs=None, plot_kwargs=None, verbose=False
+    ax, dfs, table, val_col,
+    lon_col=None, lat_col=None,
+    x_col=None, y_col=None, lat_0=90, lon_0=0,
+    fig=None, load_kwargs=None, plot_kwargs=None,
+    weighted_values_kwargs=None, verbose=False, **kwargs,
 ):
-    df = dfs[table]
+    """Map plot from a results table (ref: plot_utils.py:273-345): gridded
+    pcolormesh via dataframe_to_2d_array + EASE2->WGS84 when scatter=False,
+    lon/lat scatter otherwise; optional distance-weighted combination of
+    overlapping expert predictions first."""
+    df = _load_table(dfs, table, load_kwargs)
     plot_kwargs = dict(plot_kwargs or {})
-    plot_kwargs.setdefault("scatter", True)
+    for c in (x_col, y_col, lon_col, lat_col, val_col):
+        if c is not None:
+            assert c in df, f"'{c}' (column) not in plot data"
+
+    if weighted_values_kwargs is not None:
+        from gpsat_tpu.utils.weights import get_weighted_values
+
+        df = get_weighted_values(df=df, **weighted_values_kwargs)
+        if load_kwargs and load_kwargs.get("col_funcs"):
+            # get_weighted_values drops derived columns; re-apply
+            from gpsat_tpu.data.dataloader import add_cols
+
+            add_cols(df, load_kwargs["col_funcs"])
+
+    if not plot_kwargs.get("scatter", False):
+        assert x_col is not None and y_col is not None, (
+            f"2d-array plotting requires x_col: {x_col} and y_col: {y_col}"
+        )
+        from gpsat_tpu.utils.projections import EASE2toWGS84
+        from gpsat_tpu.utils.tables import dataframe_to_2d_array
+
+        val2d, x_grid, y_grid = dataframe_to_2d_array(df, x_col=x_col, y_col=y_col, val_col=val_col)
+        lon_grid, lat_grid = EASE2toWGS84(x_grid, y_grid, lat_0=lat_0, lon_0=lon_0)
+        return plot_pcolormesh(ax, lon_grid, lat_grid, val2d, fig=fig, **plot_kwargs)
+
+    assert lon_col is not None and lat_col is not None, (
+        f"scatter plotting requires lon_col: {lon_col} and lat_col: {lat_col}"
+    )
     return plot_pcolormesh(ax, df[lon_col].values, df[lat_col].values, df[val_col].values, fig=fig, **plot_kwargs)
 
 

@@ -53,7 +53,12 @@ class TestPlotUtils:
             [
                 {"plot_type": "hist", "table": "preds", "val_col": "f*"},
                 {"plot_type": "xy_heatmap", "table": "preds", "val_col": "f*"},
-                {"plot_type": "heatmap", "table": "preds", "val_col": "f*"},
+                # scatter mode (lon/lat), reference plot_utils.py:325-345
+                {"plot_type": "heatmap", "table": "preds", "val_col": "f*",
+                 "lon_col": "lon", "lat_col": "lat", "plot_kwargs": {"scatter": True}},
+                # gridded mode (x/y -> 2d array -> WGS84), reference :289-323
+                {"plot_type": "heatmap", "table": "preds", "val_col": "f*",
+                 "x_col": "x", "y_col": "y"},
             ],
             dfs,
         )
@@ -83,3 +88,25 @@ class TestPlotUtils:
             if not PU.HAS_CARTOPY:
                 raise ValueError("x")  # parity: cartopy branch raises on bad name
             PU.get_projection("sideways")
+
+
+def test_results_plots_respect_load_kwargs_and_weights(dfs):
+    """load_kwargs route through the loader (row_select etc., reference
+    DataLoader.load passthrough) and weighted_values_kwargs combine
+    overlapping predictions before plotting."""
+    fig, ax = plt.subplots()
+    dfp = dfs["preds"].copy()
+    dfp["ex"] = dfp["x"] + 0.1  # fake expert location column
+    dfp["ey"] = dfp["y"]
+    PU.plot_pcolormesh_from_results_data(
+        ax, {"preds": dfp}, "preds", "f*",
+        lon_col="lon", lat_col="lat", fig=fig,
+        load_kwargs={"row_select": [{"col": "f*", "comp": ">=", "val": float(dfp["f*"].median())}]},
+        plot_kwargs={"scatter": True},
+    )
+    plt.close(fig)
+    fig, ax = plt.subplots()
+    PU.plot_xy_heatmap_from_results_data(
+        ax, {"preds": dfp}, "preds", "f*", x_col="x", y_col="y", fig=fig,
+    )
+    plt.close(fig)
