@@ -23,7 +23,9 @@ import numpy as np
 REFERENCE_EXPERTS_PER_SEC = 1.0  # serial reference, CPU (SURVEY.md §6)
 
 
-def main():
+def main(B: int = None):
+    import os
+
     import jax
 
     # GP linear algebra needs true-f32 matmuls; the TPU default (bf16 MXU
@@ -37,7 +39,8 @@ def main():
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
     dtype = np.float32 if on_tpu else np.float64
 
-    B, N, P, D = 128, 512, 64, 2
+    B = int(os.environ.get("GPSAT_BENCH_B", 128)) if B is None else B
+    N, P, D = 512, 64, 2
     rng = np.random.default_rng(0)
     # EASE2-like tile: +-300 km training radius scaled by 50 km
     X = rng.uniform(-6, 6, size=(B, N, D)).astype(dtype)

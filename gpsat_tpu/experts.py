@@ -568,7 +568,7 @@ class LocalExpertOI:
 
                             res = polish_tile_batch(
                                 b, res, lane_core,
-                                max_iter=int(self.optim_kwargs.get("polish_max_iter", 25)),
+                                max_iter=int(self.optim_kwargs.get("polish_max_iter", 150)),
                             )
                     bt = time.perf_counter() - t0
                     self._store_batch(
