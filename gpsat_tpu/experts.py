@@ -158,6 +158,16 @@ class LocalExpertOI:
             model_config = local_expert_config.model_config.to_dict()
             pred_loc_config = local_expert_config.prediction_locs_config.to_dict()
 
+        # config dataclasses accepted directly (the reference's notebook
+        # idiom: LocalExpertOI(data_config=DataConfig(...), ...))
+        def as_dict(cfg):
+            return cfg.to_dict() if hasattr(cfg, "to_dict") else cfg
+
+        expert_loc_config = as_dict(expert_loc_config)
+        data_config = as_dict(data_config)
+        model_config = as_dict(model_config)
+        pred_loc_config = as_dict(pred_loc_config)
+
         self.config = {}
         self.expert_locs = None
         self.data = None
