@@ -32,6 +32,12 @@ def main(B: int = None):
     # passes) breaks Cholesky conditioning and L-BFGS convergence
     jax.config.update("jax_default_matmul_precision", "highest")
 
+    # persistent compile cache: the batch program compiles in minutes cold;
+    # repeat runs (and the driver's round-over-round bench) skip it
+    from gpsat_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from gpsat_tpu.models.functional import make_gpr_core
     from gpsat_tpu.parallel.batching import TileBatch
     from gpsat_tpu.parallel.engine import make_batched_runner, run_tile_batch
@@ -39,7 +45,11 @@ def main(B: int = None):
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
     dtype = np.float32 if on_tpu else np.float64
 
-    B = int(os.environ.get("GPSAT_BENCH_B", 128)) if B is None else B
+    # B=512 measured optimal on v5e: the batched Cholesky is sequential-
+    # latency-bound, so widening the batch axis is nearly free until the
+    # MXU saturates (93/101/122/121 experts/s at B=128/256/512/1024,
+    # identical per-lane iteration counts; see docs/architecture.md)
+    B = int(os.environ.get("GPSAT_BENCH_B", 512)) if B is None else B
     N, P, D = 512, 64, 2
     rng = np.random.default_rng(0)
     # EASE2-like tile: +-300 km training radius scaled by 50 km
