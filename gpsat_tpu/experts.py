@@ -49,7 +49,12 @@ from gpsat_tpu.data.store import TableStore
 from gpsat_tpu.models import get_model
 from gpsat_tpu.models.functional import ModelCore
 from gpsat_tpu.parallel import batching
-from gpsat_tpu.parallel.engine import default_mesh, make_batched_runner, run_tile_batch
+from gpsat_tpu.parallel.engine import (
+    default_mesh,
+    make_batched_runner,
+    run_tile_batch,  # noqa: F401  (re-exported; host lane + tests use it)
+    run_tile_batch_async,
+)
 from gpsat_tpu.utils.misc import cprint, json_serializable, pandas_to_dict
 
 
@@ -556,8 +561,49 @@ class LocalExpertOI:
                 )
 
                 init_cparams = self._initial_cparams(lane_core, ip, constraints=lane_constraints)
+
+                def store_res(res, bt, B):
+                    nonlocal done
+                    self._store_batch(
+                        res, lane_core, xprt_locs, coords_col, l_preds, l_rows,
+                        store_path, table_suffix, optimise, lane_name,
+                        device_name, config_id, bt, predict,
+                    )
+                    done += len(res["expert_index"])
+                    cprint(f"{done} / {total} experts done ({bt:.2f}s for batch of {B})", c="OKCYAN")
+
+                # one-deep pipeline over buckets: while the device runs
+                # bucket k, the host finalizes + stores bucket k-1 (JAX
+                # async dispatch; run_tile_batch_async)
+                pending = None  # (finalize, batch, dispatch_t0)
+
+                def flush_pending():
+                    nonlocal pending
+                    if pending is None:
+                        return
+                    fin, pb, t0p = pending
+                    pending = None
+                    res = fin()
+                    if optimise and self.optim_kwargs.get("polish") in ("f64", True):
+                        # accuracy tail: short f64 re-optimization from the
+                        # f32 optima + f64 predict on the CPU backend
+                        # (bench_accuracy.py: closes the f32 gap from
+                        # ~2e-3 to ~1e-6 on predictions)
+                        from gpsat_tpu.parallel.engine import polish_tile_batch
+
+                        res = polish_tile_batch(
+                            pb, res, lane_core,
+                            max_iter=int(self.optim_kwargs.get("polish_max_iter", 150)),
+                        )
+                    store_res(res, time.perf_counter() - t0p, pb.B)
+
                 for b in tiles:
                     t0 = time.perf_counter()
+                    if self.model_load_params:
+                        # warm starts may read previously-stored results
+                        # (e.g. load_params={'nearest': True}): the previous
+                        # bucket must be on disk before this one loads
+                        flush_pending()
                     per_expert_init = self._load_params_for_batch(
                         b, xprt_locs, coords_col, init_cparams, lane_core, store_path, table_suffix
                     )
@@ -567,38 +613,12 @@ class LocalExpertOI:
                         res = self._run_host_batch(
                             b, lane_core, per_expert_init, lane_constraints, coords_col, xprt_locs, optimise, predict
                         )
+                        store_res(res, time.perf_counter() - t0, b.B)
                     else:
-                        res = run_tile_batch(b, per_expert_init, lane_runner, lane_core, mesh=mesh)
-                        if optimise and self.optim_kwargs.get("polish") in ("f64", True):
-                            # accuracy tail: short f64 re-optimization from
-                            # the f32 optima + f64 predict on the CPU
-                            # backend (bench_accuracy.py: closes the f32 gap
-                            # from ~5e-4 to ~1e-6 on predictions)
-                            from gpsat_tpu.parallel.engine import polish_tile_batch
-
-                            res = polish_tile_batch(
-                                b, res, lane_core,
-                                max_iter=int(self.optim_kwargs.get("polish_max_iter", 150)),
-                            )
-                    bt = time.perf_counter() - t0
-                    self._store_batch(
-                        res,
-                        lane_core,
-                        xprt_locs,
-                        coords_col,
-                        l_preds,
-                        l_rows,
-                        store_path,
-                        table_suffix,
-                        optimise,
-                        lane_name,
-                        device_name,
-                        config_id,
-                        bt,
-                        predict,
-                    )
-                    done += len(res["expert_index"])
-                    cprint(f"{done} / {total} experts done ({bt:.2f}s for batch of {b.B})", c="OKCYAN")
+                        fin = run_tile_batch_async(b, per_expert_init, lane_runner, lane_core, mesh=mesh)
+                        flush_pending()  # store previous bucket while device runs this one
+                        pending = (fin, b, t0)
+                flush_pending()
 
         cprint(f"'run': {time.perf_counter() - t_start:.3f} seconds", c="OKGREEN")
         return None

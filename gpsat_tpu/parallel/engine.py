@@ -325,15 +325,20 @@ def polish_tile_batch(
         return run_tile_batch(batch64, init, runner, core, mesh=mesh)
 
 
-def run_tile_batch(
+def run_tile_batch_async(
     batch: TileBatch,
     init_cparams: Dict[str, np.ndarray],
     runner: Callable,
     core: ModelCore,
     *,
     mesh: Optional[Mesh] = None,
-) -> Dict[str, np.ndarray]:
-    """Execute one shape bucket; returns host-side arrays [B, ...].
+) -> Callable[[], Dict[str, np.ndarray]]:
+    """Dispatch one shape bucket WITHOUT blocking; returns finalize().
+
+    JAX dispatch is asynchronous: the returned closure forces results to
+    host (stripping dead-tile padding) when called, so a caller can store
+    the previous bucket's results while the device runs this one
+    (the orchestrator's host/device overlap).
 
     init_cparams: constrained params, each either unbatched (applied to all
     experts) or with a leading [B] axis (per-expert warm starts).
@@ -378,22 +383,38 @@ def run_tile_batch(
         jnp.asarray(batch.Xnew),
         {k: jnp.asarray(v) for k, v in uparams0.items()},
     )
-    out = jax.tree_util.tree_map(np.asarray, out)
+    # out holds un-forced device arrays (JAX async dispatch): the device is
+    # already crunching. finalize() blocks, fetches, and strips padding.
 
-    # strip dead-tile padding
-    live = batch.expert_index >= 0
-    res = {
-        "expert_index": batch.expert_index[live],
-        "num_obs": batch.num_obs[live],
-        "objective": out["objective"][live],
-        "converged": out["converged"][live],
-        "num_iter": out["num_iter"][live],
-        "f_mean": out["pred"]["f_mean"][live],
-        "f_var": out["pred"]["f_var"][live],
-        "y_var": out["pred"]["y_var"][live],
-        "pred_mask": batch.pred_mask[live],
-        "obs_mean": batch.obs_mean[live],
-    }
-    for k in core.param_names:
-        res[k] = out["params"][k][live]
-    return res
+    def finalize() -> Dict[str, np.ndarray]:
+        host = jax.tree_util.tree_map(np.asarray, out)
+        live = batch.expert_index >= 0
+        res = {
+            "expert_index": batch.expert_index[live],
+            "num_obs": batch.num_obs[live],
+            "objective": host["objective"][live],
+            "converged": host["converged"][live],
+            "num_iter": host["num_iter"][live],
+            "f_mean": host["pred"]["f_mean"][live],
+            "f_var": host["pred"]["f_var"][live],
+            "y_var": host["pred"]["y_var"][live],
+            "pred_mask": batch.pred_mask[live],
+            "obs_mean": batch.obs_mean[live],
+        }
+        for k in core.param_names:
+            res[k] = host["params"][k][live]
+        return res
+
+    return finalize
+
+
+def run_tile_batch(
+    batch: TileBatch,
+    init_cparams: Dict[str, np.ndarray],
+    runner: Callable,
+    core: ModelCore,
+    *,
+    mesh: Optional[Mesh] = None,
+) -> Dict[str, np.ndarray]:
+    """Execute one shape bucket; returns host-side arrays [B, ...]."""
+    return run_tile_batch_async(batch, init_cparams, runner, core, mesh=mesh)()
