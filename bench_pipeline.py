@@ -81,9 +81,10 @@ def main():
                 "jitter": 1e-5,
             },
             "constraints": {"lengthscales": {"low": 5_000, "high": 2_000_000}},
+            # no linesearch override: the engine's dtype-aware default picks
+            # single_eval on f32/TPU (zoom on f64/CPU) out of the box
             "optim_kwargs": {
                 "max_iter": 100,
-                "linesearch": "single_eval",
             },
         },
         "pred_loc": {"method": "from_dataframe", "df": pred_df, "max_dist": 200_000.0},

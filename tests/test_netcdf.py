@@ -144,3 +144,27 @@ class TestLoadAndIngestNc:
         assert list(out.columns) == ["time", "lat", "lon", "freeboard"]
         assert (out["lat"] > 65.0).all()
         assert len(out) == int((ref["lat"] > 65.0).sum())
+
+
+def test_read_and_store_cli_with_nc_engine(track_nc, tmp_path):
+    """Reference-style netcdf ingest config runs end-to-end through the
+    read_and_store CLI path (ref: GPSat/read_and_store.py + nc engine
+    GPSat/dataloader.py:388-394)."""
+    from gpsat_tpu.data.store import TableStore
+    from gpsat_tpu.read_and_store import main
+
+    path, ref = track_nc
+    out = os.path.join(tmp_path, "obs.h5")
+    cfg = {
+        "output": {"file": out, "table": "data"},
+        "file_dirs": os.path.dirname(path),
+        "file_regex": r"\.nc$",
+        "read_engine": "nc",
+        "col_select": ["time", "lat", "lon", "freeboard"],
+        "row_select": [{"col": "lat", "comp": ">", "val": 65.0}],
+    }
+    main(cfg)
+    with TableStore(out, mode="r") as s:
+        df = s.select("data", set_index=False)
+    assert len(df) == int((ref["lat"] > 65.0).sum())
+    assert set(["lat", "lon", "freeboard"]).issubset(df.columns)
