@@ -90,14 +90,26 @@ def main(B: int = None):
         "likelihood_variance": 0.1 * var_y,
     }
 
+    # two-stage compaction: run the full batch for K1 iterations, then
+    # gather only the unconverged lanes (a much narrower batch) and finish
+    # them — the slow tail stops billing the whole width
+    two_stage = int(os.environ.get("GPSAT_TWO_STAGE", "0"))
+    if two_stage:
+        from gpsat_tpu.parallel.engine import run_tile_batch_two_stage
+
+        head = make_batched_runner(core, max_iter=two_stage, linesearch="single_eval", **tols)
+        execute = lambda: run_tile_batch_two_stage(batch, init, head, runner, core)  # noqa: E731
+    else:
+        execute = lambda: run_tile_batch(batch, init, runner, core)  # noqa: E731
+
     # warmup (compile)
     t0 = time.perf_counter()
-    res = run_tile_batch(batch, init, runner, core)
+    res = execute()
     compile_and_first = time.perf_counter() - t0
 
     # timed steady-state run
     t0 = time.perf_counter()
-    res = run_tile_batch(batch, init, runner, core)
+    res = execute()
     elapsed = time.perf_counter() - t0
 
     conv = int(res["converged"].sum())

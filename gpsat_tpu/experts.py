@@ -474,11 +474,29 @@ class LocalExpertOI:
                     max_linesearch_steps=int(optim_kwargs.get("max_linesearch_steps", 32)),
                     mesh=mesh,
                 )
+                # unconverged-lane compaction (run_tile_batch_two_stage):
+                # optim_kwargs={'two_stage_iters': K} runs the full batch
+                # for K iterations, then finishes only the unconverged
+                # lanes in a compacted batch
+                two_k = optim_kwargs.get("two_stage_iters")
+                if two_k:
+                    head = make_batched_runner(
+                        core,
+                        fixed_params=fixed,
+                        max_iter=int(two_k),
+                        optimise=optimise,
+                        linesearch=optim_kwargs.get("linesearch", None),
+                        max_linesearch_steps=int(optim_kwargs.get("max_linesearch_steps", 32)),
+                        mesh=mesh,
+                    )
+                    return core, runner, name, head
             return core, runner, name
 
-        core, runner, model_name = build_lane(
+        main_lane = build_lane(
             self.model, self.model_init_params, self.constraints, self.optim_kwargs
         )
+        core, runner, model_name = main_lane[:3]
+        head_runner = main_lane[3] if len(main_lane) > 3 else None
         # data-poor experts route to the replacement model
         # (ref: local_experts.py:1021-1035, 339-346)
         repl_lane = None
@@ -538,13 +556,15 @@ class LocalExpertOI:
                 sel_main = [j for j, ix in enumerate(tile_indices) if len(ix) >= thr]
                 sel_repl = [j for j, ix in enumerate(tile_indices) if len(ix) < thr]
                 if sel_main:
-                    lanes.append((sel_main, (core, runner, model_name), self.model_init_params, self.constraints))
+                    lanes.append((sel_main, (core, runner, model_name, head_runner), self.model_init_params, self.constraints))
                 if sel_repl:
                     lanes.append((sel_repl, repl_lane, self.replacement_init_params, self.replacement_constraints))
             else:
-                lanes.append((list(range(len(row_ids))), (core, runner, model_name), self.model_init_params, self.constraints))
+                lanes.append((list(range(len(row_ids))), (core, runner, model_name, head_runner), self.model_init_params, self.constraints))
 
-            for lane_sel, (lane_core, lane_runner, lane_name), ip, lane_constraints in lanes:
+            for lane_sel, lane_tuple, ip, lane_constraints in lanes:
+                lane_core, lane_runner, lane_name = lane_tuple[:3]
+                lane_head = lane_tuple[3] if len(lane_tuple) > 3 else None
                 l_tiles = [tile_indices[j] for j in lane_sel]
                 l_preds = [pred_coords[j] for j in lane_sel]
                 l_rows = [row_ids[j] for j in lane_sel]
@@ -612,6 +632,16 @@ class LocalExpertOI:
                     if lane_runner is None:
                         res = self._run_host_batch(
                             b, lane_core, per_expert_init, lane_constraints, coords_col, xprt_locs, optimise, predict
+                        )
+                        store_res(res, time.perf_counter() - t0, b.B)
+                    elif lane_head is not None:
+                        # two-stage compaction is a host-synchronous path
+                        # (stage-2 batch depends on stage-1 results)
+                        from gpsat_tpu.parallel.engine import run_tile_batch_two_stage
+
+                        flush_pending()
+                        res = run_tile_batch_two_stage(
+                            b, per_expert_init, lane_head, lane_runner, lane_core, mesh=mesh
                         )
                         store_res(res, time.perf_counter() - t0, b.B)
                     else:

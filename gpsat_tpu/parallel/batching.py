@@ -172,6 +172,16 @@ def assemble_tiles(
     return batches
 
 
+def take_batch(batch: TileBatch, idx: np.ndarray) -> TileBatch:
+    """Row-subset of a batch (idx indexes the expert axis)."""
+    idx = np.asarray(idx)
+    rep = {}
+    for f in dataclasses.fields(batch):
+        v = getattr(batch, f.name)
+        rep[f.name] = None if v is None else np.asarray(v)[idx]
+    return TileBatch(**rep)
+
+
 def cast_batch(batch: TileBatch, dtype) -> TileBatch:
     """Same tiles at a different float dtype (integer fields untouched)."""
     rep = {}

@@ -418,3 +418,43 @@ def run_tile_batch(
 ) -> Dict[str, np.ndarray]:
     """Execute one shape bucket; returns host-side arrays [B, ...]."""
     return run_tile_batch_async(batch, init_cparams, runner, core, mesh=mesh)()
+
+
+def run_tile_batch_two_stage(
+    batch: TileBatch,
+    init_cparams: Dict[str, np.ndarray],
+    runner_head: Callable,
+    runner_tail: Callable,
+    core: ModelCore,
+    *,
+    mesh: Optional[Mesh] = None,
+) -> Dict[str, np.ndarray]:
+    """Unconverged-lane compaction: under vmap every iteration costs the
+    FULL batch even after most lanes have converged, so the slowest lane
+    sets the bill. Run the whole batch for runner_head's iteration budget,
+    then gather only the unconverged lanes into a (padded, much smaller)
+    batch and finish them with runner_tail — the long tail pays a fraction
+    of the width. Optima are unchanged (warm restart from the stage-1
+    iterate; L-BFGS history rebuilds in a couple of iterations).
+
+    runner_head: make_batched_runner(core, max_iter=K1, ...)
+    runner_tail: make_batched_runner(core, max_iter=<rest>, ...)
+    """
+    from gpsat_tpu.parallel.batching import take_batch
+
+    res1 = run_tile_batch(batch, init_cparams, runner_head, core, mesh=mesh)
+    # rows align with the (unpadded) batch rows in order
+    unconv = np.flatnonzero(~np.asarray(res1["converged"]))
+    if len(unconv) == 0:
+        return res1
+
+    sub_batch = take_batch(batch, unconv)
+    sub_init = {k: np.asarray(res1[k])[unconv] for k in core.param_names}
+    res2 = run_tile_batch(sub_batch, sub_init, runner_tail, core, mesh=mesh)
+
+    out = {k: np.asarray(v).copy() for k, v in res1.items()}
+    head_iters = out["num_iter"][unconv]
+    for k, v in res2.items():
+        out[k][unconv] = v
+    out["num_iter"][unconv] = head_iters + res2["num_iter"]
+    return out

@@ -158,3 +158,35 @@ class TestPolish:
         assert gap_polished < 1e-5
         assert gap_polished < gap_coarse
         assert np.max(np.abs((polished["f_var"] - gold["f_var"])[live])) < 1e-5
+
+
+class TestTwoStage:
+    def test_compaction_matches_single_stage(self, problem):
+        """Two-stage (head budget + compacted tail) must reach the same
+        optima/predictions as one full run."""
+        from gpsat_tpu.parallel.engine import run_tile_batch_two_stage
+
+        batches = batching.assemble_tiles(
+            problem["coords"], problem["obs"], problem["tile_indices"][:6],
+            problem["pred_coords"][:6],
+        )
+        assert len(batches) == 1
+        b = batches[0]
+        core = make_gpr_core(jitter=0.0)
+        full = make_batched_runner(core, max_iter=300)
+        gold = run_tile_batch(b, {"likelihood_variance": 0.1}, full, core)
+        assert gold["converged"].all()
+
+        head = make_batched_runner(core, max_iter=5)  # too few to converge
+        two = run_tile_batch_two_stage(
+            b, {"likelihood_variance": 0.1}, head, full, core
+        )
+        assert two["converged"].all()
+        assert (two["num_iter"] >= gold["num_iter"].min()).any()
+        live = gold["pred_mask"] > 0
+        np.testing.assert_allclose(
+            two["f_mean"][live], gold["f_mean"][live], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            two["objective"], gold["objective"], rtol=1e-9, atol=1e-8
+        )
