@@ -82,9 +82,14 @@ def main():
             },
             "constraints": {"lengthscales": {"low": 5_000, "high": 2_000_000}},
             # no linesearch override: the engine's dtype-aware default picks
-            # single_eval on f32/TPU (zoom on f64/CPU) out of the box
+            # single_eval on f32/TPU (zoom on f64/CPU) out of the box.
+            # GPSAT_TWO_STAGE=<K> switches on unconverged-lane compaction
+            # (this workload's iteration profile is mean 21 / max 76 — a
+            # long tail that otherwise bills the full 1664-expert width)
             "optim_kwargs": {
                 "max_iter": 100,
+                **({"two_stage_iters": int(os.environ["GPSAT_TWO_STAGE"])}
+                   if os.environ.get("GPSAT_TWO_STAGE") else {}),
             },
         },
         "pred_loc": {"method": "from_dataframe", "df": pred_df, "max_dist": 200_000.0},
