@@ -316,3 +316,62 @@ class BinData:
                 **{k: json_serializable(v) for k, v in config_attrs.items()},
             )
         cprint(f"binned data written to {file}:{table}", c="OKGREEN")
+
+
+def bin_obs_by_date(
+    df: pd.DataFrame,
+    val_col: str,
+    date_col: str = "date",
+    all_dates_in_range: bool = True,
+    x_col: str = "x",
+    y_col: str = "y",
+    grid_res: float = None,
+    date_col_format: str = "%Y%m%d",
+    x_min: float = -4500000.0,
+    x_max: float = 4500000.0,
+    y_min: float = -4500000.0,
+    y_max: float = 4500000.0,
+    n_x: int = None,
+    n_y: int = None,
+    bin_statistic: str = "mean",
+    verbose: bool = False,
+):
+    """Legacy per-date binning (ref: GPSat/utils.py:796-963): one [n_y, n_x]
+    grid of ``bin_statistic`` per unique date string, NaN grids for dates
+    with no data (when all_dates_in_range fills the calendar span).
+
+    Returns (dict date -> 2-d array [y, x], x_edges, y_edges).
+    """
+    from scipy.stats import binned_statistic_2d
+
+    if grid_res is None:
+        assert n_x is not None and n_y is not None, "provide grid_res or both n_x and n_y"
+    else:
+        n_x = int((x_max - x_min) / (grid_res * 1000))
+        n_y = int((y_max - y_min) / (grid_res * 1000))
+
+    x_edge = np.linspace(x_min, x_max, n_x + 1)
+    y_edge = np.linspace(y_min, y_max, n_y + 1)
+
+    dates = np.sort(df[date_col].unique())
+    if all_dates_in_range and len(dates):
+        lo = pd.to_datetime(str(dates[0]), format=date_col_format)
+        hi = pd.to_datetime(str(dates[-1]), format=date_col_format)
+        dates = pd.date_range(lo, hi, freq="D").strftime(date_col_format).to_numpy()
+
+    out = {}
+    by_date = dict(tuple(df.groupby(df[date_col].astype(str))))
+    for d in dates:
+        sub = by_date.get(str(d))
+        if sub is None or len(sub) == 0:
+            if verbose:
+                print(f"no data for {d}; NaN grid")
+            out[d] = np.full((n_y, n_x), np.nan)
+            continue
+        stat, _, _, _ = binned_statistic_2d(
+            sub[x_col].values, sub[y_col].values, sub[val_col].values,
+            statistic=bin_statistic, bins=[x_edge, y_edge],
+            range=[[x_min, x_max], [y_min, y_max]],
+        )
+        out[d] = stat.T  # [y, x] orientation, matching the reference
+    return out, x_edge, y_edge

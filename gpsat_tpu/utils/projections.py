@@ -139,3 +139,13 @@ def EASE2toWGS84(x, y, return_vals: str = "both", lon_0: float = 0, lat_0: float
     if return_vals == "both":
         return lon, lat
     return lon if return_vals == "lon" else lat
+
+
+def WGS84toEASE2_New(*args, **kwargs):
+    """Deprecated alias kept for reference-API parity (ref: utils.py:556)."""
+    return WGS84toEASE2(*args, **kwargs)
+
+
+def EASE2toWGS84_New(*args, **kwargs):
+    """Deprecated alias kept for reference-API parity (ref: utils.py:561)."""
+    return EASE2toWGS84(*args, **kwargs)
