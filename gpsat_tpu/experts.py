@@ -1143,6 +1143,8 @@ def make_core_for_model(model_cls, kernel: str, bijectors, init_params) -> Model
             num_inducing_points=int(init_params.get("num_inducing_points", 128)),
             likelihood=init_params.get("likelihood", "Gaussian") or "Gaussian",
             train_inducing_points=bool(init_params.get("train_inducing_points", False)),
+            natural_gradients=bool(init_params.get("natural_gradients", False)),
+            gamma=float(init_params.get("gamma", 0.1)),
         )
     if name in ("VFFModel", "GPflowVFFModel"):
         from gpsat_tpu.models.vff import make_vff_core

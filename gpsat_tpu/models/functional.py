@@ -40,6 +40,12 @@ class ModelCore:
     # which batched runner fits this core: 'lbfgs' (deterministic
     # objectives) or 'adam' (stochastic, e.g. SVGP)
     optimizer: str = "lbfgs"
+    # optional natural-gradient hook for variational params (SVGP): the
+    # Adam runner calls natgrad_update(uparams, data) each iteration and
+    # it returns new values for natgrad_params, which are excluded from
+    # the Adam update (ref: gpflow_models.py:1186-1212 hybrid optimizer)
+    natgrad_update: Callable = None
+    natgrad_params: tuple = ()
 
 
 def make_gpr_core(

@@ -439,9 +439,18 @@ def make_svgp_core(
     num_inducing_points: int = 128,
     likelihood: str = "Gaussian",
     train_inducing_points: bool = False,
+    natural_gradients: bool = False,
+    gamma: float = 0.1,
 ):
     """Functional core for the batched engine (optimize with the Adam
-    runner — stochastic objective, not L-BFGS)."""
+    runner — stochastic objective, not L-BFGS).
+
+    natural_gradients=True switches (inducing_mean, inducing_chol) to
+    per-iteration natural-gradient updates (Salimbeni et al. 2018) inside
+    the Adam loop — the reference's hybrid Adam+NatGrad optimizer
+    (ref: gpflow_models.py:1186-1212) on the batched engine. Converges in
+    far fewer iterations for Gaussian likelihoods.
+    """
     import numpy as _np
 
     from gpsat_tpu.models.functional import ModelCore
@@ -498,6 +507,20 @@ def make_svgp_core(
                 Z[bi] = pad_inducing_points(pts, num_inducing_points, data_span=span)
         return {**init, "inducing_points": Z}
 
+    def natgrad_update(uparams, data):
+        """(inducing_mean, inducing_chol) <- one natural-gradient step on
+        the full-tile ELBO (identity bijectors, so uparams == cparams for
+        the variational pair)."""
+        c = {k: bijectors[k].forward(v) for k, v in uparams.items()}
+
+        def loss_m_S(m, S):
+            Lq = jnp.linalg.cholesky(S + 1e-12 * jnp.eye(S.shape[0], dtype=S.dtype))
+            cc = {**c, "inducing_mean": m, "inducing_chol": Lq}
+            return -elbo(cc, data, kernel=kernel, likelihood=likelihood, jitter=jitter)
+
+        m_new, qs_new = natgrad_step(loss_m_S, c["inducing_mean"], c["inducing_chol"], gamma)
+        return {"inducing_mean": m_new, "inducing_chol": qs_new}
+
     return ModelCore(
         name=f"SVGP[{kernel},M={num_inducing_points}]",
         objective=objective,
@@ -516,4 +539,6 @@ def make_svgp_core(
         default_fixed_params=() if train_inducing_points else ("inducing_points",),
         prepare_batch_init=prepare_batch_init,
         optimizer="adam",
+        natgrad_update=natgrad_update if natural_gradients else None,
+        natgrad_params=("inducing_mean", "inducing_chol") if natural_gradients else (),
     )

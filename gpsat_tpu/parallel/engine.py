@@ -166,25 +166,32 @@ def _adam_fit_predict_one(
 ):
     """Adam optimization for stochastic cores (SVGP): early stopping with
     the reference's check_every/persistence semantics
-    (ref: gpflow_models.py:1214-1245), fully inside jit."""
+    (ref: gpflow_models.py:1214-1245), fully inside jit. Cores with a
+    natgrad_update hook get the reference's hybrid optimizer: the
+    variational params step by natural gradient each iteration and are
+    excluded from Adam (ref: gpflow_models.py:1186-1212)."""
     import optax
 
-    u_free0 = {k: v for k, v in uparams0.items() if k not in fixed_params}
-    u_fixed = {k: v for k, v in uparams0.items() if k in fixed_params}
+    nat_names = tuple(core.natgrad_params) if core.natgrad_update is not None else ()
+    u_nat0 = {k: v for k, v in uparams0.items() if k in nat_names}
+    u_free0 = {k: v for k, v in uparams0.items() if k not in fixed_params and k not in nat_names}
+    u_fixed = {k: v for k, v in uparams0.items() if k in fixed_params and k not in nat_names}
 
-    def loss_fn(u_free):
-        return core.objective({**u_free, **u_fixed}, data)
+    def loss_fn(u_free, u_nat):
+        return core.objective({**u_free, **u_nat, **u_fixed}, data)
 
     if optimise and u_free0:
         opt = optax.adam(learning_rate)
 
         def cond(carry):
-            _, _, it, best, since_best, done = carry
+            _, _, _, it, best, since_best, done = carry
             return jnp.logical_and(it < max_iter, jnp.logical_not(done))
 
         def body(carry):
-            u, opt_state, it, best, since_best, done = carry
-            loss, g = jax.value_and_grad(loss_fn)(u)
+            u, u_nat, opt_state, it, best, since_best, done = carry
+            if nat_names:
+                u_nat = core.natgrad_update({**u, **u_nat, **u_fixed}, data)
+            loss, g = jax.value_and_grad(loss_fn)(u, u_nat)
             updates, opt_state = opt.update(g, opt_state)
             u = optax.apply_updates(u, updates)
             check = (it % check_every) == 0
@@ -192,12 +199,15 @@ def _adam_fit_predict_one(
             best = jnp.where(check & improved, loss, best)
             since_best = jnp.where(check, jnp.where(improved, 0, since_best + check_every), since_best)
             done = jnp.logical_or(since_best >= persistence, jnp.logical_not(jnp.isfinite(loss)))
-            return (u, opt_state, it + 1, best, since_best, done)
+            return (u, u_nat, opt_state, it + 1, best, since_best, done)
 
-        init = (u_free0, opt.init(u_free0), jnp.asarray(0), jnp.asarray(jnp.inf), jnp.asarray(0), jnp.asarray(False))
-        u_opt_free, _, it, best, _, _ = jax.lax.while_loop(cond, body, init)
-        u_opt = {**u_opt_free, **u_fixed}
-        final_obj = loss_fn(u_opt_free)
+        init = (
+            u_free0, u_nat0, opt.init(u_free0),
+            jnp.asarray(0), jnp.asarray(jnp.inf), jnp.asarray(0), jnp.asarray(False),
+        )
+        u_opt_free, u_opt_nat, _, it, best, _, _ = jax.lax.while_loop(cond, body, init)
+        u_opt = {**u_opt_free, **u_opt_nat, **u_fixed}
+        final_obj = loss_fn(u_opt_free, u_opt_nat)
         converged = jnp.isfinite(final_obj)
         num_iter = it
     else:

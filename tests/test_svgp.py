@@ -163,3 +163,42 @@ class TestSVGP:
         q_sqrt = np.tril(np.ones((1, 8, 8)))
         svgp.set_inducing_chol(q_sqrt)
         assert svgp.get_inducing_chol().shape == (1, 8, 8)
+
+
+def test_batched_natgrad_hybrid_optimizer():
+    """natural_gradients=True on the batched core: the reference's hybrid
+    Adam+NatGrad optimizer (ref: gpflow_models.py:1186-1212). The
+    variational pair steps by natural gradient and is excluded from Adam;
+    at a fixed iteration budget the ELBO must not be worse than plain
+    Adam's."""
+    import numpy as np
+
+    from gpsat_tpu.models.svgp import make_svgp_core
+    from gpsat_tpu.parallel.batching import TileBatch
+    from gpsat_tpu.parallel.engine import make_batched_adam_runner, run_tile_batch
+
+    rng = np.random.default_rng(0)
+    B, N, P = 2, 64, 4
+    X = rng.uniform(-4, 4, (B, N, 2))
+    batch = TileBatch(
+        X=X,
+        y=np.sin(X[..., 0]) * np.cos(X[..., 1]) + 0.05 * rng.normal(size=(B, N)),
+        mask=np.ones((B, N)),
+        Xnew=rng.uniform(-3, 3, (B, P, 2)),
+        pred_mask=np.ones((B, P)),
+        obs_mean=np.zeros(B),
+        expert_index=np.arange(B),
+        num_obs=np.full(B, N),
+    )
+    elbos = {}
+    for ng in (False, True):
+        core = make_svgp_core(num_inducing_points=24, natural_gradients=ng)
+        runner = make_batched_adam_runner(
+            core, fixed_params=tuple(core.default_fixed_params),
+            max_iter=600, learning_rate=1e-2, check_every=10, persistence=600,
+        )
+        res = run_tile_batch(batch, {"smart_init": True}, runner, core)
+        assert res["converged"].all()
+        assert np.isfinite(res["f_mean"]).all()
+        elbos[ng] = -np.asarray(res["objective"])
+    assert (elbos[True] >= elbos[False] - 0.5).all(), (elbos[True], elbos[False])
