@@ -430,6 +430,14 @@ class LocalExpertOI:
             groups.setdefault(key, {"where": where, "rows": []})
             groups[key]["rows"].append(i)
 
+        # JSON-expressible mesh specs for config-driven runs: "all" (every
+        # local device), an int (first n devices), or a Mesh object
+        if mesh == "all" or mesh is True:
+            mesh = default_mesh()
+        elif isinstance(mesh, int):
+            import jax as _jax
+
+            mesh = default_mesh(_jax.devices()[:mesh])
         mesh = mesh if mesh is not None else default_mesh()
         device_name = str(mesh.devices.flat[0].device_kind) if mesh.devices.size else "cpu"
 

@@ -208,3 +208,34 @@ class TestReplacementModel:
         assert rich["model"].endswith("GPRModel")
         assert poor["model"].endswith("GPRModel")
         assert np.isfinite(rd["objective_value"]).all()
+
+
+def test_json_expressible_mesh_specs():
+    """run(mesh=2) / run(mesh='all') build the device mesh from JSON-friendly
+    specs so config-driven runs can shard without Python objects."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from gpsat_tpu.data.store import TableStore
+    from gpsat_tpu.experts import LocalExpertOI
+
+    rng = np.random.default_rng(0)
+    n = 200
+    df = pd.DataFrame({"x": rng.uniform(-3, 3, n), "y": rng.uniform(-3, 3, n)})
+    df["obs"] = np.sin(df["x"]) + 0.05 * rng.normal(size=n)
+    for spec in (2, "all"):
+        oi = LocalExpertOI(
+            expert_loc_config={"source": pd.DataFrame({"x": [0.0, 1.0], "y": [0.0, 0.5]})},
+            data_config={"data_source": df, "obs_col": "obs", "coords_col": ["x", "y"],
+                         "local_select": [{"col": ["x", "y"], "comp": "<", "val": 4.0}]},
+            model_config={"oi_model": "GPflowGPRModel", "optim_kwargs": {"max_iter": 500}},
+            pred_loc_config={"method": "expert_loc"},
+        )
+        p = os.path.join(tempfile.mkdtemp(), "oi.h5")
+        oi.run(store_path=p, mesh=spec)
+        with TableStore(p, mode="r") as s:
+            rd = s.select("run_details", set_index=False)
+        assert rd["optimise_success"].all(), f"mesh={spec}: {rd}"
