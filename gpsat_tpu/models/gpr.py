@@ -181,6 +181,16 @@ class GPRModel(BaseGPRModel):
             obs_mean=obs_mean,
             verbose=verbose,
         )
+        for k in ("mean_function", "mean_func_kwargs"):
+            # the reference accepts gpflow mean functions
+            # (gpflow_models.py:143-155); this build models the prior mean
+            # via obs de-meaning (obs_mean='local') instead — fail loudly
+            # rather than silently fit a zero-mean prior
+            if kwargs.get(k) is not None:
+                raise NotImplementedError(
+                    f"{k} is not supported; use obs_mean='local' (per-tile "
+                    "de-meaning) for a locally-constant prior mean"
+                )
         assert kernel in K.KERNEL_NAMES, f"kernel: {kernel} not in {K.KERNEL_NAMES}"
         self.kernel = kernel
         self.kernel_kwargs = dict(kernel_kwargs or {})
