@@ -239,6 +239,13 @@ class GPRModel(BaseGPRModel):
             u = {**u_free_, **u_fixed}
             return neg_lml(u, data, kernel=kernel, bijectors=bijectors, jitter=jitter)
 
+        # dtype-aware tolerance defaults, matching the engine
+        # (make_batched_runner): f64-grade thresholds sit below f32
+        # arithmetic noise and would report converged=False forever
+        if jnp.asarray(data["X"]).dtype == jnp.float32:
+            opt_kwargs.setdefault("tol_grad", 1e-3)
+            opt_kwargs.setdefault("tol_f", 1e-6)
+            opt_kwargs.setdefault("linesearch", "single_eval")
         res = minimize_lbfgs(objective, u_free, max_iter=max_iter, **opt_kwargs)
         u_opt = {**{k: np.asarray(v) for k, v in res.params.items()}, **u_fixed}
         self._params = {k: np.asarray(bijectors[k].forward(jnp.asarray(v))) for k, v in u_opt.items()}

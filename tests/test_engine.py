@@ -151,7 +151,7 @@ class TestPolish:
         coarse_runner = make_batched_runner(core32, max_iter=150)
         coarse = run_tile_batch(b32, {"likelihood_variance": 0.1}, coarse_runner, core32)
 
-        polished = polish_tile_batch(b64, coarse, core, max_iter=25)
+        polished = polish_tile_batch(b64, coarse, core, max_iter=150)  # production default depth
         live = gold["pred_mask"] > 0  # compare live prediction slots only
         gap_coarse = np.max(np.abs((coarse["f_mean"] - gold["f_mean"])[live]))
         gap_polished = np.max(np.abs((polished["f_mean"] - gold["f_mean"])[live]))
