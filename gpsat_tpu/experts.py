@@ -1130,6 +1130,7 @@ def make_core_for_model(model_cls, kernel: str, bijectors, init_params) -> Model
             kernel=kernel,
             bijectors=bijectors_from(bijectors),
             jitter=init_params.get("jitter", 0.0),
+            mean_function=init_params.get("mean_function"),
         )
     if name in ("SGPRModel", "GPflowSGPRModel"):
         from gpsat_tpu.models.sgpr import DEFAULT_JITTER, make_sgpr_core

@@ -52,10 +52,20 @@ def make_gpr_core(
     kernel: str = "Matern32",
     bijectors: Optional[dict] = None,
     jitter: float = 0.0,
+    mean_function: Optional[str] = None,
 ) -> ModelCore:
-    """Exact GPR core (objective = negative log marginal likelihood)."""
+    """Exact GPR core (objective = negative log marginal likelihood).
+
+    mean_function="Constant" adds a trainable per-expert offset param
+    mean_c (identity bijector; ref: gpflow_models.py:143-155).
+    """
+    if mean_function not in (None, "Constant"):
+        raise NotImplementedError(f"mean_function: {mean_function!r} (only 'Constant')")
     if bijectors is None:
         bijectors = {name: T.POSITIVE for name in gpr_core.PARAM_NAMES}
+    bijectors = dict(bijectors)
+    if mean_function == "Constant":
+        bijectors.setdefault("mean_c", T.IDENTITY)
 
     def objective(uparams, data):
         return gpr_core.neg_lml(uparams, data, kernel=kernel, bijectors=bijectors, jitter=jitter)
@@ -75,6 +85,8 @@ def make_gpr_core(
             "kernel_variance": np.asarray(1.0, dtype=dtype),
             "likelihood_variance": np.asarray(1.0, dtype=dtype),
         }
+        if mean_function == "Constant":
+            out["mean_c"] = np.asarray(0.0, dtype=dtype)
         for k, v in (overrides or {}).items():
             if k not in out:
                 continue
@@ -89,5 +101,6 @@ def make_gpr_core(
         forward=forward,
         inverse=inverse,
         init_cparams=init_cparams,
-        param_names=tuple(gpr_core.PARAM_NAMES),
+        param_names=tuple(gpr_core.PARAM_NAMES)
+        + (("mean_c",) if mean_function == "Constant" else ()),
     )

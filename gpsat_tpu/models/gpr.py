@@ -43,6 +43,11 @@ def neg_lml(uparams: dict, data: dict, *, kernel: str, bijectors: dict, jitter: 
     autodiffed Cholesky/solve form for reference parity.
     """
     p = T.forward_params(uparams, bijectors)
+    if "mean_c" in p:
+        # constant prior mean (reference mean_function="Constant",
+        # gpflow_models.py:143-155): the LML acts on de-meaned obs; the
+        # fused path's analytic y-cotangent carries d/dc
+        data = {**data, "y": data["y"] - p["mean_c"]}
     if LA.use_fast_inverse(data["X"].dtype) and kernel in (
         "Matern12",
         "Matern32",
@@ -114,10 +119,15 @@ def predict(
     import jax
 
     m = data["mask"].astype(Xnew.dtype)
+    mean_c = cparams.get("mean_c", None)
+    if mean_c is not None:
+        data = {**data, "y": data["y"] - mean_c}
     L, alpha, W = posterior_factors(cparams, data, kernel=kernel, jitter=jitter)
     Ks = K.gram(kernel, data["X"], Xnew, cparams["lengthscales"], cparams["kernel_variance"])
     Ks = Ks * m[:, None]
     f_mean = (Ks.T @ alpha)[:, 0]
+    if mean_c is not None:
+        f_mean = f_mean + mean_c
     v = (
         jnp.matmul(W, Ks, precision=jax.lax.Precision.HIGHEST)
         if W is not None
@@ -181,16 +191,17 @@ class GPRModel(BaseGPRModel):
             obs_mean=obs_mean,
             verbose=verbose,
         )
-        for k in ("mean_function", "mean_func_kwargs"):
-            # the reference accepts gpflow mean functions
-            # (gpflow_models.py:143-155); this build models the prior mean
-            # via obs de-meaning (obs_mean='local') instead — fail loudly
-            # rather than silently fit a zero-mean prior
-            if kwargs.get(k) is not None:
-                raise NotImplementedError(
-                    f"{k} is not supported; use obs_mean='local' (per-tile "
-                    "de-meaning) for a locally-constant prior mean"
-                )
+        # mean functions (ref: gpflow_models.py:143-155): Constant with a
+        # trainable offset is supported; anything else fails loudly rather
+        # than silently fitting a zero-mean prior
+        mean_function = kwargs.pop("mean_function", None)
+        mean_func_kwargs = dict(kwargs.pop("mean_func_kwargs", None) or {})
+        if mean_function not in (None, "Constant"):
+            raise NotImplementedError(
+                f"mean_function: {mean_function!r} not supported (only 'Constant'); "
+                "obs_mean='local' gives a fixed per-tile constant mean instead"
+            )
+        self.mean_function = mean_function
         assert kernel in K.KERNEL_NAMES, f"kernel: {kernel} not in {K.KERNEL_NAMES}"
         self.kernel = kernel
         self.kernel_kwargs = dict(kernel_kwargs or {})
@@ -208,6 +219,9 @@ class GPRModel(BaseGPRModel):
             ),
         }
         self._bijectors = {name: T.POSITIVE for name in PARAM_NAMES}
+        if self.mean_function == "Constant":
+            self._params["mean_c"] = np.asarray(float(mean_func_kwargs.get("c", 0.0)))
+            self._bijectors["mean_c"] = T.IDENTITY
         self._last_opt_result = None
 
     # ----- data for the functional core -----
@@ -221,7 +235,17 @@ class GPRModel(BaseGPRModel):
 
     @property
     def param_names(self) -> List[str]:
-        return list(PARAM_NAMES)
+        names = list(PARAM_NAMES)
+        # (guarded: the base class inspects param_names before _params exists)
+        if "mean_c" in getattr(self, "_params", {}):
+            names.append("mean_c")
+        return names
+
+    def get_mean_c(self) -> float:
+        return float(self._params["mean_c"])
+
+    def set_mean_c(self, mean_c):
+        self._params["mean_c"] = np.asarray(float(np.ravel(mean_c)[0]))
 
     # ----- optimise -----
     def optimise_parameters(self, max_iter: int = 10_000, fixed_params=None, **opt_kwargs) -> bool:

@@ -65,12 +65,14 @@ def _dk_dl_factor(kernel: str, r, kernel_variance):
 def masked_gpr_lml_fused(kernel, X, y, mask, lengthscales, kernel_variance, likelihood_variance, jitter):
     """Masked GPR log marginal likelihood with a hand-fused analytic VJP.
 
-    GRADIENT CONTRACT: differentiable w.r.t. the HYPERPARAMETERS ONLY
-    (lengthscales, kernel_variance, likelihood_variance). The custom VJP
-    returns symbolic-zero cotangents for X, y, mask, and jitter — callers
-    that differentiate through inputs (e.g. inducing-point or coordinate
-    optimization) would silently receive zeros; use the autodiff LML path
-    (models/gpr.py neg_lml) for that.
+    GRADIENT CONTRACT: differentiable w.r.t. the hyperparameters
+    (lengthscales, kernel_variance, likelihood_variance) AND the
+    observations y (d lml / dy = -K^-1 y, free — alpha is already a
+    residual; needed by trainable mean functions whose constant enters
+    through y). The custom VJP returns symbolic-zero cotangents for X,
+    mask, and jitter — callers that differentiate through coordinates
+    (e.g. inducing-point optimization) would silently receive zeros; use
+    the autodiff LML path (models/gpr.py neg_lml) for that.
     """
     lml, _ = _fused_fwd_impl(kernel, X, y, mask, lengthscales, kernel_variance, likelihood_variance, jitter)
     return lml
@@ -142,9 +144,11 @@ def _fused_bwd(kernel, residuals, g):
     d_lv = 0.5 * jnp.sum(m * (alpha**2 - jnp.diagonal(Kinv)))
 
     zX = jnp.zeros_like(X)
-    zy = jnp.zeros_like(alpha)
+    # d lml / dy = -K^-1 y = -alpha on valid rows (alpha already masked
+    # through the masked Gram); enables trainable mean functions
+    dy = g * (-alpha) * m
     zm = jnp.zeros_like(m)
-    return (zX, zy, zm, g * d_ls, g * d_kv, g * d_lv, jnp.zeros_like(d_lv))
+    return (zX, dy, zm, g * d_ls, g * d_kv, g * d_lv, jnp.zeros_like(d_lv))
 
 
 masked_gpr_lml_fused.defvjp(_fused_fwd, _fused_bwd)

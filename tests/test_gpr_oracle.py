@@ -88,3 +88,57 @@ class TestGPROracle:
         out = model.predict(coords=oracle["x_test"])
         expected = oracle["df"]["y"].mean()
         np.testing.assert_allclose(out["f_bar"], expected, rtol=1e-12)
+
+
+class TestConstantMean:
+    """mean_function='Constant' (ref: gpflow_models.py:143-155): trainable
+    offset through both the host model and the batched engine core."""
+
+    def test_host_recovers_offset_and_prior_mean(self):
+        rng = np.random.default_rng(0)
+        X = rng.uniform(-2, 2, (80, 2))
+        y = np.sin(X[:, 0]) * np.cos(X[:, 1]) + 5.0 + 0.05 * rng.normal(size=80)
+        m = GPRModel(coords=X, obs=y, mean_function="Constant", noise_variance=0.0025)
+        assert "mean_c" in m.param_names
+        assert m.optimise_parameters(max_iter=500)
+        assert abs(m.get_mean_c() - 5.0) < 0.5
+        # far from the data the posterior returns the prior (constant) mean
+        far = float(m.predict(np.array([[50.0, 50.0]]), apply_scale=False)["f*"][0])
+        assert abs(far - m.get_mean_c()) < 1e-6
+        near = float(m.predict(np.zeros((1, 2)), apply_scale=False)["f*"][0])
+        assert abs(near - 5.0) < 0.05
+
+    def test_unsupported_mean_function_raises(self):
+        import pytest
+
+        with pytest.raises(NotImplementedError, match="mean_function"):
+            GPRModel(coords=np.zeros((5, 2)), obs=np.zeros(5), mean_function="Linear")
+
+    def test_batched_core_matches_host(self):
+        from gpsat_tpu.models.functional import make_gpr_core
+        from gpsat_tpu.parallel.batching import TileBatch
+        from gpsat_tpu.parallel.engine import make_batched_runner, run_tile_batch
+
+        rng = np.random.default_rng(1)
+        B, N, P = 2, 64, 4
+        X = rng.uniform(-2, 2, (B, N, 2))
+        y = np.sin(X[..., 0]) + 3.0 + 0.05 * rng.normal(size=(B, N))
+        batch = TileBatch(
+            X=X, y=y, mask=np.ones((B, N)),
+            Xnew=rng.uniform(-1, 1, (B, P, 2)),
+            pred_mask=np.ones((B, P)),
+            obs_mean=np.zeros(B),
+            expert_index=np.arange(B),
+            num_obs=np.full(B, N),
+        )
+        core = make_gpr_core(mean_function="Constant")
+        runner = make_batched_runner(core, max_iter=500)
+        res = run_tile_batch(batch, {"likelihood_variance": 0.0025}, runner, core)
+        assert res["converged"].all()
+        np.testing.assert_allclose(res["mean_c"], 3.0, atol=0.5)
+        # engine prediction == host-model prediction, expert for expert
+        for i in range(B):
+            hm = GPRModel(coords=X[i], obs=y[i], mean_function="Constant", noise_variance=1.0)
+            hm.optimise_parameters(max_iter=500)
+            hp = hm.predict(batch.Xnew[i], apply_scale=False)
+            np.testing.assert_allclose(res["f_mean"][i], np.asarray(hp["f*"]).ravel(), atol=1e-5)
