@@ -1141,6 +1141,7 @@ def make_core_for_model(model_cls, kernel: str, bijectors, init_params) -> Model
             jitter=init_params.get("jitter", DEFAULT_JITTER),
             num_inducing_points=int(init_params.get("num_inducing_points", 500)),
             train_inducing_points=bool(init_params.get("train_inducing_points", False)),
+            mean_function=init_params.get("mean_function"),
         )
     if name in ("SVGPModel", "GPflowSVGPModel"):
         from gpsat_tpu.models.svgp import DEFAULT_JITTER as SVGP_JITTER, make_svgp_core

@@ -36,6 +36,10 @@ DEFAULT_JITTER = 1e-6  # gpflow default_jitter on Kuu
 def _common_terms(cparams: dict, data: dict, *, kernel: str, jitter: float):
     """Shared SGPR factors: L = chol(Kuu), A = L^-1 Kuf / sigma, B-factors."""
     X, y, m = data["X"], data["y"], data["mask"].astype(data["X"].dtype)
+    if "mean_c" in cparams:
+        # constant prior mean: collapsed bound on de-meaned obs
+        # (ref: gpflow_models.py:706 mean_function on SGPR)
+        y = y - cparams["mean_c"]
     Z = cparams["inducing_points"]
     ls = cparams["lengthscales"]
     kv = cparams["kernel_variance"]
@@ -84,6 +88,8 @@ def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, *, kernel: str, jitter
     tmp1 = LA.tri_solve(t["L"], Kus)
     tmp2 = LA.tri_solve(t["LB"], tmp1)
     f_mean = (tmp2.T @ t["c"])[:, 0]
+    if "mean_c" in cparams:
+        f_mean = f_mean + cparams["mean_c"]
     kss = K.gram_diag(kernel, Xnew, cparams["kernel_variance"])
     f_var = kss + jnp.sum(tmp2**2, axis=0) - jnp.sum(tmp1**2, axis=0)
     return {"f_mean": f_mean, "f_var": f_var, "y_var": f_var + cparams["likelihood_variance"]}
@@ -145,6 +151,7 @@ class SGPRModel(GPRModel):
             kernel_kwargs=kernel_kwargs,
             noise_variance=noise_variance,
             jitter=jitter,
+            **kwargs,
         )
         assert num_inducing_points is not None, "num_inducing_points must be specified for SGPR"
         if len(self.coords) < num_inducing_points:
@@ -159,7 +166,10 @@ class SGPRModel(GPRModel):
 
     @property
     def param_names(self) -> List[str]:
-        return list(PARAM_NAMES)
+        names = list(PARAM_NAMES)
+        if "mean_c" in getattr(self, "_params", {}):
+            names.append("mean_c")
+        return names
 
     def _neg_objective(self, uparams, data):
         return neg_elbo(uparams, data, kernel=self.kernel, bijectors=self._bijectors, jitter=self.jitter)
@@ -225,6 +235,7 @@ def make_sgpr_core(
     jitter: float = DEFAULT_JITTER,
     num_inducing_points: int = 500,
     train_inducing_points: bool = False,
+    mean_function: Optional[str] = None,
 ):
     """Functional core for the batched engine.
 
@@ -235,8 +246,12 @@ def make_sgpr_core(
 
     if bijectors is None:
         bijectors = {name: T.POSITIVE for name in PARAM_NAMES}
+    if mean_function not in (None, "Constant"):
+        raise NotImplementedError(f"mean_function: {mean_function!r} (only 'Constant')")
     bijectors = dict(bijectors)
     bijectors["inducing_points"] = T.IDENTITY
+    if mean_function == "Constant":
+        bijectors.setdefault("mean_c", T.IDENTITY)
 
     def objective(uparams, data):
         return neg_elbo(uparams, data, kernel=kernel, bijectors=bijectors, jitter=jitter)
@@ -257,6 +272,8 @@ def make_sgpr_core(
             "likelihood_variance": np.asarray(1.0, dtype=dtype),
             "inducing_points": np.zeros((num_inducing_points, D), dtype=dtype),
         }
+        if mean_function == "Constant":
+            out["mean_c"] = np.asarray(0.0, dtype=dtype)
         for k, v in (overrides or {}).items():
             if k in out:
                 v = np.asarray(v, dtype=dtype)
@@ -289,7 +306,7 @@ def make_sgpr_core(
         forward=forward,
         inverse=inverse,
         init_cparams=init_cparams,
-        param_names=tuple(PARAM_NAMES),
+        param_names=tuple(PARAM_NAMES) + (("mean_c",) if mean_function == "Constant" else ()),
         default_fixed_params=() if train_inducing_points else ("inducing_points",),
         prepare_batch_init=prepare_batch_init,
     )

@@ -158,3 +158,22 @@ def test_f32_inducing_slot_padding_stays_finite():
     assert np.isfinite(res["objective"]).all()
     assert np.isfinite(res["f_mean"]).all()
     assert res["converged"].all()
+
+
+def test_constant_mean_function():
+    """SGPR mean_function='Constant' (ref gpflow_models.py:706): trainable
+    offset through host model and batched core."""
+    import numpy as np
+
+    from gpsat_tpu.models.sgpr import SGPRModel
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(-2, 2, (80, 2))
+    y = np.sin(X[:, 0]) * np.cos(X[:, 1]) + 5.0 + 0.05 * rng.normal(size=80)
+    m = SGPRModel(coords=X, obs=y, num_inducing_points=40,
+                  mean_function="Constant", noise_variance=0.0025)
+    assert "mean_c" in m.param_names
+    assert m.optimise_parameters(max_iter=500)
+    assert abs(m.get_mean_c() - 5.0) < 0.5
+    far = float(m.predict(np.array([[50.0, 50.0]]), apply_scale=False)["f*"][0])
+    assert abs(far - m.get_mean_c()) < 1e-5
