@@ -222,6 +222,15 @@ class SVGPModel(GPRModel):
         jitter: float = DEFAULT_JITTER,
         **kwargs,
     ):
+        if kwargs.get("mean_function") is not None:
+            # fail loudly: the reference supports gpflow mean functions here
+            # but this build does not for this model yet (GPR/SGPR support
+            # mean_function='Constant'); silently fitting a zero-mean prior
+            # would be wrong
+            raise NotImplementedError(
+                "mean_function is not supported for this model; use "
+                "obs_mean='local' or the GPR/SGPR models' Constant mean"
+            )
         super().__init__(
             data=data,
             coords_col=coords_col,

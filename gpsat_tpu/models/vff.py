@@ -252,6 +252,15 @@ class VFFModel(BaseGPRModel):
         noise_variance: Optional[float] = None,
         **kwargs,
     ):
+        if kwargs.get("mean_function") is not None:
+            # fail loudly: the reference supports gpflow mean functions here
+            # but this build does not for this model yet (GPR/SGPR support
+            # mean_function='Constant'); silently fitting a zero-mean prior
+            # would be wrong
+            raise NotImplementedError(
+                "mean_function is not supported for this model; use "
+                "obs_mean='local' or the GPR/SGPR models' Constant mean"
+            )
         super().__init__(
             data=data,
             coords_col=coords_col,
