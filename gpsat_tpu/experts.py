@@ -651,6 +651,13 @@ class LocalExpertOI:
                         res = run_tile_batch_two_stage(
                             b, per_expert_init, lane_head, lane_runner, lane_core, mesh=mesh
                         )
+                        if optimise and self.optim_kwargs.get("polish") in ("f64", True):
+                            from gpsat_tpu.parallel.engine import polish_tile_batch
+
+                            res = polish_tile_batch(
+                                b, res, lane_core,
+                                max_iter=int(self.optim_kwargs.get("polish_max_iter", 150)),
+                            )
                         store_res(res, time.perf_counter() - t0, b.B)
                     else:
                         fin = run_tile_batch_async(b, per_expert_init, lane_runner, lane_core, mesh=mesh)
