@@ -460,6 +460,12 @@ class LocalExpertOI:
             if core.optimizer == "adam":
                 from gpsat_tpu.parallel.engine import make_batched_adam_runner
 
+                if optim_kwargs.get("two_stage_iters"):
+                    warnings.warn(
+                        "two_stage_iters only applies to L-BFGS-optimized "
+                        f"cores; ignored for {core.name}"
+                    )
+
                 runner = make_batched_adam_runner(
                     core,
                     fixed_params=fixed,
@@ -622,6 +628,7 @@ class LocalExpertOI:
                         res = polish_tile_batch(
                             pb, res, lane_core,
                             max_iter=int(self.optim_kwargs.get("polish_max_iter", 150)),
+                            fixed_params=tuple(self.optim_kwargs.get("fixed_params", ())),
                         )
                     store_res(res, time.perf_counter() - t0p, pb.B)
 
@@ -657,6 +664,7 @@ class LocalExpertOI:
                             res = polish_tile_batch(
                                 b, res, lane_core,
                                 max_iter=int(self.optim_kwargs.get("polish_max_iter", 150)),
+                                fixed_params=tuple(self.optim_kwargs.get("fixed_params", ())),
                             )
                         store_res(res, time.perf_counter() - t0, b.B)
                     else:

@@ -101,17 +101,19 @@ def pad_inducing_points(Z: np.ndarray, M: int, data_span: float = 1.0) -> np.nda
     Pads are decoupled (kernel ~ 0 to data and to each other) yet kept at
     MODERATE distance: the |a|^2+|b|^2-2ab squared-distance trick loses
     ~|z|^2 * eps to roundoff, so f32 pads at 1e6*span used to corrupt the
-    Kuu diagonal (error >> true 0) and make Cholesky NaN. 10*span base +
-    3*span spacing keeps the roundoff << inter-pad distances while every
-    pad kernel value stays ~exp(-10*span/lengthscale) ~ 0.
+    Kuu diagonal (error >> true 0) and make Cholesky NaN. 100*span base +
+    10*span spacing keeps pads inert even when the optimized lengthscale
+    grows to several spans (pad-data distance >= 100 spans => kernel ~ 0
+    for lengthscales up to ~20 spans) while f32 roundoff on the scaled
+    distances stays well below the inter-pad separations.
     """
     m, D = Z.shape
     if m >= M:
         return Z[:M]
     span = max(data_span, 1.0)
     far_base = Z.max(axis=0) if m else np.zeros(D)
-    extra = np.arange(M - m, dtype=float)[:, None] * (3.0 * span)
-    pad = far_base[None, :] + 10.0 * span + extra
+    extra = np.arange(M - m, dtype=float)[:, None] * (10.0 * span)
+    pad = far_base[None, :] + 100.0 * span + extra
     return np.concatenate([Z, pad], axis=0)
 
 

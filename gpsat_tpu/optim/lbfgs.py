@@ -278,10 +278,15 @@ def minimize_lbfgs(
         # scale by the current value only: prev_val can be +inf on the first
         # backtracking iteration and must not blow up the threshold
         decrease = prev_val - new_val
-        # strictly-positive decrease required: a failed (probe-capped)
-        # linesearch yields Δf == 0 (unmoved iterate) or Δf < 0 (uphill),
-        # neither of which may register as the scipy-factr convergence test
-        f_small = jnp.logical_and(decrease > 0, decrease <= tol_f * jnp.maximum(jnp.abs(new_val), 1.0))
+        # backtracking: strictly-positive decrease required — a failed
+        # (probe-capped) search yields Δf == 0 (unmoved iterate) or Δf < 0
+        # (uphill), neither of which may register as the scipy-factr test.
+        # zoom (scipy-parity mode): Δf == 0 at a flat point IS convergence,
+        # exactly as scipy L-BFGS-B's factr criterion (<=) treats it —
+        # strong-Wolfe steps are never uphill, so there is no false-
+        # convergence mode to guard there.
+        min_ok = decrease >= 0 if linesearch == "zoom" else decrease > 0
+        f_small = jnp.logical_and(min_ok, decrease <= tol_f * jnp.maximum(jnp.abs(new_val), 1.0))
         new_done = jnp.logical_or(gnorm <= tol_grad, f_small)
         new_stall = jnp.where(jnp.logical_or(decrease > 0, new_done), 0, stall + 1)
         new_failed = jnp.logical_not(jnp.isfinite(new_val))

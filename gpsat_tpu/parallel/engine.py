@@ -180,7 +180,9 @@ def _adam_fit_predict_one(
     def loss_fn(u_free, u_nat):
         return core.objective({**u_free, **u_nat, **u_fixed}, data)
 
-    if optimise and u_free0:
+    # nat params still need fitting even when every Adam param is fixed
+    # (e.g. re-running with smoothed, fixed hyperparameters)
+    if optimise and (u_free0 or nat_names):
         opt = optax.adam(learning_rate)
 
         def cond(carry):
@@ -293,6 +295,7 @@ def polish_tile_batch(
     jitter: float = 0.0,
     max_iter: int = 25,
     tols: Optional[dict] = None,
+    fixed_params: tuple = (),
     device=None,
     mesh: Optional[Mesh] = None,
 ) -> Dict[str, np.ndarray]:
@@ -326,13 +329,24 @@ def polish_tile_batch(
         )
         init[k] = v
     runner = make_batched_runner(
-        core, fixed_params=tuple(core.default_fixed_params),
+        core,
+        fixed_params=tuple(dict.fromkeys(tuple(fixed_params) + tuple(core.default_fixed_params))),
         max_iter=max_iter, linesearch="zoom",
         **(tols or dict(tol_grad=1e-6, tol_f=1e-11)), mesh=mesh,
     )
     dev = device if device is not None else _jax.devices("cpu")[0]
-    with _jax.default_device(dev):
-        return run_tile_batch(batch64, init, runner, core, mesh=mesh)
+    # the whole point is float64: production TPU processes run with x64
+    # disabled, where jnp.asarray would silently truncate the f64 arrays
+    # back to f32 — enable x64 for the scope of the polish
+    x64_was = bool(_jax.config.read("jax_enable_x64"))
+    try:
+        if not x64_was:
+            _jax.config.update("jax_enable_x64", True)
+        with _jax.default_device(dev):
+            return run_tile_batch(batch64, init, runner, core, mesh=mesh)
+    finally:
+        if not x64_was:
+            _jax.config.update("jax_enable_x64", False)
 
 
 def run_tile_batch_async(

@@ -138,6 +138,11 @@ def main(argv=None):
     )
     ap.add_argument("--dims", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
+    # max_iter / linesearch / jitter are traced into the compiled program —
+    # they must match the production run's optim_kwargs for the cache to hit
+    ap.add_argument("--max-iter", type=int, default=10_000)
+    ap.add_argument("--linesearch", default=None)
+    ap.add_argument("--jitter", type=float, default=None)
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -145,7 +150,13 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
     shapes = [tuple(int(x) for x in s.split("x")) for s in args.shapes.split(",")]
-    total = sum(prime(shapes, model=args.model, D=args.dims).values())
+    optim_kwargs = {"max_iter": args.max_iter}
+    if args.linesearch:
+        optim_kwargs["linesearch"] = args.linesearch
+    model_kwargs = {} if args.jitter is None else {"jitter": args.jitter}
+    total = sum(
+        prime(shapes, model=args.model, D=args.dims, optim_kwargs=optim_kwargs, **model_kwargs).values()
+    )
     print(f"cache primed: {len(shapes)} shape(s), {total:.1f}s total compile")
 
 

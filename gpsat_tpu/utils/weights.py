@@ -55,11 +55,15 @@ def get_weighted_values(
     w = np.exp(-0.5 * sq_dist / float(lengthscale) ** 2)
 
     # segment ids: one per unique reference location, sorted so output
-    # ordering matches the reference's (sorted) pivot-table index
-    keys = pd.MultiIndex.from_arrays([df[c].to_numpy() for c in ref_col], names=ref_col)
-    seg, uniques = keys.factorize(sort=True)
-    valid = seg >= 0  # factorize marks NaN-containing keys -1; drop them
-    seg_v, w_v = seg[valid], w[valid]
+    # ordering matches the reference's (sorted) pivot-table index.
+    # NaN-containing keys are dropped up front (pivot_table's dropna
+    # semantics — MultiIndex.factorize does NOT mark them -1)
+    valid = (~df[ref_col].isna().any(axis=1)).to_numpy()
+    keys = pd.MultiIndex.from_arrays(
+        [df[c].to_numpy()[valid] for c in ref_col], names=ref_col
+    )
+    seg_v, uniques = keys.factorize(sort=True)
+    w_v = w[valid]
     n_seg = len(uniques)
 
     out = pd.DataFrame({c: uniques.get_level_values(i) for i, c in enumerate(ref_col)})

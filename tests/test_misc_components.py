@@ -272,3 +272,14 @@ class TestTableMarshalling:
 
         df = pip_freeze_to_dataframe()
         assert "jax" in set(df["package"].str.lower())
+
+
+def test_get_weighted_values_drops_nan_keys():
+    # pivot_table dropna semantics: rows with NaN reference coords vanish
+    df = pd.DataFrame(
+        {"rx": [0.0, np.nan, 1.0], "dx": [0.0, 0.5, 1.0], "v": [2.0, 9.0, 6.0]}
+    )
+    out = get_weighted_values(df, "rx", "dx", "v", lengthscale=1.0)
+    assert len(out) == 2
+    assert not out["rx"].isna().any()
+    np.testing.assert_allclose(out["v"].values, [2.0, 6.0])

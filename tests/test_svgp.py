@@ -202,3 +202,39 @@ def test_batched_natgrad_hybrid_optimizer():
         assert np.isfinite(res["f_mean"]).all()
         elbos[ng] = -np.asarray(res["objective"])
     assert (elbos[True] >= elbos[False] - 0.5).all(), (elbos[True], elbos[False])
+
+
+def test_natgrad_runs_when_all_adam_params_fixed():
+    """Fixed hyperparameters + natural gradients (the smoothed-params
+    re-run workflow): the variational pair must still be fitted."""
+    import numpy as np
+
+    from gpsat_tpu.models.svgp import make_svgp_core
+    from gpsat_tpu.parallel.batching import TileBatch
+    from gpsat_tpu.parallel.engine import make_batched_adam_runner, run_tile_batch
+
+    rng = np.random.default_rng(0)
+    B, N, P = 2, 48, 4
+    X = rng.uniform(-3, 3, (B, N, 2))
+    batch = TileBatch(
+        X=X, y=np.sin(X[..., 0]) + 0.05 * rng.normal(size=(B, N)),
+        mask=np.ones((B, N)), Xnew=X[:, :P], pred_mask=np.ones((B, P)),
+        obs_mean=np.zeros(B), expert_index=np.arange(B), num_obs=np.full(B, N),
+    )
+    core = make_svgp_core(num_inducing_points=16, natural_gradients=True, gamma=0.5)
+    runner = make_batched_adam_runner(
+        core,
+        fixed_params=tuple(core.default_fixed_params)
+        + ("lengthscales", "kernel_variance", "likelihood_variance"),
+        max_iter=100, learning_rate=1e-2, check_every=10, persistence=100,
+    )
+    res = run_tile_batch(
+        batch,
+        {"lengthscales": np.ones(2), "kernel_variance": 1.0, "likelihood_variance": 0.01},
+        runner, core,
+    )
+    # q was actually fitted: predictions track the data, not the zero prior
+    live = batch.pred_mask > 0
+    err = np.abs(res["f_mean"] - np.sin(batch.Xnew[..., 0]))[live]
+    assert np.isfinite(res["f_mean"]).all()
+    assert err.mean() < 0.2, f"inducing_mean not fitted (mean err {err.mean()})"
