@@ -57,6 +57,12 @@ def build(model, on_tpu):
         M = 64
         core = make_svgp_core(jitter=jitter, num_inducing_points=M)
         return core, dict(max_iter=2000, learning_rate=1e-2, check_every=10, persistence=100), {}, f"M={M}, adam"
+    if model == "svgp_natgrad":
+        from gpsat_tpu.models.svgp import make_svgp_core
+
+        M = 64
+        core = make_svgp_core(jitter=jitter, num_inducing_points=M, natural_gradients=True, gamma=0.5)
+        return core, dict(max_iter=2000, learning_rate=1e-2, check_every=10, persistence=100), {}, f"M={M}, adam+natgrad g=0.5"
     if model == "vff":
         from gpsat_tpu.models.vff import make_vff_core
 
