@@ -239,3 +239,44 @@ def test_json_expressible_mesh_specs():
         with TableStore(p, mode="r") as s:
             rd = s.select("run_details", set_index=False)
         assert rd["optimise_success"].all(), f"mesh={spec}: {rd}"
+
+
+def test_polish_through_orchestrator():
+    """optim_kwargs={'polish': 'f64'}: the f64 tail runs after the batched
+    pass and results land within 1e-5 of a pure f64 run (BASELINE north
+    star), through the full OI surface."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from gpsat_tpu.data.store import TableStore
+    from gpsat_tpu.experts import LocalExpertOI
+
+    rng = np.random.default_rng(3)
+    n = 250
+    df = pd.DataFrame({"x": rng.uniform(-3, 3, n), "y": rng.uniform(-3, 3, n)})
+    df["obs"] = np.sin(df["x"]) * np.cos(df["y"]) + 0.05 * rng.normal(size=n)
+
+    def run(opt_kwargs):
+        oi = LocalExpertOI(
+            expert_loc_config={"source": pd.DataFrame({"x": [0.0, 1.0], "y": [0.0, 0.5]})},
+            data_config={"data_source": df, "obs_col": "obs", "coords_col": ["x", "y"],
+                         "local_select": [{"col": ["x", "y"], "comp": "<", "val": 4.0}]},
+            model_config={"oi_model": "GPflowGPRModel",
+                          "init_params": {"noise_variance": 0.0025},
+                          "optim_kwargs": opt_kwargs},
+            pred_loc_config={"method": "expert_loc"},
+        )
+        p = os.path.join(tempfile.mkdtemp(), "oi.h5")
+        oi.run(store_path=p)
+        with TableStore(p, mode="r") as s:
+            rd = s.select("run_details", set_index=False)
+            pr = s.select("preds", set_index=False).sort_values(["x", "y"])
+        assert rd["optimise_success"].all()
+        return pr["f*"].values
+
+    gold = run({"max_iter": 500})  # f64 zoom (conftest runs x64 CPU)
+    polished = run({"max_iter": 500, "polish": "f64", "polish_max_iter": 150})
+    np.testing.assert_allclose(polished, gold, atol=1e-5)
