@@ -343,6 +343,7 @@ class LocalExpertOI:
         table_suffix: str = "",
         mesh=None,
         max_batch_size: Optional[int] = None,
+        pad_multiple: Optional[int] = None,
         profile_dir: Optional[str] = None,
     ):
         self.config["run_kwargs"] = json_serializable(
@@ -383,6 +384,7 @@ class LocalExpertOI:
                     table_suffix=table_suffix,
                     mesh=mesh,
                     max_batch_size=max_batch_size,
+                    pad_multiple=pad_multiple,
                 )
 
         assert isinstance(self.expert_locs, pd.DataFrame), "expert_locs must be a DataFrame — call set_expert_locations"
@@ -668,7 +670,10 @@ class LocalExpertOI:
                             )
                         store_res(res, time.perf_counter() - t0, b.B)
                     else:
-                        fin = run_tile_batch_async(b, per_expert_init, lane_runner, lane_core, mesh=mesh)
+                        fin = run_tile_batch_async(
+                            b, per_expert_init, lane_runner, lane_core,
+                            mesh=mesh, pad_multiple=pad_multiple,
+                        )
                         flush_pending()  # store previous bucket while device runs this one
                         pending = (fin, b, t0)
                 flush_pending()

@@ -356,6 +356,7 @@ def run_tile_batch_async(
     core: ModelCore,
     *,
     mesh: Optional[Mesh] = None,
+    pad_multiple: Optional[int] = None,
 ) -> Callable[[], Dict[str, np.ndarray]]:
     """Dispatch one shape bucket WITHOUT blocking; returns finalize().
 
@@ -375,12 +376,20 @@ def run_tile_batch_async(
 
     B = batch.B
     # pad the expert axis to a power of two (and a mesh multiple) so
-    # different-sized buckets share one compiled program per (Nmax, Pmax)
+    # different-sized buckets share one compiled program per (Nmax, Pmax).
+    # pad_multiple=<k> pads to the next multiple of k instead: fewer dead
+    # lanes (every dead lane costs full compute in the vmap lockstep, e.g.
+    # 1664 -> 2048 pow2 wastes 19%) at the price of less shape reuse —
+    # right for a recurring fixed-size workload, wrong for exploratory runs.
     n_dev = int(mesh.devices.size) if mesh is not None else 1
-    B_pad = max(n_dev, 1)
-    while B_pad < B:
-        B_pad *= 2
-    B_pad = int(-(-B_pad // n_dev) * n_dev)
+    if pad_multiple:
+        step = int(np.lcm(int(pad_multiple), max(n_dev, 1)))
+        B_pad = int(-(-B // step) * step)
+    else:
+        B_pad = max(n_dev, 1)
+        while B_pad < B:
+            B_pad *= 2
+        B_pad = int(-(-B_pad // n_dev) * n_dev)
     batch = pad_batch_to(batch, B_pad)
 
     D = batch.X.shape[-1]
@@ -439,9 +448,12 @@ def run_tile_batch(
     core: ModelCore,
     *,
     mesh: Optional[Mesh] = None,
+    pad_multiple: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Execute one shape bucket; returns host-side arrays [B, ...]."""
-    return run_tile_batch_async(batch, init_cparams, runner, core, mesh=mesh)()
+    return run_tile_batch_async(
+        batch, init_cparams, runner, core, mesh=mesh, pad_multiple=pad_multiple
+    )()
 
 
 def run_tile_batch_two_stage(

@@ -190,3 +190,19 @@ class TestTwoStage:
         np.testing.assert_allclose(
             two["objective"], gold["objective"], rtol=1e-9, atol=1e-8
         )
+
+
+def test_pad_multiple_matches_pow2_padding(problem):
+    """pad_multiple=<k> (fewer dead lanes for recurring fixed-size buckets)
+    must produce identical results to the pow2 default."""
+    batches = batching.assemble_tiles(
+        problem["coords"], problem["obs"], problem["tile_indices"][:5],
+        problem["pred_coords"][:5],
+    )
+    b = batches[0]
+    core = make_gpr_core(jitter=0.0)
+    runner = make_batched_runner(core, max_iter=200)
+    r_pow2 = run_tile_batch(b, {"likelihood_variance": 0.1}, runner, core)
+    r_mult = run_tile_batch(b, {"likelihood_variance": 0.1}, runner, core, pad_multiple=5)
+    np.testing.assert_allclose(r_pow2["f_mean"], r_mult["f_mean"], rtol=1e-12)
+    np.testing.assert_allclose(r_pow2["lengthscales"], r_mult["lengthscales"], rtol=1e-12)
