@@ -26,15 +26,22 @@ class TestExampleConfigs:
 
     @pytest.mark.parametrize(
         "name",
-        ["example_local_expert_oi.json", "example_local_expert_oi_reference_for_xval.json"],
+        [
+            "example_local_expert_oi.json",
+            "example_local_expert_oi_reference_for_xval.json",
+            "example_local_expert_oi_sgpr.json",
+            "example_local_expert_oi_svgp.json",
+            "example_local_expert_oi_vff.json",
+        ],
     )
     def test_oi_configs_load_into_dataclasses(self, name):
         from gpsat_tpu.config import ExperimentConfig
+        from gpsat_tpu.models import get_model
 
         cfg = _load(name)
         cfg.pop("comment", None)
         ec = ExperimentConfig.from_dict(cfg)
-        assert ec.model_config.oi_model == "GPflowGPRModel"
+        get_model(ec.model_config.oi_model)  # registry resolves the model
         assert ec.data_config.obs_col == "z"
         # round-trip preserves the legacy field names
         d = ec.to_dict()
@@ -74,3 +81,52 @@ class TestExampleConfigs:
         x = cfg["xval_config"]
         assert x["pred_loc"]["method"] == "from_source"
         assert "func" in x and "row_select_values" in x
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "example_local_expert_oi_sgpr.json",
+        "example_local_expert_oi_svgp.json",
+        "example_local_expert_oi_vff.json",
+    ],
+)
+def test_model_family_configs_run_end_to_end(name, tmp_path):
+    """The shipped SGPR/SVGP/VFF configs execute through run_from_config
+    (sources swapped for synthetic data, budgets shrunk for CI)."""
+    import numpy as np
+    import pandas as pd
+
+    from gpsat_tpu.data.store import TableStore
+    from gpsat_tpu.local_expert_oi import run_from_config
+
+    rng = np.random.default_rng(0)
+    n = 400
+    df = pd.DataFrame({
+        "x": rng.uniform(-250_000, 250_000, n),
+        "y": rng.uniform(-250_000, 250_000, n),
+    })
+    df["z"] = np.sin(df["x"] / 8e4) * np.cos(df["y"] / 1e5) + 0.05 * rng.normal(size=n)
+    locs = pd.DataFrame({"x": [0.0, 100_000.0], "y": [0.0, 0.0]})
+
+    cfg = _load(name)
+    cfg.pop("comment", None)
+    cfg["locations"] = {"source": locs}
+    cfg["data"].update({"data_source": df})
+    cfg["data"].pop("table", None)
+    ip = cfg["model"]["init_params"]
+    for k, small in [("num_inducing_points", 32), ("num_inducing_features", 6)]:
+        if k in ip:
+            ip[k] = small
+    ok = cfg["model"].setdefault("optim_kwargs", {})
+    ok["max_iter"] = min(int(ok.get("max_iter", 500)), 400)
+    store = str(tmp_path / "res.h5")
+    cfg["run_kwargs"].update({"store_path": store})
+
+    run_from_config(cfg)
+    with TableStore(store, mode="r") as s:
+        rd = s.select("run_details", set_index=False)
+        preds = s.select("preds", set_index=False)
+    assert len(rd) == 2
+    assert rd["optimise_success"].all()
+    assert np.isfinite(preds["f*"]).all()
