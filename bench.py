@@ -90,11 +90,22 @@ def main(B: int = None):
         "likelihood_variance": 0.1 * var_y,
     }
 
-    # two-stage compaction: run the full batch for K1 iterations, then
-    # gather only the unconverged lanes (a much narrower batch) and finish
-    # them — the slow tail stops billing the whole width
+    # compaction: run the full batch for K1 iterations, then gather only
+    # the unconverged lanes (a much narrower batch) and finish them — the
+    # slow tail stops billing the whole width. GPSAT_CARRY resumes the
+    # L-BFGS state exactly (identical iterations/results to a single run);
+    # GPSAT_TWO_STAGE is the legacy warm-restart variant.
+    carry = int(os.environ.get("GPSAT_CARRY", "0"))
     two_stage = int(os.environ.get("GPSAT_TWO_STAGE", "0"))
-    if two_stage:
+    if carry:
+        from gpsat_tpu.parallel.engine import run_tile_batch_carry
+
+        head = make_batched_runner(core, max_iter=carry, linesearch="single_eval",
+                                   return_state=True, **tols)
+        tail = make_batched_runner(core, max_iter=100, linesearch="single_eval",
+                                   take_state=True, return_state=True, **tols)
+        execute = lambda: run_tile_batch_carry(batch, init, head, tail, core)  # noqa: E731
+    elif two_stage:
         from gpsat_tpu.parallel.engine import run_tile_batch_two_stage
 
         head = make_batched_runner(core, max_iter=two_stage, linesearch="single_eval", **tols)

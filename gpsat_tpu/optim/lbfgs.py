@@ -40,8 +40,16 @@ def _minimize_lbfgs_single_eval(
     c1: float = 1e-4,
     shrink: float = 0.3,
     nonmonotone_window: int = 1,
+    init_state: dict = None,
+    return_state: bool = False,
 ) -> "LBFGSResult":
     """L-BFGS with exactly ONE value_and_grad per iteration.
+
+    init_state / return_state make the driver RESUMABLE: the full carry
+    (iterate, gradient, curvature history, step size) round-trips, so an
+    unconverged run can continue in a later program with no history
+    restart (the unconverged-lane compaction path, run_tile_batch_two_stage
+    with carry_state=True). The per-call iteration budget restarts at 0.
 
     Instead of a linesearch (whose probes are all paid in lockstep by
     every vmapped lane), the trial point's own (f, g) decides acceptance:
@@ -95,7 +103,16 @@ def _minimize_lbfgs_single_eval(
 
         return jax.lax.fori_loop(0, m, fw, r)
 
-    f0, g0 = vg(x0_flat)
+    if init_state is None:
+        f0, g0 = vg(x0_flat)
+    else:
+        # Re-evaluate (f, g) at the carried iterate in THIS program's own
+        # arithmetic instead of trusting the carried values: differently
+        # compiled programs round f32 differently (measured ~1e-2 absolute
+        # on TPU), and a carried f below the resuming program's surface
+        # makes every trial look uphill — permanent rejection spiral.
+        # The curvature history (S, Y, rho) remains valid.
+        f0, g0 = vg(init_state["x"])
 
     def cond(c):
         return jnp.logical_and(c["it"] < max_iter, jnp.logical_not(jnp.logical_or(c["done"], c["failed"])))
@@ -150,30 +167,55 @@ def _minimize_lbfgs_single_eval(
         gnorm = jnp.max(jnp.abs(g_new))
         # |Δf| so a transient (nonmonotone-accepted) uphill step never
         # registers as convergence
-        f_small = accept & (jnp.abs(c["f"] - f_t) <= tol_f * jnp.maximum(jnp.abs(f_t), 1.0))
-        done = jnp.logical_or(gnorm <= tol_grad, f_small)
+        f_resolve = jnp.abs(c["f"] - f_t) <= tol_f * jnp.maximum(jnp.abs(f_t), 1.0)
+        f_small = accept & f_resolve
+        # rejected trial whose objective is INDISTINGUISHABLE from the
+        # current value at an already-small step: the objective cannot be
+        # resolved any further at this precision — that IS the factr
+        # criterion. Without this, such lanes spiral (reject -> shrink ->
+        # tie -> reject) down to step < 1e-12 and get mislabeled failed;
+        # whether a lane hit the accepted-tie or rejected-tie case first
+        # was compilation-dependent f32 luck.
+        stuck_done = jnp.logical_and(
+            jnp.logical_and(jnp.logical_not(accept), jnp.isfinite(f_t)),
+            jnp.logical_and(f_resolve, c["step"] <= 1e-2),
+        )
+        done = jnp.logical_or(gnorm <= tol_grad, jnp.logical_or(f_small, stuck_done))
         failed = jnp.logical_or(c["step"] < 1e-12, jnp.logical_not(jnp.isfinite(f_new)))
         return dict(x=x, f=f_new, g=g_new, S=S, Y=Y, rho=rho, count=count, step=step, fhist=fhist, acc=acc, it=c["it"] + 1, done=done, failed=failed)
 
-    init = dict(
-        x=x0_flat,
-        f=f0,
-        g=g0,
-        S=jnp.zeros((m, dim), dtype=x0_flat.dtype),
-        Y=jnp.zeros((m, dim), dtype=x0_flat.dtype),
-        rho=jnp.zeros(m, dtype=x0_flat.dtype),
-        count=jnp.asarray(0),
-        step=jnp.asarray(1.0, dtype=x0_flat.dtype),
-        fhist=jnp.full(nonmonotone_window, f0, dtype=x0_flat.dtype),
-        acc=jnp.asarray(0),
-        it=jnp.asarray(0),
-        # already-converged starts (warm restarts, predict-reload sweeps)
-        # must exit immediately instead of burning rejection cycles
-        done=jnp.max(jnp.abs(g0)) <= tol_grad,
-        failed=jnp.logical_not(jnp.isfinite(f0)),
-    )
+    if init_state is None:
+        init = dict(
+            x=x0_flat,
+            f=f0,
+            g=g0,
+            S=jnp.zeros((m, dim), dtype=x0_flat.dtype),
+            Y=jnp.zeros((m, dim), dtype=x0_flat.dtype),
+            rho=jnp.zeros(m, dtype=x0_flat.dtype),
+            count=jnp.asarray(0),
+            step=jnp.asarray(1.0, dtype=x0_flat.dtype),
+            fhist=jnp.full(nonmonotone_window, f0, dtype=x0_flat.dtype),
+            acc=jnp.asarray(0),
+            it=jnp.asarray(0),
+            # already-converged starts (warm restarts, predict-reload sweeps)
+            # must exit immediately instead of burning rejection cycles
+            done=jnp.max(jnp.abs(g0)) <= tol_grad,
+            failed=jnp.logical_not(jnp.isfinite(f0)),
+        )
+    else:
+        # resume where a previous call stopped; fresh budget, re-anchored
+        # (f, g, fhist) on this program's own surface
+        init = {
+            **init_state,
+            "f": f0,
+            "g": g0,
+            "fhist": jnp.full(nonmonotone_window, f0, dtype=init_state["x"].dtype),
+            "it": jnp.asarray(0),
+            "done": jnp.logical_or(init_state["done"], jnp.max(jnp.abs(g0)) <= tol_grad),
+            "failed": jnp.logical_or(init_state["failed"], jnp.logical_not(jnp.isfinite(f0))),
+        }
     out = jax.lax.while_loop(cond, body, init)
-    return LBFGSResult(
+    res = LBFGSResult(
         params=unravel(out["x"]),
         converged=jnp.logical_and(out["done"], jnp.logical_not(out["failed"])),
         failed=out["failed"],
@@ -181,6 +223,7 @@ def _minimize_lbfgs_single_eval(
         final_value=out["f"],
         final_grad_norm=jnp.max(jnp.abs(out["g"])),
     )
+    return (res, out) if return_state else res
 
 
 class LBFGSResult(NamedTuple):
@@ -202,6 +245,8 @@ def minimize_lbfgs(
     memory_size: int = 10,
     max_linesearch_steps: int = 32,
     linesearch: str = "zoom",
+    init_state: dict = None,
+    return_state: bool = False,
 ) -> LBFGSResult:
     """Minimize ``fun(pytree) -> scalar``; jit/vmap-compatible.
 
@@ -224,7 +269,12 @@ def minimize_lbfgs(
             tol_grad=tol_grad,
             tol_f=tol_f,
             memory_size=memory_size,
+            init_state=init_state,
+            return_state=return_state,
         )
+    assert init_state is None and not return_state, (
+        "resumable state is only supported for linesearch='single_eval'"
+    )
     if linesearch == "zoom":
         ls = optax.scale_by_zoom_linesearch(max_linesearch_steps=max_linesearch_steps)
     elif linesearch == "backtracking":

@@ -47,6 +47,8 @@ def _fit_predict_one(
     tol_f: float,
     linesearch: str = "zoom",
     max_linesearch_steps: int = 32,
+    init_state=None,
+    return_state: bool = False,
 ):
     """Single padded tile: optimise parameters then predict."""
     u_free0 = {k: v for k, v in uparams0.items() if k not in fixed_params}
@@ -55,11 +57,15 @@ def _fit_predict_one(
     def objective(u_free):
         return core.objective({**u_free, **u_fixed}, data)
 
+    state = None
     if optimise and u_free0:
         res = minimize_lbfgs(
             objective, u_free0, max_iter=max_iter, tol_grad=tol_grad, tol_f=tol_f,
             linesearch=linesearch, max_linesearch_steps=max_linesearch_steps,
+            init_state=init_state, return_state=return_state,
         )
+        if return_state:
+            res, state = res
         u_opt = {**res.params, **u_fixed}
         converged = res.converged
         num_iter = res.num_iter
@@ -72,13 +78,16 @@ def _fit_predict_one(
 
     cparams = core.forward(u_opt)
     pred = core.predict(cparams, data, Xnew)
-    return {
+    out = {
         "params": cparams,
         "pred": pred,
         "objective": final_obj,
         "converged": converged,
         "num_iter": num_iter,
     }
+    if return_state and state is not None:
+        out["opt_state"] = state
+    return out
 
 
 def make_batched_runner(
@@ -92,8 +101,16 @@ def make_batched_runner(
     linesearch: Optional[str] = None,
     max_linesearch_steps: int = 32,
     mesh: Optional[Mesh] = None,
+    return_state: bool = False,
+    take_state: bool = False,
 ) -> Callable:
     """Build the jitted batch program: (batch arrays, uparams0[B]) -> results.
+
+    return_state=True adds the resumable L-BFGS carry to the outputs
+    (single_eval only); take_state=True makes the program accept that
+    carry as a sixth argument and RESUME from it instead of starting
+    fresh — the state-carrying unconverged-lane compaction
+    (run_tile_batch_carry).
 
     With a mesh, the expert axis is sharded via shard_map so each device
     optimizes its local tiles with no cross-device synchronization.
@@ -111,13 +128,13 @@ def make_batched_runner(
     the box without optim_kwargs.
     """
 
-    def batched(X, y, mask, Xnew, uparams0):
+    def batched(X, y, mask, Xnew, uparams0, state=None):
         f32 = jnp.dtype(X.dtype) == jnp.float32
         tg = tol_grad if tol_grad is not None else (1e-3 if f32 else 1e-6)
         tf = tol_f if tol_f is not None else (1e-6 if f32 else 1e-11)
         ls = linesearch if linesearch is not None else ("single_eval" if f32 else "zoom")
 
-        def one(d, xn, u):
+        def one(d, xn, u, st=None):
             return _fit_predict_one(
                 core,
                 d,
@@ -130,18 +147,28 @@ def make_batched_runner(
                 tol_f=tf,
                 linesearch=ls,
                 max_linesearch_steps=max_linesearch_steps,
+                init_state=st,
+                return_state=return_state,
             )
 
-        return jax.vmap(one)({"X": X, "y": y, "mask": mask}, Xnew, uparams0)
+        if state is not None:
+            return jax.vmap(one)({"X": X, "y": y, "mask": mask}, Xnew, uparams0, state)
+        return jax.vmap(lambda d, xn, u: one(d, xn, u))({"X": X, "y": y, "mask": mask}, Xnew, uparams0)
 
+    if take_state:
+        fn = lambda X, y, mask, Xnew, uparams0, state: batched(X, y, mask, Xnew, uparams0, state)  # noqa: E731
+        n_args = 6
+    else:
+        fn = lambda X, y, mask, Xnew, uparams0: batched(X, y, mask, Xnew, uparams0)  # noqa: E731
+        n_args = 5
     if mesh is None:
-        return jax.jit(batched)
+        return jax.jit(fn)
 
     spec = P("experts")
     sharded = jax.shard_map(
-        batched,
+        fn,
         mesh=mesh,
-        in_specs=(spec, spec, spec, spec, spec),
+        in_specs=(spec,) * n_args,
         out_specs=spec,
         # optax's linesearch cond mixes literal-constant and input-derived
         # branches, which trips the varying-manual-axes check; semantics are
@@ -357,6 +384,7 @@ def run_tile_batch_async(
     *,
     mesh: Optional[Mesh] = None,
     pad_multiple: Optional[int] = None,
+    keep_state: bool = False,
 ) -> Callable[[], Dict[str, np.ndarray]]:
     """Dispatch one shape bucket WITHOUT blocking; returns finalize().
 
@@ -419,7 +447,7 @@ def run_tile_batch_async(
     # out holds un-forced device arrays (JAX async dispatch): the device is
     # already crunching. finalize() blocks, fetches, and strips padding.
 
-    def finalize() -> Dict[str, np.ndarray]:
+    def finalize():
         host = jax.tree_util.tree_map(np.asarray, out)
         live = batch.expert_index >= 0
         res = {
@@ -436,6 +464,10 @@ def run_tile_batch_async(
         }
         for k in core.param_names:
             res[k] = host["params"][k][live]
+        if keep_state:
+            state = jax.tree_util.tree_map(lambda a: a[live], host.get("opt_state"))
+            u0_live = {k: np.asarray(v)[live] for k, v in uparams0.items()}
+            return res, state, u0_live
         return res
 
     return finalize
@@ -454,6 +486,97 @@ def run_tile_batch(
     return run_tile_batch_async(
         batch, init_cparams, runner, core, mesh=mesh, pad_multiple=pad_multiple
     )()
+
+
+def run_tile_batch_carry(
+    batch: TileBatch,
+    init_cparams: Dict[str, np.ndarray],
+    runner_head: Callable,
+    runner_tail: Callable,
+    core: ModelCore,
+    *,
+    mesh: Optional[Mesh] = None,
+    pad_multiple: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """State-carrying unconverged-lane compaction (single_eval only).
+
+    Like run_tile_batch_two_stage, but the head returns the full L-BFGS
+    carry (iterate, gradient, curvature history, step) and the compacted
+    tail RESUMES it — no history restart, so total iterations equal the
+    single-run count exactly while the tail bills only the unconverged
+    width.
+
+    runner_head: make_batched_runner(core, max_iter=K1, return_state=True, ...)
+    runner_tail: make_batched_runner(core, max_iter=rest, take_state=True,
+                 return_state=True, ...)
+    """
+    fin = run_tile_batch_async(
+        batch, init_cparams, runner_head, core, mesh=mesh, pad_multiple=pad_multiple,
+        keep_state=True,
+    )
+    res1, state1, uparams0 = fin()
+    unconv = np.flatnonzero(~np.asarray(res1["converged"]))
+    if len(unconv) == 0:
+        res1.pop("opt_state", None)
+        return res1
+
+    from gpsat_tpu.parallel.batching import take_batch
+
+    sub_batch = take_batch(batch, unconv)
+    sub_u0 = {k: np.asarray(v)[unconv] for k, v in uparams0.items()}
+    sub_state = jax.tree_util.tree_map(lambda a: np.asarray(a)[unconv], state1)
+    # pad the sub-batch the same way run_tile_batch does, padding state and
+    # uparams alongside (dead-lane state: done=True so they exit instantly)
+    B_sub = len(unconv)
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    if pad_multiple:
+        step = int(np.lcm(int(pad_multiple), max(n_dev, 1)))
+        B_pad = int(-(-B_sub // step) * step)
+    else:
+        B_pad = max(n_dev, 1)
+        while B_pad < B_sub:
+            B_pad *= 2
+        B_pad = int(-(-B_pad // n_dev) * n_dev)
+    pad = B_pad - B_sub
+    sub_batch = pad_batch_to(sub_batch, B_pad)
+
+    def pad_rows(a, fill=0.0):
+        a = np.asarray(a)
+        if pad == 0:
+            return a
+        shape = (pad,) + a.shape[1:]
+        return np.concatenate([a, np.full(shape, fill, dtype=a.dtype)], axis=0)
+
+    sub_u0 = {k: pad_rows(v) for k, v in sub_u0.items()}
+    sub_state = {
+        k: pad_rows(v, fill=(True if k in ("done",) else 0))
+        for k, v in sub_state.items()
+    }
+    sub_state["done"] = sub_state["done"].astype(bool)
+    sub_state["failed"] = sub_state["failed"].astype(bool)
+
+    out2 = runner_tail(
+        jnp.asarray(sub_batch.X),
+        jnp.asarray(sub_batch.y),
+        jnp.asarray(sub_batch.mask),
+        jnp.asarray(sub_batch.Xnew),
+        {k: jnp.asarray(v) for k, v in sub_u0.items()},
+        {k: jnp.asarray(v) for k, v in sub_state.items()},
+    )
+    out2 = jax.tree_util.tree_map(np.asarray, out2)
+    live = sub_batch.expert_index >= 0
+
+    out = {k: np.asarray(v).copy() for k, v in res1.items() if k != "opt_state"}
+    head_iters = out["num_iter"][unconv]
+    out["objective"][unconv] = out2["objective"][live]
+    out["converged"][unconv] = out2["converged"][live]
+    out["num_iter"][unconv] = head_iters + out2["num_iter"][live]
+    out["f_mean"][unconv] = out2["pred"]["f_mean"][live]
+    out["f_var"][unconv] = out2["pred"]["f_var"][live]
+    out["y_var"][unconv] = out2["pred"]["y_var"][live]
+    for k in core.param_names:
+        out[k][unconv] = out2["params"][k][live]
+    return out
 
 
 def run_tile_batch_two_stage(

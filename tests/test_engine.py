@@ -206,3 +206,48 @@ def test_pad_multiple_matches_pow2_padding(problem):
     r_mult = run_tile_batch(b, {"likelihood_variance": 0.1}, runner, core, pad_multiple=5)
     np.testing.assert_allclose(r_pow2["f_mean"], r_mult["f_mean"], rtol=1e-12)
     np.testing.assert_allclose(r_pow2["lengthscales"], r_mult["lengthscales"], rtol=1e-12)
+
+
+class TestCarryCompaction:
+    def test_state_carry_exactly_matches_single_run(self, problem):
+        """run_tile_batch_carry: head + resumed compacted tail must equal a
+        single full run BIT-EXACTLY (iteration counts and results) — the
+        L-BFGS carry round-trips with no history restart."""
+        from gpsat_tpu.parallel.engine import run_tile_batch_carry
+
+        batches = batching.assemble_tiles(
+            problem["coords"], problem["obs"], problem["tile_indices"][:6],
+            problem["pred_coords"][:6],
+        )
+        b = batches[0]
+        core = make_gpr_core(jitter=0.0)
+        full = make_batched_runner(core, max_iter=400, linesearch="single_eval")
+        gold = run_tile_batch(b, {"likelihood_variance": 0.1}, full, core)
+        assert gold["converged"].all()
+
+        head = make_batched_runner(core, max_iter=6, linesearch="single_eval", return_state=True)
+        tail = make_batched_runner(
+            core, max_iter=400, linesearch="single_eval", take_state=True, return_state=True
+        )
+        carry = run_tile_batch_carry(b, {"likelihood_variance": 0.1}, head, tail, core)
+        np.testing.assert_array_equal(gold["num_iter"], carry["num_iter"])
+        np.testing.assert_allclose(gold["f_mean"], carry["f_mean"], rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(gold["objective"], carry["objective"], rtol=1e-12)
+        np.testing.assert_allclose(gold["lengthscales"], carry["lengthscales"], rtol=1e-12)
+
+    def test_all_converged_in_head_short_circuits(self, problem):
+        from gpsat_tpu.parallel.engine import run_tile_batch_carry
+
+        batches = batching.assemble_tiles(
+            problem["coords"], problem["obs"], problem["tile_indices"][:3],
+            problem["pred_coords"][:3],
+        )
+        b = batches[0]
+        core = make_gpr_core(jitter=0.0)
+        head = make_batched_runner(core, max_iter=400, linesearch="single_eval", return_state=True)
+        tail = make_batched_runner(
+            core, max_iter=400, linesearch="single_eval", take_state=True, return_state=True
+        )
+        res = run_tile_batch_carry(b, {"likelihood_variance": 0.1}, head, tail, core)
+        assert res["converged"].all()
+        assert "opt_state" not in res
