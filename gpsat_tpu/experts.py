@@ -490,10 +490,25 @@ class LocalExpertOI:
                     max_linesearch_steps=int(optim_kwargs.get("max_linesearch_steps", 32)),
                     mesh=mesh,
                 )
-                # unconverged-lane compaction (run_tile_batch_two_stage):
-                # optim_kwargs={'two_stage_iters': K} runs the full batch
-                # for K iterations, then finishes only the unconverged
-                # lanes in a compacted batch
+                # unconverged-lane compaction: optim_kwargs
+                # {'carry_iters': K} runs the full batch for K iterations,
+                # then RESUMES only the unconverged lanes in a compacted
+                # batch with their L-BFGS state intact (single_eval only);
+                # {'two_stage_iters': K} is the legacy warm-restart variant
+                carry_k = optim_kwargs.get("carry_iters")
+                if carry_k:
+                    head = make_batched_runner(
+                        core, fixed_params=fixed, max_iter=int(carry_k),
+                        optimise=optimise, linesearch="single_eval",
+                        return_state=True, mesh=mesh,
+                    )
+                    tail = make_batched_runner(
+                        core, fixed_params=fixed,
+                        max_iter=int(optim_kwargs.get("max_iter", 10_000)),
+                        optimise=optimise, linesearch="single_eval",
+                        take_state=True, return_state=True, mesh=mesh,
+                    )
+                    return core, runner, name, (head, tail, "carry")
                 two_k = optim_kwargs.get("two_stage_iters")
                 if two_k:
                     head = make_batched_runner(
@@ -652,14 +667,22 @@ class LocalExpertOI:
                         )
                         store_res(res, time.perf_counter() - t0, b.B)
                     elif lane_head is not None:
-                        # two-stage compaction is a host-synchronous path
-                        # (stage-2 batch depends on stage-1 results)
-                        from gpsat_tpu.parallel.engine import run_tile_batch_two_stage
-
+                        # compaction is a host-synchronous path (the tail
+                        # batch depends on the head's results)
                         flush_pending()
-                        res = run_tile_batch_two_stage(
-                            b, per_expert_init, lane_head, lane_runner, lane_core, mesh=mesh
-                        )
+                        if isinstance(lane_head, tuple) and lane_head[-1] == "carry":
+                            from gpsat_tpu.parallel.engine import run_tile_batch_carry
+
+                            res = run_tile_batch_carry(
+                                b, per_expert_init, lane_head[0], lane_head[1],
+                                lane_core, mesh=mesh, pad_multiple=pad_multiple,
+                            )
+                        else:
+                            from gpsat_tpu.parallel.engine import run_tile_batch_two_stage
+
+                            res = run_tile_batch_two_stage(
+                                b, per_expert_init, lane_head, lane_runner, lane_core, mesh=mesh
+                            )
                         if optimise and self.optim_kwargs.get("polish") in ("f64", True):
                             from gpsat_tpu.parallel.engine import polish_tile_batch
 
