@@ -146,3 +146,36 @@ class TestDtypeAwareLinesearchDefault:
             runner = make_batched_runner(core, max_iter=2)
             run_tile_batch(batch, {"likelihood_variance": 0.1}, runner, core)
             assert seen == [expect], f"dtype {dt}: expected {expect}, traced {seen}"
+
+
+def test_unresolvable_decrease_converges_not_fails():
+    """A lane whose objective cannot be resolved further at a small step
+    (rejected tie within the factr tolerance) must exit CONVERGED — not
+    spiral to step<1e-12 and report failed. (f32 tie-rejection mode;
+    regression for the carry-compaction investigation.)"""
+    # value resolution coarser than gradient resolution — exactly the f32
+    # tie mode: values quantized (ties possible), gradients smooth (the
+    # optimizer keeps proposing moves)
+    @jax.custom_jvp
+    def qval(f):
+        return jnp.round(f * 1e3) / 1e3
+
+    @qval.defjvp
+    def _qval_jvp(primals, tangents):
+        (f,), (df,) = primals, tangents
+        return qval(f), df  # smooth gradient through the quantization
+
+    quantized = lambda p: qval(jnp.sum(p["x"] ** 2))  # noqa: E731
+
+    x0 = {"x": jnp.full(2, 0.3)}
+    res = jax.jit(
+        lambda x0: minimize_lbfgs(
+            quantized, x0, max_iter=300, linesearch="single_eval",
+            tol_grad=1e-12, tol_f=1e-6,
+        )
+    )(x0)
+    assert bool(res.converged), (
+        f"tie-rejection should converge; failed={bool(res.failed)}, "
+        f"iters={int(res.num_iter)}, f={float(res.final_value)}"
+    )
+    assert float(res.final_value) < 1e-2  # made real progress first
