@@ -40,13 +40,17 @@ def gaussian_2d_weight(x0, y0, x, y, l_x, l_y, vals):
     weights vanish. Matches the reference numba kernel
     (ref: postprocessing.py:22-52) but as one vectorized [n_t, n_s] op.
     """
+    import jax
     import jax.numpy as jnp
 
-    x0 = jnp.asarray(x0, dtype=jnp.float64)
-    y0 = jnp.asarray(y0, dtype=jnp.float64)
-    x = jnp.asarray(x, dtype=jnp.float64)
-    y = jnp.asarray(y, dtype=jnp.float64)
-    vals = jnp.asarray(vals, dtype=jnp.float64)
+    # f64 when x64 is on (CPU parity mode); the widest available float
+    # otherwise — requesting f64 with x64 off truncates with a warning
+    dt = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    x0 = jnp.asarray(x0, dtype=dt)
+    y0 = jnp.asarray(y0, dtype=dt)
+    x = jnp.asarray(x, dtype=dt)
+    y = jnp.asarray(y, dtype=dt)
+    vals = jnp.asarray(vals, dtype=dt)
 
     d2 = ((x[None, :] - x0[:, None]) / l_x) ** 2 + ((y[None, :] - y0[:, None]) / l_y) ** 2
     w = jnp.exp(-d2 / 2.0)
