@@ -510,6 +510,12 @@ def run_tile_batch_carry(
     runner_tail: make_batched_runner(core, max_iter=rest, take_state=True,
                  return_state=True, ...)
     """
+    # result rows must align positionally with batch rows: dead tiles are
+    # only ever appended (pad_batch_to), so require an all-live input here
+    assert (np.asarray(batch.expert_index) >= 0).all(), (
+        "run_tile_batch_carry requires an unpadded (all-live) batch; "
+        "padding happens internally"
+    )
     fin = run_tile_batch_async(
         batch, init_cparams, runner_head, core, mesh=mesh, pad_multiple=pad_multiple,
         keep_state=True,
