@@ -1223,6 +1223,8 @@ def make_core_for_model(model_cls, kernel: str, bijectors, init_params) -> Model
 
 
 def bijectors_from(bij):
+    """Constraint dicts {name: {low, high}} -> bijector map (Sigmoid for
+    constrained params, softplus otherwise; ref: gpflow_models.py:416-494)."""
     from gpsat_tpu.models.gpr import PARAM_NAMES
     from gpsat_tpu.ops import transforms as T
 

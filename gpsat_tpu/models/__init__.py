@@ -9,6 +9,9 @@ from gpsat_tpu.models.gpr import GPRModel
 
 
 def get_model(name: str):
+    """Resolve a model class by name, accepting the reference's names
+    (GPflowGPRModel, sklearnGPRModel, ...) as aliases
+    (ref: GPSat/models/__init__.py:3-28 registry)."""
     from gpsat_tpu.models.asvgp import ASVGPModel
     from gpsat_tpu.models.pure_numpy_gpr import PureNumpyGPR
     from gpsat_tpu.models.sgpr import SGPRModel
