@@ -97,18 +97,34 @@ class LocalExpertData:
 # config persistence (ref: GPSat/utils.py:1136-1327)
 # --------------------------------------------------------------------------
 
+def _comparable_config_str(oi_config, skip_keys=()) -> str:
+    """Canonical JSON of a config restricted to the keys config matching
+    should care about: run_kwargs/misc (and any skip_valid_checks_on keys)
+    are dropped, mirroring check_prev_oi_config's comparison subset — so a
+    rerun that only changes e.g. store_every reuses the same config_id."""
+    skip = set(skip_keys) | {"run_kwargs", "misc"}
+    cfg = {k: v for k, v in json_serializable(oi_config).items() if k not in skip}
+    return json.dumps(cfg, sort_keys=True)
+
+
 def get_previous_oi_config(store_path, oi_config, skip_valid_checks_on=None, table_name="oi_config"):
     """Match current config against stored ones; append if new.
+
+    Matching ignores run_kwargs/misc and skip_valid_checks_on keys (the
+    same subset check_prev_oi_config validates), unlike the reference's
+    exact whole-dict match (ref: utils.py:1136-1273) which mints a new
+    config_id when only run_kwargs change.
 
     Returns (prev_config, skip_valid_checks_on, config_id).
     """
     skip_valid_checks_on = list(skip_valid_checks_on or [])
     cfg_str = json.dumps(json_serializable(oi_config), sort_keys=True)
+    cmp_str = _comparable_config_str(oi_config, skip_valid_checks_on)
     with TableStore(store_path) as store:
         if table_name in store:
             prev = store.select(table_name, set_index=False)
             for _, row in prev.iterrows():
-                if row["config"] == cfg_str:
+                if _comparable_config_str(json.loads(row["config"]), skip_valid_checks_on) == cmp_str:
                     return json.loads(row["config"]), skip_valid_checks_on, int(row["config_id"])
             config_id = int(prev["config_id"].max()) + 1
             prev_config = json.loads(prev.iloc[-1]["config"])
@@ -722,7 +738,9 @@ class LocalExpertOI:
                 "objective_value": [objective],
                 "parameters_optimised": [bool(optimised)],
                 "optimise_success": [bool(success)],
-                "num_iter": [num_iter],
+                # float column: NaN marks host models that hide their
+                # iteration count (run_details must never fabricate it)
+                "num_iter": [float(num_iter)],
                 "model": [model_name[:64]],
                 "device": [device[:64]],
                 "config_id": [config_id],
@@ -915,6 +933,18 @@ class LocalExpertOI:
                 except Exception as e:
                     warnings.warn(f"host lane: optimise_parameters failed: {e}")
                     ok = False
+            # actual iteration count where the model exposes it
+            # (_last_opt_result.num_iter for the JAX L-BFGS host models,
+            # _last_num_iter for torch/pure-numpy); NaN marks models whose
+            # optimizer hides it (sklearn) — never a fabricated max_iter
+            ni = 0.0
+            if optimise:
+                ni = np.nan
+                r = getattr(model, "_last_opt_result", None)
+                if r is not None and getattr(r, "num_iter", None) is not None:
+                    ni = float(np.asarray(r.num_iter))
+                elif getattr(model, "_last_num_iter", None) is not None:
+                    ni = float(model._last_num_iter)
             try:
                 obj = float(model.get_objective_function_value())
             except Exception:
@@ -945,7 +975,7 @@ class LocalExpertOI:
             res["num_obs"].append(n)
             res["objective"].append(obj)
             res["converged"].append(ok)
-            res["num_iter"].append(int(optim_kwargs.get("n_iter", optim_kwargs.get("max_iter", 0))) if optimise else 0)
+            res["num_iter"].append(ni)
             res["f_mean"].append(fm)
             res["f_var"].append(fv)
             res["y_var"].append(yv)
@@ -1016,7 +1046,7 @@ class LocalExpertOI:
                     model_name,
                     device_name,
                     config_id,
-                    num_iter=int(res["num_iter"][i]),
+                    num_iter=float(res["num_iter"][i]),
                 )
             )
 

@@ -165,6 +165,7 @@ class PureNumpyGPR:
             return neg_lml(h, self.x, self.y[:, 0], grad=False)
 
         res = scipy.optimize.minimize(obj, x0=x0, method=opt_method, jac=jac)
+        self._last_num_iter = int(res.get("nit", 0))
         h = np.exp(res.x)
         self.length_scales = h[:-2]
         self.kernel_var = float(h[-2])

@@ -391,6 +391,7 @@ class SVGPModel(GPRModel):
                         break
 
         u_opt = {**u_free, **u_fixed}
+        self._last_num_iter = (step + 1) if max_iter > 0 else 0
         self._params = {k: np.asarray(bij[k].forward(v)) for k, v in u_opt.items()}
         if natural_gradients:
             self._params["inducing_mean"] = np.asarray(v_state["inducing_mean"])

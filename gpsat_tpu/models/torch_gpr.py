@@ -134,6 +134,8 @@ class TorchGPRModel(BaseGPRModel):
 
             for _ in range(n_iter):
                 opt.step(closure)
+        # fixed-iteration loop: the count IS n_iter (no convergence check)
+        self._last_num_iter = int(n_iter)
         return bool(t.isfinite(self._neg_lml()))
 
     def get_objective_function_value(self) -> float:

@@ -1,0 +1,187 @@
+"""Multi-host execution: 2 real processes, local coordinator, merged stores.
+
+Proves the docs/multihost.md design end-to-end on CPU (SURVEY.md §2.9 DCN
+row): two OS processes each with 4 virtual devices, joined through
+``jax.distributed.initialize``, each running its deterministic expert
+partition on its local-device mesh and writing a per-host store; process 0
+merges. The merged tables must match a single-process run of the same
+config exactly (same f64 CPU arithmetic, same shape buckets).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gpsat_tpu.data.store import TableStore
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def experiment(tmp_path_factory):
+    """Obs CSV + expert CSV + the experiment config dict (store_path unset)."""
+    tmp = tmp_path_factory.mktemp("dist")
+    rng = np.random.default_rng(7)
+    n = 180
+    obs = pd.DataFrame({"x": rng.uniform(0, 10, n), "y": rng.uniform(0, 10, n)})
+    obs["obs"] = np.sin(obs["x"]) * np.cos(obs["y"]) + 0.1 * rng.normal(size=n)
+    obs_csv = str(tmp / "obs.csv")
+    obs.to_csv(obs_csv, index=False)
+
+    # 8 experts; radius 3 box-select keeps every tile under one shape
+    # bucket (Nmax=128). 8 experts / 4 devices single-process vs
+    # 4 experts / 2 devices per host give the SAME per-shard shape
+    # [2, 128, ...], so the compiled per-shard program — and therefore
+    # every result bit — is identical between the runs.
+    experts = pd.DataFrame(
+        {
+            "x": [2.0, 2.0, 4.0, 4.0, 6.0, 6.0, 8.0, 8.0],
+            "y": [3.0, 7.0, 3.0, 7.0, 3.0, 7.0, 3.0, 7.0],
+        }
+    )
+    experts_csv = str(tmp / "experts.csv")
+    experts.to_csv(experts_csv, index=False)
+
+    cfg = {
+        "locations": {"source": experts_csv},
+        "data": {
+            "data_source": obs_csv,
+            "obs_col": "obs",
+            "coords_col": ["x", "y"],
+            "local_select": [{"col": ["x", "y"], "comp": "<", "val": 3.0}],
+        },
+        "model": {
+            "oi_model": "GPflowGPRModel",
+            "init_params": {"kernel": "Matern32", "noise_variance": 0.01},
+            "optim_kwargs": {"max_iter": 300},
+        },
+        "pred_loc": {"method": "expert_loc"},
+    }
+    return tmp, cfg
+
+
+def _run_cli(cfg, store_path, extra_args, tmp, tag, devices=4):
+    cfg = json.loads(json.dumps(cfg))
+    cfg["run_kwargs"] = {"store_path": store_path}
+    cfg_path = str(tmp / f"cfg_{tag}.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    cmd = [
+        sys.executable, "-m", "gpsat_tpu.distributed", cfg_path,
+        "--platform", "cpu", "--x64", "--devices-per-process", str(devices),
+    ] + extra_args
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.Popen(
+        cmd, cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True
+    )
+
+
+def _sorted_table(path, table, drop=()):
+    with TableStore(path, mode="r") as store:
+        df = store.select(table, set_index=False)
+    sort_cols = [c for c in ("x", "y") if c in df.columns]
+    sort_cols += sorted(c for c in df.columns if c.startswith("_dim_"))
+    sort_cols += sorted(c for c in df.columns if c.startswith("pred_loc_"))
+    df = df.sort_values(sort_cols, kind="stable").reset_index(drop=True)
+    return df.drop(columns=[c for c in drop if c in df.columns])
+
+
+@pytest.mark.slow
+def test_two_process_run_matches_single(experiment):
+    tmp, cfg = experiment
+    single_store = str(tmp / "single.h5")
+    multi_store = str(tmp / "multi.h5")
+
+    # single-process reference (same CLI, no coordinator)
+    p = _run_cli(cfg, single_store, [], tmp, "single")
+    out, _ = p.communicate(timeout=300)
+    assert p.returncode == 0, f"single-process run failed:\n{out}"
+
+    # two processes through a local coordinator; process 0 merges
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        args = [
+            "--coordinator", f"localhost:{port}",
+            "--num-processes", "2", "--process-id", str(pid),
+        ] + (["--merge"] if pid == 0 else [])
+        procs.append(_run_cli(cfg, multi_store, args, tmp, f"p{pid}", devices=2))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+
+    # per-host stores exist and split the experts 4 / 4
+    h0, h1 = (str(tmp / f"multi.h{h}.h5") for h in range(2))
+    for hp, n_expected in ((h0, 4), (h1, 4)):
+        with TableStore(hp, mode="r") as store:
+            assert len(store.select("run_details")) == n_expected
+
+    # merged store equals the single-process run exactly
+    assert os.path.exists(multi_store)
+    volatile = ("run_time", "device", "datetime")
+    for table in ("run_details", "preds", "expert_locs", "lengthscales",
+                  "kernel_variance", "likelihood_variance"):
+        a = _sorted_table(single_store, table, drop=volatile)
+        b = _sorted_table(multi_store, table, drop=volatile)
+        assert list(a.columns) == list(b.columns), table
+        for c in a.columns:
+            if a[c].dtype.kind == "f":
+                np.testing.assert_array_equal(
+                    a[c].values, b[c].values, err_msg=f"{table}.{c} differs"
+                )
+            else:
+                assert a[c].tolist() == b[c].tolist(), f"{table}.{c} differs"
+
+
+def test_partition_and_paths():
+    from gpsat_tpu.distributed import host_store_path, partition_expert_locs
+
+    df = pd.DataFrame({"x": np.arange(7)})
+    parts = [partition_expert_locs(df, 3, h) for h in range(3)]
+    assert [len(p) for p in parts] == [3, 2, 2]
+    # disjoint and complete
+    allx = sorted(x for p in parts for x in p["x"])
+    assert allx == list(range(7))
+    assert host_store_path("a/b/res.h5", 2) == "a/b/res.h2.h5"
+    assert host_store_path("res", 0) == "res.h0.h5"
+
+
+def test_merge_stores_dedupes_configs(tmp_path):
+    from gpsat_tpu.distributed import merge_stores
+
+    cfg = {"model": {"oi_model": "GPflowGPRModel"}, "run_kwargs": {"store_path": "X"}}
+    for h in range(2):
+        with TableStore(str(tmp_path / f"r.h{h}.h5")) as store:
+            c = json.loads(json.dumps(cfg))
+            c["run_kwargs"]["store_path"] = f"r.h{h}.h5"  # differs per host
+            store.append("oi_config", pd.DataFrame(
+                {"config_id": [0], "datetime": ["t"], "config": [json.dumps(c)]}
+            ))
+            store.append("run_details", pd.DataFrame(
+                {"num_obs": [h + 1]}, index=pd.Index([float(h)], name="x")
+            ))
+    out = str(tmp_path / "merged.h5")
+    tables = merge_stores(str(tmp_path / "r.h*.h5"), out)
+    assert set(tables) == {"oi_config", "run_details"}
+    with TableStore(out, mode="r") as store:
+        cfgs = store.select("oi_config", set_index=False)
+        rd = store.select("run_details")
+    # run_kwargs-only differences dedupe to one config row
+    assert len(cfgs) == 1
+    assert len(rd) == 2 and rd.index.names == ["x"]
