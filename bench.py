@@ -127,6 +127,18 @@ def main(B: int = None):
     it_mean = float(res["num_iter"].mean())
     it_max = int(res["num_iter"].max())
     eps = B / elapsed
+
+    # roofline accounting (gpsat_tpu/utils/flops.py conventions): under
+    # vmap lockstep every lane executes until the slowest lane in its
+    # shard converges, so executed work uses it_max, useful work it_mean
+    from gpsat_tpu.utils.flops import (
+        V5E_F32_HIGHEST_TFLOPS,
+        gpr_fused_iter_flops,
+        gpr_predict_flops,
+    )
+
+    flops_exec = B * it_max * gpr_fused_iter_flops(N, D) + B * gpr_predict_flops(N, P, D)
+    tflops = flops_exec / elapsed / 1e12
     out = {
         "metric": "experts_optimized_predicted_per_sec",
         "value": round(eps, 2),
@@ -135,6 +147,8 @@ def main(B: int = None):
             f"iters mean/max {it_mean:.0f}/{it_max}, first-call {compile_and_first:.1f}s)"
         ),
         "vs_baseline": round(eps / REFERENCE_EXPERTS_PER_SEC, 2),
+        "achieved_tflops": round(tflops, 2),
+        "pct_of_f32_matmul_ceiling": round(100.0 * tflops / V5E_F32_HIGHEST_TFLOPS, 1),
     }
     print(json.dumps(out))
 

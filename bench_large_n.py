@@ -1,0 +1,147 @@
+"""Large-N tile regime: SGPR N-sweep with throughput + achieved TFLOP/s.
+
+The reference claims SGPR handles ~O(1e5) points per expert
+(ref: GPSat/models/gpflow_models.py:672-681, default M=500). This bench
+proves the batched engine covers that regime on one chip: tiles of
+N = 1k..64k points, M=500 inducing points, chunk-accumulated [M, N]
+factors (models/sgpr.py chunk_size='auto') so the working set stays
+O(B M (M + C)) regardless of N.
+
+Usage: python bench_large_n.py [--sweep 1024,4096,16384,65536] [--check]
+Prints one JSON line per N; --check additionally reruns the N=4096 point
+on the CPU backend in f64 and reports parameter/objective deltas (the
+f32-vs-f64 parity evidence for the large-N path).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+M_INDUCING = 500  # reference SGPR default (gpflow_models.py:704)
+
+
+def make_large_tiles(B, N, P, D, dtype, seed=0):
+    rng = np.random.default_rng(seed)
+    from gpsat_tpu.parallel.batching import TileBatch
+
+    X = rng.uniform(-6, 6, size=(B, N, D)).astype(dtype)
+    y = (np.sin(X[..., 0]) * np.cos(X[..., 1]) + 0.1 * rng.normal(size=(B, N))).astype(dtype)
+    mask = np.ones((B, N), dtype=dtype)
+    fill = rng.integers(int(0.9 * N), N + 1, size=B)  # mildly ragged
+    for i, f in enumerate(fill):
+        mask[i, f:] = 0.0
+    Xnew = rng.uniform(-4, 4, size=(B, P, D)).astype(dtype)
+    return TileBatch(
+        X=X, y=y, mask=mask, Xnew=Xnew,
+        pred_mask=np.ones((B, P), dtype=dtype),
+        obs_mean=np.zeros(B, dtype=dtype),
+        expert_index=np.arange(B),
+        num_obs=fill,
+    )
+
+
+def run_point(N, B, max_iter, dtype, device=None):
+    import jax
+
+    from gpsat_tpu.experts import bijectors_from
+    from gpsat_tpu.models.sgpr import make_sgpr_core
+    from gpsat_tpu.parallel.engine import make_batched_runner, run_tile_batch
+
+    P, D = 32, 2
+    core = make_sgpr_core(
+        kernel="Matern32", bijectors=bijectors_from(None),
+        num_inducing_points=M_INDUCING, chunk_size="auto",
+    )
+    batch = make_large_tiles(B, N, P, D, dtype)
+    f32 = dtype == np.float32
+    tols = dict(tol_grad=1e-3, tol_f=1e-6) if f32 else dict(tol_grad=1e-6, tol_f=1e-11)
+    runner = make_batched_runner(
+        core, fixed_params=("inducing_points",), max_iter=max_iter,
+        linesearch="single_eval" if f32 else "zoom", **tols,
+    )
+    init = {"smart_init": True}
+
+    def execute():
+        if device is not None:
+            with jax.default_device(device):
+                return run_tile_batch(batch, init, runner, core)
+        return run_tile_batch(batch, init, runner, core)
+
+    t0 = time.perf_counter()
+    res = execute()  # compile + first run
+    first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = execute()
+    dt = time.perf_counter() - t0
+    return res, dt, first
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sweep", default="1024,4096,16384,65536")
+    ap.add_argument("--max-iter", type=int, default=60)
+    ap.add_argument("--check", action="store_true", help="f64-CPU parity check at N=4096")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    from gpsat_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
+    from gpsat_tpu.utils.flops import V5E_F32_HIGHEST_TFLOPS, sgpr_iter_flops
+
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    dtype = np.float32 if on_tpu else np.float64
+
+    # B scales down with N so the tile arrays + chunk working set stay
+    # comfortably inside one chip's HBM (memory-aware bucket sizing; the
+    # orchestrator's max_batch_size plays the same role in production)
+    b_for = {1024: 64, 4096: 32, 8192: 16, 16384: 8, 32768: 4, 65536: 2}
+
+    for N in (int(s) for s in args.sweep.split(",")):
+        B = b_for.get(N, max(1, 2 ** 21 // N))
+        res, dt, first = run_point(N, B, args.max_iter, dtype)
+        it_mean = float(res["num_iter"].mean())
+        it_max = int(res["num_iter"].max())
+        flops = B * it_max * sgpr_iter_flops(N, M_INDUCING, 2)
+        tflops = flops / dt / 1e12
+        print(json.dumps({
+            "metric": "sgpr_large_n",
+            "N": N, "B": B, "M": M_INDUCING,
+            "experts_per_sec": round(B / dt, 2),
+            "points_per_sec": round(B * N / dt, 0),
+            "achieved_tflops": round(tflops, 2),
+            "pct_of_f32_matmul_ceiling": round(100.0 * tflops / V5E_F32_HIGHEST_TFLOPS, 1),
+            "converged": f"{int(res['converged'].sum())}/{B}",
+            "iters_mean_max": [round(it_mean), it_max],
+            "seconds": round(dt, 2), "first_call_s": round(first, 1),
+        }), flush=True)
+
+    if args.check:
+        # f32 production vs f64 CPU gold on identical N=4096 tiles
+        N, B = 4096, 4
+        res32, _, _ = run_point(N, B, 200, dtype)
+        cpu = jax.devices("cpu")[0]
+        x64_was = bool(jax.config.read("jax_enable_x64"))
+        try:
+            jax.config.update("jax_enable_x64", True)
+            res64, _, _ = run_point(N, B, 200, np.float64, device=cpu)
+        finally:
+            jax.config.update("jax_enable_x64", x64_was)
+        rel = lambda a, b: float(np.max(np.abs((np.asarray(a, float) - np.asarray(b, float)) /
+                                               (np.abs(np.asarray(b, float)) + 1e-12))))
+        print(json.dumps({
+            "metric": "sgpr_large_n_f64_parity", "N": N, "B": B,
+            "objective_rel": rel(res32["objective"], res64["objective"]),
+            "lengthscales_rel": rel(res32["lengthscales"], res64["lengthscales"]),
+            "f_mean_max_abs": float(np.max(np.abs(res32["f_mean"] - res64["f_mean"]))),
+        }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

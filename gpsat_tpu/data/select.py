@@ -142,6 +142,65 @@ def local_data_select(df, reference_location, local_select, kdtree=None, verbose
     return df.loc[local_select_bool(df, reference_location, local_select, kdtree=kdtree), :]
 
 
+def local_select_indices_all(
+    df: pd.DataFrame, ref_locs: pd.DataFrame, local_select: List[dict]
+) -> List[np.ndarray]:
+    """Per-expert sorted row-index arrays of the local window, ALL experts
+    in one pass — the batched replacement for per-expert
+    ``local_select_bool`` calls in the orchestrator's tile assembly
+    (ref: GPSat/dataloader.py:2354-2447 runs one KDTree query per expert).
+
+    The first 2-column euclidean entry routes through the C++ grid-hash
+    index (native.radius_query_all: built once, queried for all experts
+    in parallel; scipy fallback); remaining entries filter each expert's
+    candidate set with vectorized numpy. Results match
+    ``np.flatnonzero(local_select_bool(...))`` per expert, up to
+    exact-boundary ties (the native grid uses a strict ``<`` where
+    cKDTree's ball query is inclusive — measure-zero for real data).
+    """
+    E = len(ref_locs)
+    n = len(df)
+    multi = [ls for ls in local_select if not isinstance(ls["col"], str)]
+    scalar = [ls for ls in local_select if isinstance(ls["col"], str)]
+    for ls in multi:
+        assert ls["comp"] in ("<", "<="), "multi-column select requires a less-than comparison"
+
+    if multi:
+        ls0 = multi[0]
+        cols = list(ls0["col"])
+        pts = df.loc[:, cols].values.astype(float)
+        refs = ref_locs.loc[:, cols].values.astype(float)
+        if len(cols) == 2:
+            from gpsat_tpu import native
+
+            cand = native.radius_query_all(pts, refs, float(ls0["val"]))
+        else:
+            tree = cKDTree(pts)
+            cand = [np.asarray(ix, dtype=np.int64) for ix in tree.query_ball_point(refs, float(ls0["val"]))]
+        multi_rest = multi[1:]
+    else:
+        cand = [np.arange(n, dtype=np.int64)] * E
+        multi_rest = []
+
+    scalar_vals = {ls["col"]: df[ls["col"]].values for ls in scalar}
+    rest_vals = {tuple(ls["col"]): df.loc[:, list(ls["col"])].values.astype(float) for ls in multi_rest}
+
+    out = []
+    for e in range(E):
+        ix = np.sort(np.asarray(cand[e], dtype=np.int64))
+        ref = pandas_to_dict(ref_locs.iloc[[e]])
+        for ls in scalar:
+            keep = np.asarray(_compare(scalar_vals[ls["col"]][ix], ls["comp"], ref[ls["col"]] + ls["val"]))
+            ix = ix[keep]
+        for ls in multi_rest:
+            p = rest_vals[tuple(ls["col"])][ix]
+            refp = np.asarray([ref[c] for c in ls["col"]], dtype=float)
+            d2 = np.sum((p - refp) ** 2, axis=1)
+            ix = ix[d2 <= float(ls["val"]) ** 2]
+        out.append(ix)
+    return out
+
+
 def get_where_list(global_select, local_select=None, ref_loc=None) -> List[dict]:
     """Static + dynamic global selects -> concrete where-dict list.
 

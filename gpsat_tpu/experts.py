@@ -560,22 +560,29 @@ class LocalExpertOI:
         done = 0
         for key, grp in groups.items():
             df = self.data.load(where=grp["where"] if grp["where"] else None, reset_index=True)
-            kdtrees = sel.build_kdtrees(df, self.data.local_select or [])
 
             coords_all = df[coords_col].values.astype(float)
             obs_all = df[obs_col if isinstance(obs_col, str) else obs_col[0]].values.astype(float)
 
+            # all experts' local windows in one pass: C++ grid-hash index
+            # for the euclidean entry (scipy fallback), vectorized numpy
+            # for the rest — replaces the reference's per-expert KDTree
+            # queries (ref: dataloader.py:2354-2447)
+            sel_ix = sel.local_select_indices_all(
+                df, xprt_locs.iloc[grp["rows"]], self.data.local_select or []
+            )
+
             tile_indices, pred_coords, row_ids, skipped = [], [], [], []
-            for i in grp["rows"]:
+            for j, i in enumerate(grp["rows"]):
                 rl = xprt_locs.iloc[[i]]
                 self.pred_loc.expert_loc = rl
                 pc = self.pred_loc() if predict else np.zeros((0, len(coords_col)))
-                mask_b = sel.local_select_bool(df, rl, self.data.local_select or [], kdtree=kdtrees)
-                n = int(mask_b.sum())
+                ix = sel_ix[j]
+                n = len(ix)
                 if n < min_obs or (predict and len(pc) == 0):
                     skipped.append((i, n))
                     continue
-                tile_indices.append(np.flatnonzero(mask_b))
+                tile_indices.append(ix)
                 pred_coords.append(pc)
                 row_ids.append(i)
 
@@ -1215,6 +1222,7 @@ def make_core_for_model(model_cls, kernel: str, bijectors, init_params) -> Model
             num_inducing_points=int(init_params.get("num_inducing_points", 500)),
             train_inducing_points=bool(init_params.get("train_inducing_points", False)),
             mean_function=init_params.get("mean_function"),
+            chunk_size=init_params.get("chunk_size", "auto"),
         )
     if name in ("SVGPModel", "GPflowSVGPModel"):
         from gpsat_tpu.models.svgp import DEFAULT_JITTER as SVGP_JITTER, make_svgp_core
@@ -1226,8 +1234,14 @@ def make_core_for_model(model_cls, kernel: str, bijectors, init_params) -> Model
             num_inducing_points=int(init_params.get("num_inducing_points", 128)),
             likelihood=init_params.get("likelihood", "Gaussian") or "Gaussian",
             train_inducing_points=bool(init_params.get("train_inducing_points", False)),
-            natural_gradients=bool(init_params.get("natural_gradients", False)),
+            # False | True (autodiff natgrad) | "exact" (closed-form q)
+            natural_gradients=init_params.get("natural_gradients", False),
             gamma=float(init_params.get("gamma", 0.1)),
+            chunk_size=init_params.get("chunk_size", "auto"),
+            q_init=init_params.get("q_init", "collapsed"),
+            # "auto" = collapsed L-BFGS for Gaussian likelihood (exact
+            # optimum, ~60x fewer iterations); "adam" = reference parity
+            solver=init_params.get("solver", "auto"),
         )
     if name in ("VFFModel", "GPflowVFFModel"):
         from gpsat_tpu.models.vff import make_vff_core

@@ -37,6 +37,18 @@ class ModelCore:
     # optional hook: (TileBatch, init_cparams) -> init_cparams with
     # per-expert [B, ...] entries (e.g. per-tile inducing point init)
     prepare_batch_init: Callable = None
+    # optional hook running INSIDE the jitted program, per tile, before
+    # optimization: (uparams0, data) -> uparams0. Used for data-dependent
+    # warm starts that need the model's own math (e.g. SVGP's closed-form
+    # collapsed q given the initial hyperparameters). Only applied when
+    # optimise=True — predict-only runs must honor loaded params verbatim.
+    device_init: Callable = None
+    # optional hook applied after optimization, before predict/param
+    # extraction: (cparams, data) -> cparams. Used for parameters that are
+    # a closed-form function of the optimized ones (e.g. the collapsed
+    # SVGP q given the final hyperparameters). Applied only when
+    # optimise=True (same predict-only contract as device_init).
+    finalize_params: Callable = None
     # which batched runner fits this core: 'lbfgs' (deterministic
     # objectives) or 'adam' (stochastic, e.g. SVGP)
     optimizer: str = "lbfgs"

@@ -33,8 +33,34 @@ PARAM_NAMES = ["lengthscales", "kernel_variance", "likelihood_variance", "induci
 DEFAULT_JITTER = 1e-6  # gpflow default_jitter on Kuu
 
 
-def _common_terms(cparams: dict, data: dict, *, kernel: str, jitter: float):
-    """Shared SGPR factors: L = chol(Kuu), A = L^-1 Kuf / sigma, B-factors."""
+# N-threshold above which the [M, N] factor is accumulated chunk-by-chunk
+# instead of materialized (the large-N tile regime: the reference claims
+# SGPR handles ~O(1e5) points/expert, ref: gpflow_models.py:672-681 — at
+# B=64, N=1e5, M=500 a materialized Kuf would be 12.8 GB f32 per batch)
+CHUNK_THRESHOLD = 8192
+DEFAULT_CHUNK = 4096
+
+
+def _resolve_chunk(N: int, chunk_size) -> int:
+    """0/None = never chunk; 'auto' = chunk when N >= CHUNK_THRESHOLD.
+    Shapes are static under jit, so this is a trace-time decision."""
+    if chunk_size in (None, 0):
+        return 0
+    if chunk_size == "auto":
+        return DEFAULT_CHUNK if N >= CHUNK_THRESHOLD else 0
+    return int(chunk_size)
+
+
+def _common_terms(cparams: dict, data: dict, *, kernel: str, jitter: float, chunk_size=None):
+    """Shared SGPR factors: L = chol(Kuu), A = L^-1 Kuf / sigma, B-factors.
+
+    Returns L, LB, c plus the scalar data summaries the bound needs
+    (n = sum(mask), ymsq = sum((y*m)^2), trAAT). With chunking active the
+    [M, N] matrices A/Kuf only ever exist one [M, C] chunk at a time,
+    accumulated by a rematerialized lax.scan — peak memory O(M^2 + M*C)
+    instead of O(M*N), gradients recompute the chunk forward (remat) so
+    backward memory stays flat too.
+    """
     X, y, m = data["X"], data["y"], data["mask"].astype(data["X"].dtype)
     if "mean_c" in cparams:
         # constant prior mean: collapsed bound on de-meaned obs
@@ -49,40 +75,79 @@ def _common_terms(cparams: dict, data: dict, *, kernel: str, jitter: float):
     Kuu = K.gram(kernel, Z, Z, ls, kv)
     Kuu = LA.add_diag(Kuu, jitter)
     L = LA.cholesky(Kuu)
-    Kuf = K.gram(kernel, Z, X, ls, kv) * m[None, :]
-    A = LA.tri_solve(L, Kuf) / sigma
-    AAT = A @ A.T
-    B = AAT + jnp.eye(A.shape[0], dtype=A.dtype)
+    M = Z.shape[0]
+    N = X.shape[0]
+    C = _resolve_chunk(N, chunk_size)
+
+    if C and N > C:
+        # pad N up to a chunk multiple; padded rows carry mask 0 so their
+        # Kuf columns vanish exactly like engine-level tile padding
+        pad = (-N) % C
+        if pad:
+            X = jnp.pad(X, ((0, pad), (0, 0)))
+            y = jnp.pad(y, (0, pad))
+            m = jnp.pad(m, (0, pad))
+        nc = (N + pad) // C
+        Xc = X.reshape(nc, C, X.shape[-1])
+        ymc = (y * m).reshape(nc, C)
+        mc = m.reshape(nc, C)
+
+        def body(carry, inp):
+            AAT_, Aerr_, ymsq_ = carry
+            Xi, ymi, mi = inp
+            Kuf_i = K.gram(kernel, Z, Xi, ls, kv) * mi[None, :]
+            A_i = LA.tri_solve(L, Kuf_i) / sigma
+            return (
+                AAT_ + A_i @ A_i.T,
+                Aerr_ + A_i @ ymi[:, None],
+                ymsq_ + jnp.sum(ymi**2),
+            ), None
+
+        init = (
+            jnp.zeros((M, M), dtype=X.dtype),
+            jnp.zeros((M, 1), dtype=X.dtype),
+            jnp.zeros((), dtype=X.dtype),
+        )
+        (AAT, Aerr, ymsq), _ = jax.lax.scan(jax.checkpoint(body), init, (Xc, ymc, mc))
+    else:
+        Kuf = K.gram(kernel, Z, X, ls, kv) * m[None, :]
+        A = LA.tri_solve(L, Kuf) / sigma
+        AAT = A @ A.T
+        ym = y * m
+        Aerr = A @ ym[:, None]
+        ymsq = jnp.sum(ym**2)
+
+    B = AAT + jnp.eye(M, dtype=X.dtype)
     LB = LA.cholesky(B)
-    ym = y * m
-    Aerr = A @ ym[:, None]
     c = LA.tri_solve(LB, Aerr) / sigma
-    return dict(L=L, A=A, AAT=AAT, LB=LB, c=c, ym=ym, m=m, sigma2=sigma2, kv=kv)
+    return dict(
+        L=L, AAT=AAT, LB=LB, c=c, n=jnp.sum(m), ymsq=ymsq, sigma2=sigma2, kv=kv
+    )
 
 
-def elbo(cparams: dict, data: dict, *, kernel: str, jitter: float = DEFAULT_JITTER):
+def elbo(cparams: dict, data: dict, *, kernel: str, jitter: float = DEFAULT_JITTER, chunk_size=None):
     """Titsias collapsed evidence lower bound on one padded tile."""
-    t = _common_terms(cparams, data, kernel=kernel, jitter=jitter)
-    n = jnp.sum(t["m"])
+    t = _common_terms(cparams, data, kernel=kernel, jitter=jitter, chunk_size=chunk_size)
+    n = t["n"]
     out = -0.5 * n * jnp.log(2.0 * jnp.pi)
     out -= jnp.sum(jnp.log(jnp.diagonal(t["LB"])))
     out -= 0.5 * n * jnp.log(t["sigma2"])
-    out -= 0.5 * jnp.sum(t["ym"] ** 2) / t["sigma2"]
+    out -= 0.5 * t["ymsq"] / t["sigma2"]
     out += 0.5 * jnp.sum(t["c"] ** 2)
     # trace correction: -1/(2 s2) tr(Kff) + 1/2 tr(AAT)
-    out -= 0.5 * jnp.sum(t["m"]) * t["kv"] / t["sigma2"]
+    out -= 0.5 * n * t["kv"] / t["sigma2"]
     out += 0.5 * jnp.trace(t["AAT"])
     return out
 
 
-def neg_elbo(uparams: dict, data: dict, *, kernel: str, bijectors: dict, jitter: float = DEFAULT_JITTER):
+def neg_elbo(uparams: dict, data: dict, *, kernel: str, bijectors: dict, jitter: float = DEFAULT_JITTER, chunk_size=None):
     p = T.forward_params(uparams, bijectors)
-    return -elbo(p, data, kernel=kernel, jitter=jitter)
+    return -elbo(p, data, kernel=kernel, jitter=jitter, chunk_size=chunk_size)
 
 
-def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, *, kernel: str, jitter: float = DEFAULT_JITTER):
+def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, *, kernel: str, jitter: float = DEFAULT_JITTER, chunk_size=None):
     """SGPR posterior mean/variance at Xnew (gpflow predict_f equations)."""
-    t = _common_terms(cparams, data, kernel=kernel, jitter=jitter)
+    t = _common_terms(cparams, data, kernel=kernel, jitter=jitter, chunk_size=chunk_size)
     Z = cparams["inducing_points"]
     Kus = K.gram(kernel, Z, Xnew, cparams["lengthscales"], cparams["kernel_variance"])
     tmp1 = LA.tri_solve(t["L"], Kus)
@@ -137,8 +202,10 @@ class SGPRModel(GPRModel):
         kernel_kwargs: Optional[dict] = None,
         noise_variance: Optional[float] = None,
         jitter: float = DEFAULT_JITTER,
+        chunk_size="auto",
         **kwargs,
     ):
+        self.chunk_size = chunk_size
         super().__init__(
             data=data,
             coords_col=coords_col,
@@ -174,7 +241,10 @@ class SGPRModel(GPRModel):
         return names
 
     def _neg_objective(self, uparams, data):
-        return neg_elbo(uparams, data, kernel=self.kernel, bijectors=self._bijectors, jitter=self.jitter)
+        return neg_elbo(
+            uparams, data, kernel=self.kernel, bijectors=self._bijectors,
+            jitter=self.jitter, chunk_size=self.chunk_size,
+        )
 
     def optimise_parameters(self, train_inducing_points: bool = False, max_iter: int = 10_000, fixed_params=None, **opt_kwargs) -> bool:
         fixed_params = list(fixed_params or [])
@@ -201,7 +271,10 @@ class SGPRModel(GPRModel):
     def get_objective_function_value(self) -> float:
         """ELBO (not negated — matches reference SGPR, gpflow_models.py:860-862)."""
         cparams = {k: jnp.asarray(v) for k, v in self._params.items()}
-        return float(np.asarray(elbo(cparams, self._data_dict(), kernel=self.kernel, jitter=self.jitter)))
+        return float(np.asarray(elbo(
+            cparams, self._data_dict(), kernel=self.kernel, jitter=self.jitter,
+            chunk_size=self.chunk_size,
+        )))
 
     def predict(self, coords, full_cov: bool = False, apply_scale: bool = True) -> Dict[str, np.ndarray]:
         import pandas as pd
@@ -214,7 +287,10 @@ class SGPRModel(GPRModel):
         if apply_scale:
             coords = coords / self.coords_scale
         cparams = {k: jnp.asarray(v) for k, v in self._params.items()}
-        pred = predict(cparams, self._data_dict(), jnp.asarray(coords), kernel=self.kernel, jitter=self.jitter)
+        pred = predict(
+            cparams, self._data_dict(), jnp.asarray(coords), kernel=self.kernel,
+            jitter=self.jitter, chunk_size=self.chunk_size,
+        )
         out = {
             "f*": np.asarray(pred["f_mean"]),
             "f*_var": np.asarray(pred["f_var"]),
@@ -238,11 +314,18 @@ def make_sgpr_core(
     num_inducing_points: int = 500,
     train_inducing_points: bool = False,
     mean_function: Optional[str] = None,
+    chunk_size="auto",
 ):
     """Functional core for the batched engine.
 
     Inducing points ride in cparams with an identity bijector; they are in
     fixed_params unless train_inducing_points.
+
+    chunk_size: 'auto' (default) accumulates the [M, N] factor in
+    [M, 4096] chunks once tiles reach N >= 8192, entering the large-N
+    regime (N up to ~1e5/tile, ref: gpflow_models.py:672-681) without
+    materializing [B, M, N]; an int forces that chunk size; None/0
+    disables chunking.
     """
     from gpsat_tpu.models.functional import ModelCore
 
@@ -256,10 +339,10 @@ def make_sgpr_core(
         bijectors.setdefault("mean_c", T.IDENTITY)
 
     def objective(uparams, data):
-        return neg_elbo(uparams, data, kernel=kernel, bijectors=bijectors, jitter=jitter)
+        return neg_elbo(uparams, data, kernel=kernel, bijectors=bijectors, jitter=jitter, chunk_size=chunk_size)
 
     def predict_fn(cparams, data, Xnew):
-        return predict(cparams, data, Xnew, kernel=kernel, jitter=jitter)
+        return predict(cparams, data, Xnew, kernel=kernel, jitter=jitter, chunk_size=chunk_size)
 
     def forward(uparams):
         return {k: bijectors[k].forward(v) for k, v in uparams.items()}

@@ -104,14 +104,12 @@ def variational_expectations(likelihood: str, y, f_mean, f_var, lik_params: dict
 # functional core
 # --------------------------------------------------------------------------
 
-def _whitened_marginals(cparams: dict, X: jnp.ndarray, *, kernel: str, jitter: float):
-    """q(f) marginals at X given whitened q(v)."""
+def _marginals_given_L(cparams: dict, L: jnp.ndarray, X: jnp.ndarray, *, kernel: str):
+    """q(f) marginals at X given a precomputed chol(Kuu)."""
     Z = cparams["inducing_points"]
     ls, kv = cparams["lengthscales"], cparams["kernel_variance"]
     q_mu = cparams["inducing_mean"]
     q_sqrt = jnp.tril(cparams["inducing_chol"])
-    Kuu = LA.add_diag(K.gram(kernel, Z, Z, ls, kv), jitter)
-    L = LA.cholesky(Kuu)
     Kus = K.gram(kernel, Z, X, ls, kv)
     A = LA.tri_solve(L, Kus)  # [M, N]
     f_mean = A.T @ q_mu
@@ -119,6 +117,18 @@ def _whitened_marginals(cparams: dict, X: jnp.ndarray, *, kernel: str, jitter: f
     kss = K.gram_diag(kernel, X, kv)
     f_var = kss - jnp.sum(A * A, axis=0) + jnp.sum(SA * SA, axis=0)
     return f_mean, jnp.maximum(f_var, 1e-30)
+
+
+def _chol_Kuu(cparams: dict, *, kernel: str, jitter: float) -> jnp.ndarray:
+    Z = cparams["inducing_points"]
+    Kuu = LA.add_diag(K.gram(kernel, Z, Z, cparams["lengthscales"], cparams["kernel_variance"]), jitter)
+    return LA.cholesky(Kuu)
+
+
+def _whitened_marginals(cparams: dict, X: jnp.ndarray, *, kernel: str, jitter: float):
+    """q(f) marginals at X given whitened q(v)."""
+    L = _chol_Kuu(cparams, kernel=kernel, jitter=jitter)
+    return _marginals_given_L(cparams, L, X, kernel=kernel)
 
 
 def kl_whitened(q_mu: jnp.ndarray, q_sqrt: jnp.ndarray):
@@ -137,26 +147,94 @@ def elbo(
     likelihood: str = "Gaussian",
     jitter: float = DEFAULT_JITTER,
     batch_idx: Optional[jnp.ndarray] = None,
+    chunk_size=None,
 ):
     """Minibatch ELBO on one padded tile; batch_idx selects the minibatch
-    (full batch if None). Padded rows carry zero weight via the mask."""
+    (full batch if None). Padded rows carry zero weight via the mask.
+
+    chunk_size ('auto' / int): accumulate the expected-log-likelihood sum
+    over [chunk]-sized slices of the tile in a rematerialized lax.scan so
+    the [M, N] whitened factor never materializes — the large-N tile
+    regime (same scheme as sgpr._common_terms; no-op on minibatches).
+    """
+    from gpsat_tpu.models.sgpr import _resolve_chunk
+
     X, y, m = data["X"], data["y"], data["mask"].astype(data["X"].dtype)
     N = jnp.sum(m)
     if batch_idx is not None:
         X, y, m = X[batch_idx], y[batch_idx], m[batch_idx]
-    f_mean, f_var = _whitened_marginals(cparams, X, kernel=kernel, jitter=jitter)
-    ve = variational_expectations(
-        likelihood, y, f_mean, f_var, {"variance": cparams["likelihood_variance"]}
-    )
-    batch_weight = jnp.sum(m)
+    lik_params = {"variance": cparams["likelihood_variance"]}
+
+    C = _resolve_chunk(X.shape[0], chunk_size) if batch_idx is None else 0
+    if C and X.shape[0] > C:
+        L = _chol_Kuu(cparams, kernel=kernel, jitter=jitter)
+        pad = (-X.shape[0]) % C
+        if pad:
+            X = jnp.pad(X, ((0, pad), (0, 0)))
+            y = jnp.pad(y, (0, pad))
+            m = jnp.pad(m, (0, pad))
+        nc = X.shape[0] // C
+        Xc = X.reshape(nc, C, X.shape[-1])
+        yc = y.reshape(nc, C)
+        mc = m.reshape(nc, C)
+
+        def body(acc, inp):
+            Xi, yi, mi = inp
+            fm, fv = _marginals_given_L(cparams, L, Xi, kernel=kernel)
+            ve_i = variational_expectations(likelihood, yi, fm, fv, lik_params)
+            return acc + jnp.sum(ve_i * mi), None
+
+        lik_sum, _ = jax.lax.scan(jax.checkpoint(body), jnp.zeros((), dtype=X.dtype), (Xc, yc, mc))
+        batch_weight = N  # full batch by construction
+    else:
+        f_mean, f_var = _whitened_marginals(cparams, X, kernel=kernel, jitter=jitter)
+        ve = variational_expectations(likelihood, y, f_mean, f_var, lik_params)
+        batch_weight = jnp.sum(m)
+        lik_sum = jnp.sum(ve * m)
     scale = jnp.where(batch_weight > 0, N / jnp.maximum(batch_weight, 1.0), 0.0)
-    lik_term = scale * jnp.sum(ve * m)
+    lik_term = scale * lik_sum
     return lik_term - kl_whitened(cparams["inducing_mean"], cparams["inducing_chol"])
 
 
 def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, *, kernel: str, jitter: float = DEFAULT_JITTER):
     f_mean, f_var = _whitened_marginals(cparams, Xnew, kernel=kernel, jitter=jitter)
     return {"f_mean": f_mean, "f_var": f_var, "y_var": f_var + cparams["likelihood_variance"]}
+
+
+# --------------------------------------------------------------------------
+# closed-form optimal q for Gaussian likelihood (the collapsed solution)
+# --------------------------------------------------------------------------
+
+def collapsed_q(cparams: dict, data: dict, *, kernel: str, jitter: float = DEFAULT_JITTER, chunk_size="auto"):
+    """Optimal whitened (q_mu, q_sqrt) given the current hyperparameters.
+
+    For a Gaussian likelihood the ELBO is maximized in closed form over
+    q(v): with the SGPR factors A = L^-1 Kuf / sigma, B = I + A A^T,
+    the optimal whitened posterior is
+
+        m_v = B^-1 (A ym) / sigma       S_v = B^-1
+
+    (this IS the collapsed Titsias solution — plugging it into the SVGP
+    ELBO recovers sgpr.elbo exactly). Used as a device-side warm start /
+    exact coordinate update: Adam then only has to move hyperparameters,
+    which cuts the iteration count by multiples (the round-2 SVGP
+    throughput gap, VERDICT #3; ref: gpflow_models.py:1186-1245 trains q
+    by gradient instead and pays ~1.8k iterations).
+
+    Reuses sgpr._common_terms, so the large-N chunked path applies.
+    """
+    from gpsat_tpu.models.sgpr import _common_terms
+
+    t = _common_terms(cparams, data, kernel=kernel, jitter=jitter, chunk_size=chunk_size)
+    LB = t["LB"]
+    M = LB.shape[0]
+    I = jnp.eye(M, dtype=LB.dtype)
+    # m_v = B^-1 Aerr / sigma = LB^-T c   (c = LB^-1 Aerr / sigma)
+    q_mu = jax.scipy.linalg.solve_triangular(LB.T, t["c"], lower=False)[:, 0]
+    Binv = jax.scipy.linalg.cho_solve((LB, True), I)
+    # symmetrize before the final Cholesky (f32 roundoff)
+    q_sqrt = jnp.linalg.cholesky(0.5 * (Binv + Binv.T))
+    return q_mu, q_sqrt
 
 
 # --------------------------------------------------------------------------
@@ -220,8 +298,10 @@ class SVGPModel(GPRModel):
         likelihood: Optional[str] = None,
         likelihood_kwargs: Optional[dict] = None,
         jitter: float = DEFAULT_JITTER,
+        chunk_size="auto",
         **kwargs,
     ):
+        self.chunk_size = chunk_size
         if kwargs.get("mean_function") is not None:
             # fail loudly: the reference supports gpflow mean functions here
             # but this build does not for this model yet (GPR/SGPR support
@@ -290,6 +370,7 @@ class SVGPModel(GPRModel):
                 likelihood=self.likelihood,
                 jitter=self.jitter,
                 batch_idx=None if B == N else idx,
+                chunk_size=self.chunk_size,
             )
             vals.append(float(v))
         return float(np.mean(vals))
@@ -342,6 +423,7 @@ class SVGPModel(GPRModel):
             return -elbo(
                 c, data, kernel=kernel, likelihood=likelihood, jitter=jitter,
                 batch_idx=None if B == N else idx,
+                chunk_size=self.chunk_size,
             )
 
         opt = optax.adam(learning_rate)
@@ -449,17 +531,39 @@ def make_svgp_core(
     num_inducing_points: int = 128,
     likelihood: str = "Gaussian",
     train_inducing_points: bool = False,
-    natural_gradients: bool = False,
+    natural_gradients=False,
     gamma: float = 0.1,
+    chunk_size="auto",
+    q_init="collapsed",
+    solver="auto",
 ):
-    """Functional core for the batched engine (optimize with the Adam
-    runner — stochastic objective, not L-BFGS).
+    """Functional core for the batched engine.
 
-    natural_gradients=True switches (inducing_mean, inducing_chol) to
-    per-iteration natural-gradient updates (Salimbeni et al. 2018) inside
-    the Adam loop — the reference's hybrid Adam+NatGrad optimizer
-    (ref: gpflow_models.py:1186-1212) on the batched engine. Converges in
-    far fewer iterations for Gaussian likelihoods.
+    solver="auto" (default): for the GAUSSIAN likelihood the ELBO's
+    optimum over q(v) is closed-form at any hyperparameter setting
+    (collapsed_q), so maximizing the ELBO jointly by Adam is pure waste —
+    the core instead runs L-BFGS on the COLLAPSED bound over
+    hyperparameters only (identical objective surface, ~30 iterations vs
+    ~2k Adam steps; VERDICT r2 #3) and sets (q_mu, q_sqrt) to their exact
+    optimum afterwards (finalize_params hook). Final (ELBO, q,
+    predictions) are the exact maximum of the same variational family —
+    >= anything Adam reaches. Non-Gaussian likelihoods keep the Adam
+    runner. solver="adam" forces the reference's optimizer
+    (ref: gpflow_models.py:1186-1245) for parity studies.
+
+    q_init="collapsed" (Gaussian + adam solver): initialize
+    (inducing_mean, inducing_chol) at the closed-form optimum given the
+    initial hyperparameters, inside the jitted program (device_init
+    hook). Set q_init=None for the reference's zero-mean identity-chol
+    init (ref: gpflow_models.py:1247-1310).
+
+    natural_gradients=True (adam solver) switches (inducing_mean,
+    inducing_chol) to per-iteration natural-gradient updates (Salimbeni
+    et al. 2018) — the reference's hybrid Adam+NatGrad optimizer
+    (ref: gpflow_models.py:1186-1212). natural_gradients="exact"
+    (Gaussian only) instead re-solves q in closed form every iteration
+    via the SGPR factors — the gamma=1 natural-gradient step computed
+    directly at ~1 ELBO-eval cost.
     """
     import numpy as _np
 
@@ -474,7 +578,7 @@ def make_svgp_core(
 
     def objective(uparams, data):
         c = {k: bijectors[k].forward(v) for k, v in uparams.items()}
-        return -elbo(c, data, kernel=kernel, likelihood=likelihood, jitter=jitter)
+        return -elbo(c, data, kernel=kernel, likelihood=likelihood, jitter=jitter, chunk_size=chunk_size)
 
     def predict_fn(cparams, data, Xnew):
         return predict(cparams, data, Xnew, kernel=kernel, jitter=jitter)
@@ -526,10 +630,67 @@ def make_svgp_core(
         def loss_m_S(m, S):
             Lq = jnp.linalg.cholesky(S + 1e-12 * jnp.eye(S.shape[0], dtype=S.dtype))
             cc = {**c, "inducing_mean": m, "inducing_chol": Lq}
-            return -elbo(cc, data, kernel=kernel, likelihood=likelihood, jitter=jitter)
+            return -elbo(cc, data, kernel=kernel, likelihood=likelihood, jitter=jitter, chunk_size=chunk_size)
 
         m_new, qs_new = natgrad_step(loss_m_S, c["inducing_mean"], c["inducing_chol"], gamma)
         return {"inducing_mean": m_new, "inducing_chol": qs_new}
+
+    def exact_q_update(uparams, data):
+        """Closed-form optimal q given the current hypers (Gaussian only)."""
+        c = {k: bijectors[k].forward(v) for k, v in uparams.items()}
+        q_mu, q_sqrt = collapsed_q(c, data, kernel=kernel, jitter=jitter, chunk_size=chunk_size)
+        return {"inducing_mean": q_mu, "inducing_chol": q_sqrt}
+
+    use_collapsed_init = q_init == "collapsed" and likelihood == "Gaussian"
+
+    def device_init(uparams0, data):
+        return {**uparams0, **exact_q_update(uparams0, data)}
+
+    if natural_gradients == "exact":
+        assert likelihood == "Gaussian", "natural_gradients='exact' requires the Gaussian likelihood"
+        nat_update = exact_q_update
+    elif natural_gradients:
+        nat_update = natgrad_update
+    else:
+        nat_update = None
+
+    use_collapsed_solver = solver == "collapsed" or (solver == "auto" and likelihood == "Gaussian")
+    if solver == "collapsed":
+        assert likelihood == "Gaussian", "solver='collapsed' requires the Gaussian likelihood"
+
+    if use_collapsed_solver:
+        from gpsat_tpu.models import sgpr as _sgpr
+
+        def collapsed_objective(uparams, data):
+            # collapsed bound over hypers (+ optionally Z); q is fixed
+            # during optimization and reconstructed exactly afterwards
+            c = {k: bijectors[k].forward(v) for k, v in uparams.items()}
+            return -_sgpr.elbo(c, data, kernel=kernel, jitter=jitter, chunk_size=chunk_size)
+
+        def finalize(cparams, data):
+            q_mu, q_sqrt = collapsed_q(cparams, data, kernel=kernel, jitter=jitter, chunk_size=chunk_size)
+            return {**cparams, "inducing_mean": q_mu, "inducing_chol": q_sqrt}
+
+        return ModelCore(
+            name=f"SVGP[{kernel},M={num_inducing_points},collapsed]",
+            objective=collapsed_objective,
+            predict=predict_fn,
+            forward=forward,
+            inverse=inverse,
+            init_cparams=init_cparams,
+            param_names=(
+                "lengthscales", "kernel_variance", "likelihood_variance",
+                "inducing_points", "inducing_mean", "inducing_chol",
+            ),
+            # q is not a gradient variable in this mode
+            default_fixed_params=(
+                ("inducing_mean", "inducing_chol")
+                + (() if train_inducing_points else ("inducing_points",))
+            ),
+            prepare_batch_init=prepare_batch_init,
+            finalize_params=finalize,
+            optimizer="lbfgs",
+        )
 
     return ModelCore(
         name=f"SVGP[{kernel},M={num_inducing_points}]",
@@ -548,7 +709,8 @@ def make_svgp_core(
         ),
         default_fixed_params=() if train_inducing_points else ("inducing_points",),
         prepare_batch_init=prepare_batch_init,
+        device_init=device_init if use_collapsed_init else None,
         optimizer="adam",
-        natgrad_update=natgrad_update if natural_gradients else None,
-        natgrad_params=("inducing_mean", "inducing_chol") if natural_gradients else (),
+        natgrad_update=nat_update,
+        natgrad_params=("inducing_mean", "inducing_chol") if nat_update is not None else (),
     )

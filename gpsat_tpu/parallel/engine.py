@@ -51,6 +51,8 @@ def _fit_predict_one(
     return_state: bool = False,
 ):
     """Single padded tile: optimise parameters then predict."""
+    if optimise and core.device_init is not None:
+        uparams0 = core.device_init(uparams0, data)
     u_free0 = {k: v for k, v in uparams0.items() if k not in fixed_params}
     u_fixed = {k: v for k, v in uparams0.items() if k in fixed_params}
 
@@ -77,6 +79,8 @@ def _fit_predict_one(
         final_obj = core.objective(uparams0, data)
 
     cparams = core.forward(u_opt)
+    if optimise and core.finalize_params is not None:
+        cparams = core.finalize_params(cparams, data)
     pred = core.predict(cparams, data, Xnew)
     out = {
         "params": cparams,
@@ -199,6 +203,8 @@ def _adam_fit_predict_one(
     excluded from Adam (ref: gpflow_models.py:1186-1212)."""
     import optax
 
+    if optimise and core.device_init is not None:
+        uparams0 = core.device_init(uparams0, data)
     nat_names = tuple(core.natgrad_params) if core.natgrad_update is not None else ()
     u_nat0 = {k: v for k, v in uparams0.items() if k in nat_names}
     u_free0 = {k: v for k, v in uparams0.items() if k not in fixed_params and k not in nat_names}
@@ -246,6 +252,8 @@ def _adam_fit_predict_one(
         num_iter = jnp.asarray(0)
 
     cparams = core.forward(u_opt)
+    if optimise and core.finalize_params is not None:
+        cparams = core.finalize_params(cparams, data)
     pred = core.predict(cparams, data, Xnew)
     return {
         "params": cparams,

@@ -255,3 +255,41 @@ class TestDataLoaderFacade:
         with DataLoader.connect_to_hdf_store(h5) as s:
             s.put_attrs("data", bin_config={"grid_res": 2.0})
         assert DataLoader.get_attribute_from_table(h5, "data", "bin_config") == {"grid_res": 2.0}
+
+
+def test_local_select_indices_all_matches_per_expert():
+    """Batched all-experts local select (grid-hash / vectorized) returns
+    exactly the per-expert local_select_bool index sets, for euclidean +
+    scalar + secondary-euclidean combinations."""
+    import numpy as np
+    import pandas as pd
+
+    from gpsat_tpu.data import select as sel
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    df = pd.DataFrame({
+        "x": rng.uniform(0, 10, n),
+        "y": rng.uniform(0, 10, n),
+        "z": rng.uniform(0, 10, n),
+        "t": rng.integers(0, 5, n).astype(float),
+    })
+    refs = pd.DataFrame({
+        "x": [2.0, 5.0, 8.0], "y": [3.0, 5.0, 7.0], "z": [5.0, 5.0, 5.0],
+        "t": [2.0, 2.0, 3.0],
+    })
+    cases = [
+        [{"col": ["x", "y"], "comp": "<", "val": 2.5}],
+        [{"col": ["x", "y"], "comp": "<", "val": 2.5},
+         {"col": "t", "comp": "<=", "val": 1.0},
+         {"col": "t", "comp": ">=", "val": -1.0}],
+        [{"col": ["x", "y"], "comp": "<", "val": 3.0},
+         {"col": ["x", "y", "z"], "comp": "<=", "val": 2.8}],
+        [{"col": "t", "comp": "<=", "val": 0.0}],  # no euclidean entry
+        [{"col": ["x", "y", "z"], "comp": "<", "val": 2.0}],  # 3-d first entry
+    ]
+    for local_select in cases:
+        batched = sel.local_select_indices_all(df, refs, local_select)
+        for e in range(len(refs)):
+            gold = np.flatnonzero(sel.local_select_bool(df, refs.iloc[[e]], local_select))
+            np.testing.assert_array_equal(batched[e], gold, err_msg=f"{local_select} expert {e}")

@@ -177,3 +177,63 @@ def test_constant_mean_function():
     assert abs(m.get_mean_c() - 5.0) < 0.5
     far = float(m.predict(np.array([[50.0, 50.0]]), apply_scale=False)["f*"][0])
     assert abs(far - m.get_mean_c()) < 1e-5
+
+
+def test_chunked_matches_unchunked():
+    """Large-N path: the chunk-accumulated [M, N] factors reproduce the
+    materialized bound, gradients, and predictions to f64 roundoff —
+    including a non-chunk-multiple N (internal padding) and masked rows."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpsat_tpu.models import sgpr
+
+    rng = np.random.default_rng(0)
+    N, M, D = 700, 32, 2
+    X = rng.uniform(0, 5, (N, D))
+    y = np.sin(X[:, 0]) + 0.1 * rng.normal(size=N)
+    mask = np.ones(N)
+    mask[-37:] = 0.0
+    Z = X[rng.choice(N, M, replace=False)]
+    data = {"X": jnp.asarray(X), "y": jnp.asarray(y), "mask": jnp.asarray(mask)}
+    cp = {
+        "lengthscales": jnp.asarray([1.0, 1.3]),
+        "kernel_variance": jnp.asarray(0.8),
+        "likelihood_variance": jnp.asarray(0.05),
+        "inducing_points": jnp.asarray(Z),
+    }
+    e0 = float(sgpr.elbo(cp, data, kernel="Matern32"))
+    e1 = float(sgpr.elbo(cp, data, kernel="Matern32", chunk_size=128))
+    np.testing.assert_allclose(e1, e0, rtol=1e-12)
+
+    g0 = jax.grad(lambda c: sgpr.elbo(c, data, kernel="Matern32"))(cp)
+    g1 = jax.grad(lambda c: sgpr.elbo(c, data, kernel="Matern32", chunk_size=128))(cp)
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g0[k]), rtol=1e-8, atol=1e-9)
+
+    Xn = jnp.asarray(rng.uniform(0, 5, (9, D)))
+    p0 = sgpr.predict(cp, data, Xn, kernel="Matern32")
+    p1 = sgpr.predict(cp, data, Xn, kernel="Matern32", chunk_size=128)
+    for k in p0:
+        np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(p0[k]), rtol=1e-10)
+
+
+def test_large_n_tile_fits_and_fits_well():
+    """A single N=16384 tile runs through the host SGPR model with the
+    auto-chunked bound (the large-N regime the reference claims via
+    gpflow_models.py:672-681) and recovers the noise level."""
+    import numpy as np
+
+    from gpsat_tpu.models.sgpr import SGPRModel
+
+    rng = np.random.default_rng(1)
+    N = 16384
+    X = rng.uniform(0, 5, (N, 2))
+    y = np.sin(X[:, 0]) * np.cos(X[:, 1]) + 0.1 * rng.normal(size=N)
+    m = SGPRModel(coords=X, obs=y, num_inducing_points=64, noise_variance=0.05)
+    assert m.optimise_parameters(max_iter=300)
+    nv = float(np.ravel(m.get_likelihood_variance())[0])
+    assert 0.005 < nv < 0.02, f"noise variance {nv} should approach 0.01"
+    pred = m.predict(np.array([[2.5, 2.5]]), apply_scale=False)
+    assert np.isfinite(pred["f*"]).all() and float(pred["f*_var"][0]) > 0

@@ -238,3 +238,124 @@ def test_natgrad_runs_when_all_adam_params_fixed():
     err = np.abs(res["f_mean"] - np.sin(batch.Xnew[..., 0]))[live]
     assert np.isfinite(res["f_mean"]).all()
     assert err.mean() < 0.2, f"inducing_mean not fitted (mean err {err.mean()})"
+
+
+def test_chunked_elbo_matches_unchunked():
+    """Large-N SVGP: chunk-accumulated expected log-likelihood reproduces
+    the materialized ELBO and its gradients to f64 roundoff."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpsat_tpu.models import svgp
+
+    rng = np.random.default_rng(0)
+    N, M, D = 700, 32, 2
+    X = rng.uniform(0, 5, (N, D))
+    y = np.sin(X[:, 0]) + 0.1 * rng.normal(size=N)
+    mask = np.ones(N)
+    mask[-37:] = 0.0
+    Z = X[rng.choice(N, M, replace=False)]
+    data = {"X": jnp.asarray(X), "y": jnp.asarray(y), "mask": jnp.asarray(mask)}
+    cp = {
+        "lengthscales": jnp.asarray([1.0, 1.3]),
+        "kernel_variance": jnp.asarray(0.8),
+        "likelihood_variance": jnp.asarray(0.05),
+        "inducing_points": jnp.asarray(Z),
+        "inducing_mean": jnp.asarray(rng.normal(size=M)),
+        "inducing_chol": jnp.asarray(np.tril(np.eye(M) + 0.05 * rng.normal(size=(M, M)))),
+    }
+    for lik in ("Gaussian", "StudentT"):
+        v0 = float(svgp.elbo(cp, data, kernel="Matern32", likelihood=lik))
+        v1 = float(svgp.elbo(cp, data, kernel="Matern32", likelihood=lik, chunk_size=128))
+        np.testing.assert_allclose(v1, v0, rtol=1e-12)
+    g0 = jax.grad(lambda c: svgp.elbo(c, data, kernel="Matern32"))(cp)
+    g1 = jax.grad(lambda c: svgp.elbo(c, data, kernel="Matern32", chunk_size=128))(cp)
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g0[k]), rtol=1e-7, atol=1e-8)
+
+
+def test_collapsed_solver_beats_adam_parity():
+    """solver='auto' (Gaussian): L-BFGS on the collapsed bound + exact
+    final q reaches an ELBO >= the Adam parity run on every lane, in ~20
+    iterations instead of ~2000 (VERDICT r2 #3), and the stored params
+    reproduce the reported ELBO exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench_models import make_batch
+    from gpsat_tpu.models.svgp import elbo as svgp_elbo, make_svgp_core
+    from gpsat_tpu.parallel.engine import (
+        make_batched_adam_runner,
+        make_batched_runner,
+        run_tile_batch,
+    )
+
+    B, N, P = 8, 256, 8
+    batch = make_batch(B, N, P, 2, np.float64)
+    init = {"smart_init": True}
+
+    core_a = make_svgp_core(jitter=1e-8, num_inducing_points=32, solver="adam", q_init=None)
+    assert core_a.optimizer == "adam"
+    run_a = make_batched_adam_runner(
+        core_a, fixed_params=tuple(core_a.default_fixed_params),
+        max_iter=1500, learning_rate=1e-2, check_every=10, persistence=100,
+    )
+    res_a = run_tile_batch(batch, dict(init), run_a, core_a)
+
+    core_c = make_svgp_core(jitter=1e-8, num_inducing_points=32)  # auto -> collapsed
+    assert core_c.optimizer == "lbfgs"
+    run_c = make_batched_runner(
+        core_c, fixed_params=tuple(core_c.default_fixed_params),
+        max_iter=300, tol_grad=1e-6, tol_f=1e-11,
+    )
+    res_c = run_tile_batch(batch, dict(init), run_c, core_c)
+
+    elbo_a, elbo_c = -res_a["objective"], -res_c["objective"]
+    assert (elbo_c >= elbo_a - 1e-6).all(), (elbo_c - elbo_a)
+    assert res_c["num_iter"].mean() < 100
+    assert res_c["converged"].all()
+
+    # reported objective == true SVGP ELBO at the finalized (stored) q
+    i = 0
+    cp = {k: jnp.asarray(np.asarray(res_c[k])[i]) for k in core_c.param_names}
+    d = {"X": jnp.asarray(batch.X[i]), "y": jnp.asarray(batch.y[i]), "mask": jnp.asarray(batch.mask[i])}
+    np.testing.assert_allclose(
+        float(svgp_elbo(cp, d, kernel="Matern32", jitter=1e-8)), float(elbo_c[i]), rtol=1e-10
+    )
+
+
+def test_collapsed_q_is_sgpr_optimum():
+    """collapsed_q plugged into the SVGP ELBO reproduces the SGPR
+    collapsed bound exactly (the identity the solver mode relies on)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpsat_tpu.models import sgpr, svgp
+
+    rng = np.random.default_rng(0)
+    N, M = 300, 32
+    X = rng.uniform(0, 5, (N, 2))
+    y = np.sin(X[:, 0]) + 0.1 * rng.normal(size=N)
+    mask = np.ones(N)
+    mask[-20:] = 0
+    data = {"X": jnp.asarray(X), "y": jnp.asarray(y), "mask": jnp.asarray(mask)}
+    cp = {
+        "lengthscales": jnp.asarray([1.0, 1.3]),
+        "kernel_variance": jnp.asarray(0.8),
+        "likelihood_variance": jnp.asarray(0.05),
+        "inducing_points": jnp.asarray(X[rng.choice(N, M, replace=False)]),
+    }
+    q_mu, q_sqrt = svgp.collapsed_q(cp, data, kernel="Matern32", jitter=1e-8)
+    e_svgp = float(svgp.elbo(
+        {**cp, "inducing_mean": q_mu, "inducing_chol": q_sqrt},
+        data, kernel="Matern32", jitter=1e-8,
+    ))
+    e_sgpr = float(sgpr.elbo(cp, data, kernel="Matern32", jitter=1e-8))
+    np.testing.assert_allclose(e_svgp, e_sgpr, rtol=1e-10)
+    # and perturbing q strictly lowers the ELBO (it is the argmax)
+    e_pert = float(svgp.elbo(
+        {**cp, "inducing_mean": q_mu + 0.01, "inducing_chol": q_sqrt},
+        data, kernel="Matern32", jitter=1e-8,
+    ))
+    assert e_pert < e_sgpr
