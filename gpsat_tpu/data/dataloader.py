@@ -111,8 +111,17 @@ def load(
                 df = sel.data_select(df, where=where)
         elif eng == "tablestore":
             assert table is not None, "table must be provided when loading from an h5 store"
-            with TableStore(source, mode="r") as ts:
-                df = ts.select(table, where=where).reset_index()
+            from gpsat_tpu.data import pytables_compat as PT
+
+            if PT.is_pytables_store(source):
+                # reference-produced pandas-HDFStore file: read-only
+                # interop parser (no pytables dependency)
+                df = PT.read_table(source, table, where=where)
+                drop = all(n is None for n in df.index.names)
+                df = df.reset_index(drop=drop)
+            else:
+                with TableStore(source, mode="r") as ts:
+                    df = ts.select(table, where=where).reset_index()
         elif eng == "netcdf4":
             # netCDF4 files are HDF5: read via the h5py-based reader
             # (ref loads via xr.open_dataset + to_dataframe,
@@ -122,10 +131,12 @@ def load(
             df = read_netcdf(source, **source_kwargs).reset_index()
             df = sel.data_select(df, where=where)
         elif eng == "zarr":
-            raise NotImplementedError(
-                "engine 'zarr' requires the zarr package, which is not available in "
-                "this build; convert the source to parquet/h5/nc first"
-            )
+            # built-in zarr v2 DirectoryStore reader (stdlib codecs; no
+            # zarr/xarray dependency) — ref: GPSat/dataloader.py:1239-1254
+            from gpsat_tpu.data.zarr_reader import read_zarr
+
+            df = read_zarr(source, **source_kwargs).reset_index()
+            df = sel.data_select(df, where=where)
         else:
             raise ValueError(f"engine: {eng} not handled")
 

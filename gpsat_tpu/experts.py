@@ -1233,6 +1233,7 @@ def make_core_for_model(model_cls, kernel: str, bijectors, init_params) -> Model
             jitter=init_params.get("jitter", SVGP_JITTER),
             num_inducing_points=int(init_params.get("num_inducing_points", 128)),
             likelihood=init_params.get("likelihood", "Gaussian") or "Gaussian",
+            mean_function=init_params.get("mean_function"),
             train_inducing_points=bool(init_params.get("train_inducing_points", False)),
             # False | True (autodiff natgrad) | "exact" (closed-form q)
             natural_gradients=init_params.get("natural_gradients", False),
@@ -1251,6 +1252,7 @@ def make_core_for_model(model_cls, kernel: str, bijectors, init_params) -> Model
             bijectors=bijectors_from(bijectors),
             num_inducing_features=int(init_params.get("num_inducing_features", 10)),
             domain_size=init_params.get("domain_size"),
+            mean_function=init_params.get("mean_function"),
         )
     if name in ("ASVGPModel", "GPflowASVGPModel"):
         from gpsat_tpu.models.asvgp import make_asvgp_core
@@ -1262,6 +1264,7 @@ def make_core_for_model(model_cls, kernel: str, bijectors, init_params) -> Model
             bijectors=bijectors_from(bijectors),
             num_inducing_features=int(init_params.get("num_inducing_features", 20)),
             margin=init_params.get("margin", 0.1),
+            mean_function=init_params.get("mean_function"),
         )
     raise NotImplementedError(f"no functional core for model: {model_cls}")
 

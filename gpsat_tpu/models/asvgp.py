@@ -261,7 +261,11 @@ def _per_dim(cparams: dict, D: int):
 
 
 def _factors(cparams: dict, data: dict, knots_list, *, D: int, kernel: str = "Matern12"):
+    from gpsat_tpu.models import means as MF
+
     X, y, m = data["X"], data["y"], data["mask"].astype(data["X"].dtype)
+    # trainable prior mean (Constant/Linear): bound on centered obs
+    y = y - MF.mean_value(cparams, X) if MF.has_mean(cparams) else y
     ls, var_d = _per_dim(cparams, D)
     s2 = cparams["likelihood_variance"]
     basis_eval, kuu_fn = _SPLINE_PAIRS[kernel]
@@ -307,7 +311,9 @@ def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, knots_list, kernel: st
     Kus_dims = [basis_eval(Xnew[:, i], jnp.asarray(knots_list[i])) for i in range(D)]
     Kus = make_kvs(Kus_dims)
     tmp = LA.tri_solve(t["L"], Kus)
-    f_mean = (tmp.T @ t["c"])[:, 0]
+    from gpsat_tpu.models import means as MF
+
+    f_mean = MF.add_mean(cparams, Xnew, (tmp.T @ t["c"])[:, 0])
     KiKus = t["Kuu_inv"] @ Kus
     kv = cparams["kernel_variance"]
     var = kv * jnp.ones(Xnew.shape[0]) + jnp.sum(tmp**2, axis=0) - jnp.sum(KiKus * Kus, axis=0)
@@ -337,6 +343,9 @@ class ASVGPModel(BaseGPRModel):
         margin: Union[float, List[float]] = 0.1,
         **kwargs,
     ):
+        from gpsat_tpu.models import means as MF
+
+        mean_function = MF.validate(kwargs.pop("mean_function", None))
         super().__init__(
             data=data, coords_col=coords_col, obs_col=obs_col, coords=coords, obs=obs,
             coords_scale=coords_scale, obs_scale=obs_scale, obs_mean=obs_mean, verbose=verbose,
@@ -363,10 +372,17 @@ class ASVGPModel(BaseGPRModel):
             "likelihood_variance": np.asarray(1.0 if noise_variance is None else float(noise_variance)),
         }
         self._bijectors = {name: T.POSITIVE for name in PARAM_NAMES}
+        for p, dflt in MF.mean_param_defaults(mean_function, D).items():
+            self._params[p] = dflt
+            self._bijectors[p] = T.IDENTITY
 
     @property
     def param_names(self) -> List[str]:
-        return list(PARAM_NAMES)
+        names = list(PARAM_NAMES)
+        for p in ("mean_c", "mean_A"):
+            if p in getattr(self, "_params", {}):
+                names.append(p)
+        return names
 
     def _data_dict(self):
         X = jnp.asarray(self.coords)
@@ -447,6 +463,7 @@ def make_asvgp_core(
     bijectors: Optional[dict] = None,
     num_inducing_features: int = 20,
     margin: Union[float, List[float]] = 0.1,
+    mean_function=None,
 ):
     """ASVGP as a batched ModelCore: spline experts run on the TPU engine
     (vmapped over padded tiles) instead of the host-serial lane.
@@ -456,14 +473,19 @@ def make_asvgp_core(
     tile's masked coordinate range +- margin, exactly what the host
     ASVGPModel does per expert.
     """
+    from gpsat_tpu.models import means as MF
     from gpsat_tpu.models.functional import ModelCore
 
     assert kernel in _SPLINE_PAIRS, f"kernel {kernel!r} not in {sorted(_SPLINE_PAIRS)}"
+    MF.validate(mean_function)
+    mean_names = MF.mean_param_names(mean_function)
     M = int(num_inducing_features)
     bij = {name: T.POSITIVE for name in PARAM_NAMES}
     bij["knots"] = T.IDENTITY
     if bijectors:
         bij.update({k: v for k, v in bijectors.items() if k != "knots"})
+    for p in mean_names:
+        bij.setdefault(p, T.IDENTITY)
 
     def forward(uparams):
         return {k: bij[k].forward(v) for k, v in uparams.items()}
@@ -475,14 +497,14 @@ def make_asvgp_core(
         c = forward(uparams)
         D = data["X"].shape[1]
         knots_list = [c["knots"][d] for d in range(D)]
-        trio = {k: c[k] for k in PARAM_NAMES}
-        return -elbo(trio, data, knots_list, kernel)
+        cp = {k: v for k, v in c.items() if k != "knots"}
+        return -elbo(cp, data, knots_list, kernel)
 
     def predict_fn(cparams, data, Xnew):
         D = data["X"].shape[1]
         knots_list = [jnp.asarray(cparams["knots"])[d] for d in range(D)]
-        trio = {k: cparams[k] for k in PARAM_NAMES}
-        return predict(trio, data, Xnew, knots_list, kernel)
+        cp = {k: v for k, v in cparams.items() if k != "knots"}
+        return predict(cp, data, Xnew, knots_list, kernel)
 
     def init_cparams(D, dtype=np.float64, overrides=None):
         out = {
@@ -491,6 +513,7 @@ def make_asvgp_core(
             "likelihood_variance": np.asarray(1.0, dtype=dtype),
             "knots": np.zeros((D, M), dtype=dtype),
         }
+        out.update(MF.mean_param_defaults(mean_function, D, dtype=dtype))
         for k, v in (overrides or {}).items():
             if k in out and k != "knots":
                 out[k] = np.reshape(np.asarray(v, dtype=float), np.shape(out[k])) if np.shape(out[k]) else np.asarray(v, dtype=float)
@@ -519,7 +542,7 @@ def make_asvgp_core(
         forward=forward,
         inverse=inverse,
         init_cparams=init_cparams,
-        param_names=("lengthscales", "kernel_variance", "likelihood_variance", "knots"),
+        param_names=("lengthscales", "kernel_variance", "likelihood_variance", "knots") + mean_names,
         default_fixed_params=("knots",),
         prepare_batch_init=prepare_batch_init,
         optimizer="lbfgs",

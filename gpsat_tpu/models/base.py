@@ -136,6 +136,20 @@ class BaseGPRModel(ABC):
     def get_objective_function_value(self):
         ...
 
+    # --- mean-function params (gpsat_tpu.models.means; shared by every
+    # subclass that registers mean_c / mean_A in self._params) -------------
+    def get_mean_c(self) -> float:
+        return float(self._params["mean_c"])
+
+    def set_mean_c(self, mean_c):
+        self._params["mean_c"] = np.asarray(float(np.ravel(mean_c)[0]))
+
+    def get_mean_A(self) -> np.ndarray:
+        return np.asarray(self._params["mean_A"])
+
+    def set_mean_A(self, mean_A):
+        self._params["mean_A"] = np.asarray(mean_A, dtype=float).reshape(self.coords.shape[1])
+
     # --- reflection-based parameter API ------------------------------------
     def get_parameters(self, *args, return_dict: bool = True):
         if len(args) == 0:

@@ -68,16 +68,18 @@ def make_gpr_core(
 ) -> ModelCore:
     """Exact GPR core (objective = negative log marginal likelihood).
 
-    mean_function="Constant" adds a trainable per-expert offset param
-    mean_c (identity bijector; ref: gpflow_models.py:143-155).
+    mean_function "Constant"/"Linear" adds trainable per-expert prior-mean
+    params mean_c (+ mean_A [D] for Linear), identity bijectors
+    (ref: gpflow_models.py:143-157; gpsat_tpu.models.means).
     """
-    if mean_function not in (None, "Constant"):
-        raise NotImplementedError(f"mean_function: {mean_function!r} (only 'Constant')")
+    from gpsat_tpu.models import means as MF
+
+    MF.validate(mean_function)
     if bijectors is None:
         bijectors = {name: T.POSITIVE for name in gpr_core.PARAM_NAMES}
     bijectors = dict(bijectors)
-    if mean_function == "Constant":
-        bijectors.setdefault("mean_c", T.IDENTITY)
+    for p in MF.mean_param_names(mean_function):
+        bijectors.setdefault(p, T.IDENTITY)
 
     def objective(uparams, data):
         return gpr_core.neg_lml(uparams, data, kernel=kernel, bijectors=bijectors, jitter=jitter)
@@ -97,8 +99,7 @@ def make_gpr_core(
             "kernel_variance": np.asarray(1.0, dtype=dtype),
             "likelihood_variance": np.asarray(1.0, dtype=dtype),
         }
-        if mean_function == "Constant":
-            out["mean_c"] = np.asarray(0.0, dtype=dtype)
+        out.update(MF.mean_param_defaults(mean_function, D, dtype=dtype))
         for k, v in (overrides or {}).items():
             if k not in out:
                 continue
@@ -113,6 +114,5 @@ def make_gpr_core(
         forward=forward,
         inverse=inverse,
         init_cparams=init_cparams,
-        param_names=tuple(gpr_core.PARAM_NAMES)
-        + (("mean_c",) if mean_function == "Constant" else ()),
+        param_names=tuple(gpr_core.PARAM_NAMES) + MF.mean_param_names(mean_function),
     )

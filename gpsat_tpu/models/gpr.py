@@ -43,11 +43,12 @@ def neg_lml(uparams: dict, data: dict, *, kernel: str, bijectors: dict, jitter: 
     autodiffed Cholesky/solve form for reference parity.
     """
     p = T.forward_params(uparams, bijectors)
-    if "mean_c" in p:
-        # constant prior mean (reference mean_function="Constant",
-        # gpflow_models.py:143-155): the LML acts on de-meaned obs; the
-        # fused path's analytic y-cotangent carries d/dc
-        data = {**data, "y": data["y"] - p["mean_c"]}
+    # trainable prior mean (reference mean_function Constant/Linear,
+    # gpflow_models.py:143-157): the LML acts on centered obs; the fused
+    # path's analytic y-cotangent carries d/d(mean params)
+    from gpsat_tpu.models import means as MF
+
+    data = MF.center_y(p, data)
     if LA.use_fast_inverse(data["X"].dtype) and kernel in (
         "Matern12",
         "Matern32",
@@ -118,16 +119,14 @@ def predict(
     """
     import jax
 
+    from gpsat_tpu.models import means as MF
+
     m = data["mask"].astype(Xnew.dtype)
-    mean_c = cparams.get("mean_c", None)
-    if mean_c is not None:
-        data = {**data, "y": data["y"] - mean_c}
+    data = MF.center_y(cparams, data)
     L, alpha, W = posterior_factors(cparams, data, kernel=kernel, jitter=jitter)
     Ks = K.gram(kernel, data["X"], Xnew, cparams["lengthscales"], cparams["kernel_variance"])
     Ks = Ks * m[:, None]
-    f_mean = (Ks.T @ alpha)[:, 0]
-    if mean_c is not None:
-        f_mean = f_mean + mean_c
+    f_mean = MF.add_mean(cparams, Xnew, (Ks.T @ alpha)[:, 0])
     v = (
         jnp.matmul(W, Ks, precision=jax.lax.Precision.HIGHEST)
         if W is not None
@@ -191,16 +190,12 @@ class GPRModel(BaseGPRModel):
             obs_mean=obs_mean,
             verbose=verbose,
         )
-        # mean functions (ref: gpflow_models.py:143-155): Constant with a
-        # trainable offset is supported; anything else fails loudly rather
-        # than silently fitting a zero-mean prior
-        mean_function = kwargs.pop("mean_function", None)
+        # mean functions (ref: gpflow_models.py:143-157): trainable
+        # Constant / Linear via gpsat_tpu.models.means
+        from gpsat_tpu.models import means as MF
+
+        mean_function = MF.validate(kwargs.pop("mean_function", None))
         mean_func_kwargs = dict(kwargs.pop("mean_func_kwargs", None) or {})
-        if mean_function not in (None, "Constant"):
-            raise NotImplementedError(
-                f"mean_function: {mean_function!r} not supported (only 'Constant'); "
-                "obs_mean='local' gives a fixed per-tile constant mean instead"
-            )
         self.mean_function = mean_function
         assert kernel in K.KERNEL_NAMES, f"kernel: {kernel} not in {K.KERNEL_NAMES}"
         self.kernel = kernel
@@ -219,9 +214,12 @@ class GPRModel(BaseGPRModel):
             ),
         }
         self._bijectors = {name: T.POSITIVE for name in PARAM_NAMES}
-        if self.mean_function == "Constant":
-            self._params["mean_c"] = np.asarray(float(mean_func_kwargs.get("c", 0.0)))
-            self._bijectors["mean_c"] = T.IDENTITY
+        for p, dflt in MF.mean_param_defaults(self.mean_function, D).items():
+            override = mean_func_kwargs.get({"mean_c": "c", "mean_A": "A"}[p])
+            self._params[p] = (
+                np.reshape(np.asarray(override, dtype=float), dflt.shape) if override is not None else dflt
+            )
+            self._bijectors[p] = T.IDENTITY
         self._last_opt_result = None
 
     # ----- data for the functional core -----
@@ -237,8 +235,9 @@ class GPRModel(BaseGPRModel):
     def param_names(self) -> List[str]:
         names = list(PARAM_NAMES)
         # (guarded: the base class inspects param_names before _params exists)
-        if "mean_c" in getattr(self, "_params", {}):
-            names.append("mean_c")
+        for p in ("mean_c", "mean_A"):
+            if p in getattr(self, "_params", {}):
+                names.append(p)
         return names
 
     def get_mean_c(self) -> float:
@@ -246,6 +245,12 @@ class GPRModel(BaseGPRModel):
 
     def set_mean_c(self, mean_c):
         self._params["mean_c"] = np.asarray(float(np.ravel(mean_c)[0]))
+
+    def get_mean_A(self) -> np.ndarray:
+        return np.asarray(self._params["mean_A"])
+
+    def set_mean_A(self, mean_A):
+        self._params["mean_A"] = np.asarray(mean_A, dtype=float).reshape(self.coords.shape[1])
 
     # ----- optimise -----
     def optimise_parameters(self, max_iter: int = 10_000, fixed_params=None, **opt_kwargs) -> bool:

@@ -61,11 +61,12 @@ def _common_terms(cparams: dict, data: dict, *, kernel: str, jitter: float, chun
     instead of O(M*N), gradients recompute the chunk forward (remat) so
     backward memory stays flat too.
     """
+    from gpsat_tpu.models import means as MF
+
     X, y, m = data["X"], data["y"], data["mask"].astype(data["X"].dtype)
-    if "mean_c" in cparams:
-        # constant prior mean: collapsed bound on de-meaned obs
-        # (ref: gpflow_models.py:706 mean_function on SGPR)
-        y = y - cparams["mean_c"]
+    # trainable prior mean (Constant/Linear): collapsed bound on centered
+    # obs (ref: gpflow_models.py:706 mean_function on SGPR)
+    y = y - MF.mean_value(cparams, X) if MF.has_mean(cparams) else y
     Z = cparams["inducing_points"]
     ls = cparams["lengthscales"]
     kv = cparams["kernel_variance"]
@@ -150,11 +151,11 @@ def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, *, kernel: str, jitter
     t = _common_terms(cparams, data, kernel=kernel, jitter=jitter, chunk_size=chunk_size)
     Z = cparams["inducing_points"]
     Kus = K.gram(kernel, Z, Xnew, cparams["lengthscales"], cparams["kernel_variance"])
+    from gpsat_tpu.models import means as MF
+
     tmp1 = LA.tri_solve(t["L"], Kus)
     tmp2 = LA.tri_solve(t["LB"], tmp1)
-    f_mean = (tmp2.T @ t["c"])[:, 0]
-    if "mean_c" in cparams:
-        f_mean = f_mean + cparams["mean_c"]
+    f_mean = MF.add_mean(cparams, Xnew, (tmp2.T @ t["c"])[:, 0])
     kss = K.gram_diag(kernel, Xnew, cparams["kernel_variance"])
     f_var = kss + jnp.sum(tmp2**2, axis=0) - jnp.sum(tmp1**2, axis=0)
     return {"f_mean": f_mean, "f_var": f_var, "y_var": f_var + cparams["likelihood_variance"]}
@@ -236,8 +237,9 @@ class SGPRModel(GPRModel):
     @property
     def param_names(self) -> List[str]:
         names = list(PARAM_NAMES)
-        if "mean_c" in getattr(self, "_params", {}):
-            names.append("mean_c")
+        for p in ("mean_c", "mean_A"):
+            if p in getattr(self, "_params", {}):
+                names.append(p)
         return names
 
     def _neg_objective(self, uparams, data):
@@ -327,16 +329,16 @@ def make_sgpr_core(
     materializing [B, M, N]; an int forces that chunk size; None/0
     disables chunking.
     """
+    from gpsat_tpu.models import means as MF
     from gpsat_tpu.models.functional import ModelCore
 
     if bijectors is None:
         bijectors = {name: T.POSITIVE for name in PARAM_NAMES}
-    if mean_function not in (None, "Constant"):
-        raise NotImplementedError(f"mean_function: {mean_function!r} (only 'Constant')")
+    MF.validate(mean_function)
     bijectors = dict(bijectors)
     bijectors["inducing_points"] = T.IDENTITY
-    if mean_function == "Constant":
-        bijectors.setdefault("mean_c", T.IDENTITY)
+    for p in MF.mean_param_names(mean_function):
+        bijectors.setdefault(p, T.IDENTITY)
 
     def objective(uparams, data):
         return neg_elbo(uparams, data, kernel=kernel, bijectors=bijectors, jitter=jitter, chunk_size=chunk_size)
@@ -357,8 +359,7 @@ def make_sgpr_core(
             "likelihood_variance": np.asarray(1.0, dtype=dtype),
             "inducing_points": np.zeros((num_inducing_points, D), dtype=dtype),
         }
-        if mean_function == "Constant":
-            out["mean_c"] = np.asarray(0.0, dtype=dtype)
+        out.update(MF.mean_param_defaults(mean_function, D, dtype=dtype))
         for k, v in (overrides or {}).items():
             if k in out:
                 v = np.asarray(v, dtype=dtype)
@@ -391,7 +392,7 @@ def make_sgpr_core(
         forward=forward,
         inverse=inverse,
         init_cparams=init_cparams,
-        param_names=tuple(PARAM_NAMES) + (("mean_c",) if mean_function == "Constant" else ()),
+        param_names=tuple(PARAM_NAMES) + MF.mean_param_names(mean_function),
         default_fixed_params=() if train_inducing_points else ("inducing_points",),
         prepare_batch_init=prepare_batch_init,
     )

@@ -157,9 +157,13 @@ def elbo(
     the [M, N] whitened factor never materializes — the large-N tile
     regime (same scheme as sgpr._common_terms; no-op on minibatches).
     """
+    from gpsat_tpu.models import means as MF
     from gpsat_tpu.models.sgpr import _resolve_chunk
 
     X, y, m = data["X"], data["y"], data["mask"].astype(data["X"].dtype)
+    # trainable prior mean: expected log-likelihood on centered obs
+    # (equivalently f + m(x) inside the likelihood)
+    y = y - MF.mean_value(cparams, X) if MF.has_mean(cparams) else y
     N = jnp.sum(m)
     if batch_idx is not None:
         X, y, m = X[batch_idx], y[batch_idx], m[batch_idx]
@@ -197,7 +201,10 @@ def elbo(
 
 
 def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, *, kernel: str, jitter: float = DEFAULT_JITTER):
+    from gpsat_tpu.models import means as MF
+
     f_mean, f_var = _whitened_marginals(cparams, Xnew, kernel=kernel, jitter=jitter)
+    f_mean = MF.add_mean(cparams, Xnew, f_mean)
     return {"f_mean": f_mean, "f_var": f_var, "y_var": f_var + cparams["likelihood_variance"]}
 
 
@@ -302,15 +309,6 @@ class SVGPModel(GPRModel):
         **kwargs,
     ):
         self.chunk_size = chunk_size
-        if kwargs.get("mean_function") is not None:
-            # fail loudly: the reference supports gpflow mean functions here
-            # but this build does not for this model yet (GPR/SGPR support
-            # mean_function='Constant'); silently fitting a zero-mean prior
-            # would be wrong
-            raise NotImplementedError(
-                "mean_function is not supported for this model; use "
-                "obs_mean='local' or the GPR/SGPR models' Constant mean"
-            )
         super().__init__(
             data=data,
             coords_col=coords_col,
@@ -325,6 +323,7 @@ class SVGPModel(GPRModel):
             kernel_kwargs=kernel_kwargs,
             noise_variance=noise_variance,
             jitter=jitter,
+            **kwargs,  # mean_function / mean_func_kwargs reach GPRModel
         )
         self.likelihood = likelihood if likelihood is not None else "Gaussian"
         self.likelihood_kwargs = likelihood_kwargs or {}
@@ -348,7 +347,11 @@ class SVGPModel(GPRModel):
 
     @property
     def param_names(self) -> List[str]:
-        return list(PARAM_NAMES)
+        names = list(PARAM_NAMES)
+        for p in ("mean_c", "mean_A"):
+            if p in getattr(self, "_params", {}):
+                names.append(p)
+        return names
 
     def _cparams(self):
         return {k: jnp.asarray(v) for k, v in self._params.items()}
@@ -536,6 +539,7 @@ def make_svgp_core(
     chunk_size="auto",
     q_init="collapsed",
     solver="auto",
+    mean_function=None,
 ):
     """Functional core for the batched engine.
 
@@ -570,11 +574,17 @@ def make_svgp_core(
     from gpsat_tpu.models.functional import ModelCore
     from gpsat_tpu.models.sgpr import pad_inducing_points
 
+    from gpsat_tpu.models import means as MF
+
+    MF.validate(mean_function)
     if bijectors is None:
         bijectors = {n: T.POSITIVE for n in ("lengthscales", "kernel_variance", "likelihood_variance")}
     bijectors = dict(bijectors)
     for n in ("inducing_points", "inducing_mean", "inducing_chol"):
         bijectors[n] = T.IDENTITY
+    for n in MF.mean_param_names(mean_function):
+        bijectors.setdefault(n, T.IDENTITY)
+    mean_names = MF.mean_param_names(mean_function)
 
     def objective(uparams, data):
         c = {k: bijectors[k].forward(v) for k, v in uparams.items()}
@@ -599,6 +609,7 @@ def make_svgp_core(
             "inducing_mean": _np.zeros((M,), dtype=dtype),
             "inducing_chol": _np.eye(M, dtype=dtype),
         }
+        out.update(MF.mean_param_defaults(mean_function, D, dtype=dtype))
         for k, v in (overrides or {}).items():
             if k in out:
                 v = _np.asarray(v, dtype=dtype)
@@ -681,7 +692,7 @@ def make_svgp_core(
             param_names=(
                 "lengthscales", "kernel_variance", "likelihood_variance",
                 "inducing_points", "inducing_mean", "inducing_chol",
-            ),
+            ) + mean_names,
             # q is not a gradient variable in this mode
             default_fixed_params=(
                 ("inducing_mean", "inducing_chol")
@@ -706,7 +717,7 @@ def make_svgp_core(
             "inducing_points",
             "inducing_mean",
             "inducing_chol",
-        ),
+        ) + mean_names,
         default_fixed_params=() if train_inducing_points else ("inducing_points",),
         prepare_batch_init=prepare_batch_init,
         device_init=device_init if use_collapsed_init else None,

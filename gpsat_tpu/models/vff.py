@@ -160,7 +160,11 @@ def _per_dim_params(cparams: dict, D: int):
 
 def vff_common(cparams: dict, data: dict, *, kernel: str, a, b, M: int):
     """Shared factors for elbo/predict on one padded tile."""
+    from gpsat_tpu.models import means as MF
+
     X, y, m = data["X"], data["y"], data["mask"].astype(data["X"].dtype)
+    # trainable prior mean (Constant/Linear): bound on centered obs
+    y = y - MF.mean_value(cparams, X) if MF.has_mean(cparams) else y
     D = X.shape[1]
     ls, var_d = _per_dim_params(cparams, D)
     s2 = cparams["likelihood_variance"]
@@ -216,7 +220,9 @@ def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, *, kernel: str, a, b, 
     Kus_dims = [make_kuf(kernel, t["ls"][i], Xnew[:, i], a[i], b[i], M) for i in range(D)]
     Kus = make_kvs(Kus_dims)
     tmp = LA.tri_solve(t["L"], Kus)
-    f_mean = (tmp.T @ t["c"])[:, 0]
+    from gpsat_tpu.models import means as MF
+
+    f_mean = MF.add_mean(cparams, Xnew, (tmp.T @ t["c"])[:, 0])
     KiKus = t["Kuu_inv"] @ Kus
     kv = cparams["kernel_variance"]
     var = kv * jnp.ones(Xnew.shape[0])
@@ -252,15 +258,9 @@ class VFFModel(BaseGPRModel):
         noise_variance: Optional[float] = None,
         **kwargs,
     ):
-        if kwargs.get("mean_function") is not None:
-            # fail loudly: the reference supports gpflow mean functions here
-            # but this build does not for this model yet (GPR/SGPR support
-            # mean_function='Constant'); silently fitting a zero-mean prior
-            # would be wrong
-            raise NotImplementedError(
-                "mean_function is not supported for this model; use "
-                "obs_mean='local' or the GPR/SGPR models' Constant mean"
-            )
+        from gpsat_tpu.models import means as MF
+
+        mean_function = MF.validate(kwargs.pop("mean_function", None))
         super().__init__(
             data=data,
             coords_col=coords_col,
@@ -317,11 +317,18 @@ class VFFModel(BaseGPRModel):
             "likelihood_variance": np.asarray(1.0 if noise_variance is None else float(noise_variance)),
         }
         self._bijectors = {name: T.POSITIVE for name in PARAM_NAMES}
+        for p, dflt in MF.mean_param_defaults(mean_function, D).items():
+            self._params[p] = dflt
+            self._bijectors[p] = T.IDENTITY
         self._last_opt_result = None
 
     @property
     def param_names(self) -> List[str]:
-        return list(PARAM_NAMES)
+        names = list(PARAM_NAMES)
+        for p in ("mean_c", "mean_A"):
+            if p in getattr(self, "_params", {}):
+                names.append(p)
+        return names
 
     def _data_dict(self):
         X = jnp.asarray(self.coords)
@@ -444,6 +451,7 @@ def make_vff_core(
     num_inducing_features: int = 10,
     domain_size=None,
     margin: float = 1e-3,
+    mean_function=None,
 ):
     """VFF as a batched ModelCore: Fourier-feature experts run on the TPU
     engine (vmapped over padded tiles) instead of the host-serial lane.
@@ -455,12 +463,18 @@ def make_vff_core(
     """
     from gpsat_tpu.models.functional import ModelCore
 
+    from gpsat_tpu.models import means as MF
+
     assert kernel in SUPPORTED_KERNELS, f"VFF kernel must be one of {SUPPORTED_KERNELS}"
+    MF.validate(mean_function)
+    mean_names = MF.mean_param_names(mean_function)
     M = int(num_inducing_features)
     bij = {name: T.POSITIVE for name in PARAM_NAMES}
     bij["domain"] = T.IDENTITY
     if bijectors:
         bij.update({k: v for k, v in bijectors.items() if k != "domain"})
+    for p in mean_names:
+        bij.setdefault(p, T.IDENTITY)
 
     def forward(uparams):
         return {k: bij[k].forward(v) for k, v in uparams.items()}
@@ -470,13 +484,13 @@ def make_vff_core(
 
     def objective(uparams, data):
         c = forward(uparams)
-        trio = {k: c[k] for k in PARAM_NAMES}
-        return -elbo(trio, data, kernel=kernel, a=c["domain"][:, 0], b=c["domain"][:, 1], M=M)
+        cp = {k: v for k, v in c.items() if k != "domain"}
+        return -elbo(cp, data, kernel=kernel, a=c["domain"][:, 0], b=c["domain"][:, 1], M=M)
 
     def predict_fn(cparams, data, Xnew):
         dom = jnp.asarray(cparams["domain"])
-        trio = {k: cparams[k] for k in PARAM_NAMES}
-        return predict(trio, data, Xnew, kernel=kernel, a=dom[:, 0], b=dom[:, 1], M=M)
+        cp = {k: v for k, v in cparams.items() if k != "domain"}
+        return predict(cp, data, Xnew, kernel=kernel, a=dom[:, 0], b=dom[:, 1], M=M)
 
     def init_cparams(D, dtype=np.float64, overrides=None):
         out = {
@@ -485,6 +499,7 @@ def make_vff_core(
             "likelihood_variance": np.asarray(1.0, dtype=dtype),
             "domain": np.tile(np.asarray([0.0, 1.0], dtype=dtype), (D, 1)),
         }
+        out.update(MF.mean_param_defaults(mean_function, D, dtype=dtype))
         for k, v in (overrides or {}).items():
             if k in out and k != "domain":
                 out[k] = np.reshape(np.asarray(v, dtype=float), np.shape(out[k])) if np.shape(out[k]) else np.asarray(v, dtype=float)
@@ -529,7 +544,7 @@ def make_vff_core(
         forward=forward,
         inverse=inverse,
         init_cparams=init_cparams,
-        param_names=("lengthscales", "kernel_variance", "likelihood_variance", "domain"),
+        param_names=("lengthscales", "kernel_variance", "likelihood_variance", "domain") + mean_names,
         default_fixed_params=("domain",),
         prepare_batch_init=prepare_batch_init,
         optimizer="lbfgs",

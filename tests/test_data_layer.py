@@ -293,3 +293,70 @@ def test_local_select_indices_all_matches_per_expert():
         for e in range(len(refs)):
             gold = np.flatnonzero(sel.local_select_bool(df, refs.iloc[[e]], local_select))
             np.testing.assert_array_equal(batched[e], gold, err_msg=f"{local_select} expert {e}")
+
+
+class TestZarrEngine:
+    """Built-in zarr v2 reader (stdlib codecs) — engine gate removed
+    (ref: GPSat/dataloader.py:60-66, 1239-1254)."""
+
+    def _write_store(self, path):
+        import numpy as np
+
+        from gpsat_tpu.data.zarr_reader import write_zarr
+
+        rng = np.random.default_rng(0)
+        lon = np.linspace(-30.0, 30.0, 5)
+        lat = np.linspace(60.0, 80.0, 4)
+        z = rng.normal(size=(4, 5))
+        elev = rng.normal(size=(4, 5)).astype(np.float32)
+        write_zarr(
+            str(path),
+            data_vars={"z": (("lat", "lon"), z), "elev": (("lat", "lon"), elev)},
+            coords={"lon": lon, "lat": lat},
+        )
+        return lon, lat, z, elev
+
+    def test_round_trip(self, tmp_path):
+        import numpy as np
+
+        from gpsat_tpu.data.zarr_reader import read_zarr
+
+        store = tmp_path / "obs.zarr"
+        lon, lat, z, elev = self._write_store(store)
+        df = read_zarr(str(store))
+        assert df.index.names == ["lat", "lon"]
+        assert len(df) == 20
+        np.testing.assert_allclose(
+            df["z"].values.reshape(4, 5), z, rtol=0
+        )
+        np.testing.assert_allclose(df["elev"].values.reshape(4, 5), elev, rtol=0)
+
+    def test_loader_engine_and_where(self, tmp_path):
+        import numpy as np
+
+        from gpsat_tpu.data import dataloader as DL
+
+        store = tmp_path / "obs.zarr"
+        lon, lat, z, _ = self._write_store(store)
+        df = DL.load(str(store), where=[{"col": "lat", "comp": ">=", "val": 70.0}])
+        assert set(df.columns) >= {"lat", "lon", "z", "elev"}
+        assert (df["lat"] >= 70.0).all()
+        assert len(df) == 2 * 5
+
+    def test_uncompressed_and_missing_chunks(self, tmp_path):
+        import os
+
+        import numpy as np
+
+        from gpsat_tpu.data.zarr_reader import read_zarr_array, write_zarr_array
+
+        d = tmp_path / "arr"
+        vals = np.arange(10.0).reshape(2, 5)
+        write_zarr_array(str(d), vals, ("a", "b"), chunks=(1, 3), compress=False)
+        out, attrs = read_zarr_array(str(d))
+        np.testing.assert_array_equal(out, vals)
+        assert attrs["_ARRAY_DIMENSIONS"] == ["a", "b"]
+        # removing a chunk file -> fill value (0) in that region
+        os.remove(str(d / "0.0"))
+        out2, _ = read_zarr_array(str(d))
+        assert (out2[0, :3] == 0).all() and (out2[1] == vals[1]).all()

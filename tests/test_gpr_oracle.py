@@ -111,8 +111,10 @@ class TestConstantMean:
     def test_unsupported_mean_function_raises(self):
         import pytest
 
+        # Linear is supported as of r3 (tests/test_mean_functions.py);
+        # anything outside the implemented set still fails loudly
         with pytest.raises(NotImplementedError, match="mean_function"):
-            GPRModel(coords=np.zeros((5, 2)), obs=np.zeros(5), mean_function="Linear")
+            GPRModel(coords=np.zeros((5, 2)), obs=np.zeros(5), mean_function="Polynomial")
 
     def test_batched_core_matches_host(self):
         from gpsat_tpu.models.functional import make_gpr_core

@@ -1,0 +1,134 @@
+"""Read-only pandas-HDFStore (PyTables) interop.
+
+PyTables is not in this image, so the fixture is written by hand with
+h5py to the exact layout pandas produces for ``format='table'`` frames
+(one compound dataset 'table': index fields, [n, k] values blocks with
+pickled column lists in ``<field>_kind`` attrs, scalar data_columns) —
+the layout documented in pandas/io/pytables.py and stable since pandas
+0.x. The reader under test: gpsat_tpu/data/pytables_compat.py.
+"""
+
+import pickle
+
+import h5py
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _write_frame_table(f, key, *, index_fields, blocks, data_columns=(), nrows=None):
+    """Hand-write one pandas 'frame_table' group.
+
+    index_fields: {name: (values, kind)}; blocks: [(field_name, colnames,
+    2-d values)]; data_columns: [(field_name, values, kind)].
+    """
+    grp = f.create_group(key)
+    grp.attrs["pandas_type"] = np.bytes_(b"frame_table")
+    grp.attrs["table_type"] = np.bytes_(b"appendable_frame")
+    grp.attrs["encoding"] = np.bytes_(b"UTF-8")
+    grp.attrs["index_cols"] = np.void(pickle.dumps([(0, n) for n in index_fields]))
+
+    dtype = []
+    for n, (vals, kind) in index_fields.items():
+        dtype.append((n, vals.dtype))
+    for fn, _, vals in blocks:
+        dtype.append((fn, vals.dtype, (vals.shape[1],)))
+    for fn, vals, _ in data_columns:
+        dtype.append((fn, vals.dtype))
+    n = nrows if nrows is not None else len(next(iter(index_fields.values()))[0])
+    rec = np.zeros(n, dtype=dtype)
+    for name, (vals, kind) in index_fields.items():
+        rec[name] = vals
+    for fn, _, vals in blocks:
+        rec[fn] = vals
+    for fn, vals, _ in data_columns:
+        rec[fn] = vals
+    ds = grp.create_dataset("table", data=rec)
+    ds.attrs["CLASS"] = np.bytes_(b"TABLE")
+    ds.attrs["NROWS"] = n
+    j = 0
+    for name, (vals, kind) in index_fields.items():
+        ds.attrs[f"FIELD_{j}_NAME"] = np.bytes_(name.encode())
+        ds.attrs[f"{name}_kind"] = np.bytes_(kind.encode())
+        j += 1
+    for fn, cols, _ in blocks:
+        ds.attrs[f"FIELD_{j}_NAME"] = np.bytes_(fn.encode())
+        ds.attrs[f"{fn}_kind"] = np.void(pickle.dumps(list(cols)))
+        j += 1
+    for fn, _, kind in data_columns:
+        ds.attrs[f"FIELD_{j}_NAME"] = np.bytes_(fn.encode())
+        ds.attrs[f"{fn}_kind"] = np.bytes_(kind.encode())
+        j += 1
+
+
+@pytest.fixture
+def ref_store(tmp_path):
+    """A store shaped like the reference's outputs: an obs 'data' table
+    (int index + float block + string data_column) and a result table
+    multi-indexed by expert coordinates."""
+    path = str(tmp_path / "ref.h5")
+    rng = np.random.default_rng(0)
+    with h5py.File(path, "w") as f:
+        n = 10
+        _write_frame_table(
+            f, "data",
+            index_fields={"index": (np.arange(n, dtype=np.int64), "integer")},
+            blocks=[("values_block_0", ["x", "y", "obs"], rng.normal(size=(n, 3)))],
+            data_columns=[("sat", np.array([b"S3A", b"S3B"] * 5, dtype="S3"), "string")],
+        )
+        m = 4
+        _write_frame_table(
+            f, "lengthscales",
+            index_fields={
+                "x": (np.array([1.0, 1.0, 2.0, 2.0]), "float"),
+                "y": (np.array([0.0, 1.0, 0.0, 1.0]), "float"),
+            },
+            blocks=[("values_block_0", ["_dim_0", "lengthscales"],
+                     np.stack([np.zeros(m), rng.uniform(1, 2, m)], axis=1))],
+        )
+    return path
+
+
+def test_detect_and_list(ref_store, tmp_path):
+    from gpsat_tpu.data import pytables_compat as PT
+    from gpsat_tpu.data.store import TableStore
+
+    assert PT.is_pytables_store(ref_store)
+    assert PT.list_tables(ref_store) == ["data", "lengthscales"]
+    # a native TableStore file is NOT detected as pytables
+    own = str(tmp_path / "own.h5")
+    with TableStore(own) as s:
+        s.append("t", pd.DataFrame({"a": [1.0]}))
+    assert not PT.is_pytables_store(own)
+
+
+def test_read_obs_table(ref_store):
+    from gpsat_tpu.data import pytables_compat as PT
+
+    df = PT.read_table(ref_store, "data")
+    assert list(df.columns) == ["x", "y", "obs", "sat"]
+    assert len(df) == 10
+    assert df["sat"].iloc[0] == "S3A"
+    assert df.index.equals(pd.RangeIndex(10).astype(np.int64).rename(None).astype("int64"))
+
+
+def test_read_multiindex_result_table(ref_store):
+    from gpsat_tpu.data import pytables_compat as PT
+
+    df = PT.read_table(ref_store, "lengthscales")
+    assert df.index.names == ["x", "y"]
+    assert list(df.columns) == ["_dim_0", "lengthscales"]
+    assert (df["lengthscales"] > 1.0).all()
+
+
+def test_where_and_loader_integration(ref_store):
+    from gpsat_tpu.data import dataloader as DL
+    from gpsat_tpu.data import pytables_compat as PT
+
+    sub = PT.read_table(ref_store, "data", where=[{"col": "sat", "comp": "==", "val": "S3A"}])
+    assert len(sub) == 5
+
+    # DataLoader.load transparently detects the reference format
+    df = DL.load(ref_store, table="lengthscales")
+    assert {"x", "y", "lengthscales"} <= set(df.columns)
+    assert len(df) == 4
