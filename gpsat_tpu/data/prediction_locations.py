@@ -145,6 +145,56 @@ class PredictionLocations:
         assert out.ndim == 2, f"must return 2d array, got {out.ndim}d"
         return out
 
+    def batch_call(self, expert_rows: pd.DataFrame) -> list:
+        """Per-expert prediction arrays for MANY experts in one pass.
+
+        The 'from_dataframe' + max_dist case (the pipeline hot path: a
+        fine fixed grid radius-filtered per expert, the reference's numba
+        ``_max_dist_bool`` workload) runs ONE grid-hash index build +
+        parallel queries (native.radius_query_all) instead of a full-grid
+        mask per expert; every other method/option falls back to the
+        per-expert path with identical results. Row order matches the
+        per-expert masks (df order).
+        """
+        md = self.kwargs.get("max_dist")
+        df = self.kwargs.get("df")
+        batchable = (
+            self.method == "from_dataframe"
+            and md is not None
+            and df is not None
+            and "local_select" not in self.kwargs
+            and self.coords_col is not None
+            and len([c for c in self.coords_col if c in df.columns]) == 2
+        )
+        if not batchable:
+            out = []
+            for i in range(len(expert_rows)):
+                self.expert_loc = expert_rows.iloc[[i]]
+                out.append(self())
+            return out
+
+        from gpsat_tpu import native
+
+        found_cols = [c for c in self.coords_col if c in df.columns]
+        vals = np.ascontiguousarray(df.loc[:, found_cols].values, dtype=float)
+        refs = expert_rows[self.coords_col].values.astype(float)
+        fc_loc = _match(found_cols, self.coords_col)
+        idx_sets = native.radius_query_all(vals, refs[:, fc_loc], float(md))
+        out = []
+        full_dims = len(found_cols) == len(self.coords_col)
+        missing = [c for c in self.coords_col if c not in found_cols]
+        mloc = _match(missing, self.coords_col) if missing else None
+        for e, ix in enumerate(idx_sets):
+            sub = vals[np.sort(np.asarray(ix, dtype=np.int64))]
+            if full_dims:
+                out.append(sub)
+            else:
+                full = np.full((len(sub), len(self.coords_col)), np.nan)
+                full[:, fc_loc] = sub
+                full[:, mloc] = refs[e, mloc]
+                out.append(full)
+        return out
+
     def _to_array(self, x):
         (out,) = to_array(x)
         return out

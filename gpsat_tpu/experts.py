@@ -478,11 +478,12 @@ class LocalExpertOI:
             if core.optimizer == "adam":
                 from gpsat_tpu.parallel.engine import make_batched_adam_runner
 
-                if optim_kwargs.get("two_stage_iters"):
-                    warnings.warn(
-                        "two_stage_iters only applies to L-BFGS-optimized "
-                        f"cores; ignored for {core.name}"
-                    )
+                for k in ("two_stage_iters", "carry_iters"):
+                    if optim_kwargs.get(k):
+                        warnings.warn(
+                            f"{k} only applies to L-BFGS-optimized cores; "
+                            f"ignored for {core.name}"
+                        )
 
                 runner = make_batched_adam_runner(
                     core,
@@ -572,11 +573,19 @@ class LocalExpertOI:
                 df, xprt_locs.iloc[grp["rows"]], self.data.local_select or []
             )
 
+            # per-expert prediction locations, batched where possible
+            # (grid-hash radius filter of the fixed fine grid — one index
+            # build for the whole group instead of a full-grid mask per
+            # expert, ref: prediction_locations.py:18-43 numba workload)
+            if predict:
+                pcs = self.pred_loc.batch_call(xprt_locs.iloc[grp["rows"]])
+            else:
+                pcs = [np.zeros((0, len(coords_col)))] * len(grp["rows"])
+
             tile_indices, pred_coords, row_ids, skipped = [], [], [], []
             for j, i in enumerate(grp["rows"]):
                 rl = xprt_locs.iloc[[i]]
-                self.pred_loc.expert_loc = rl
-                pc = self.pred_loc() if predict else np.zeros((0, len(coords_col)))
+                pc = pcs[j]
                 ix = sel_ix[j]
                 n = len(ix)
                 if n < min_obs or (predict and len(pc) == 0):

@@ -665,9 +665,17 @@ def make_svgp_core(
     else:
         nat_update = None
 
-    use_collapsed_solver = solver == "collapsed" or (solver == "auto" and likelihood == "Gaussian")
+    # solver='auto' defers to an explicit natural_gradients request (a
+    # reference-parity option that only exists on the Adam path)
+    use_collapsed_solver = solver == "collapsed" or (
+        solver == "auto" and likelihood == "Gaussian" and not natural_gradients
+    )
     if solver == "collapsed":
         assert likelihood == "Gaussian", "solver='collapsed' requires the Gaussian likelihood"
+        assert not natural_gradients, (
+            "natural_gradients only applies to solver='adam' (the collapsed "
+            "solver computes the exact q directly)"
+        )
 
     if use_collapsed_solver:
         from gpsat_tpu.models import sgpr as _sgpr

@@ -360,3 +360,32 @@ class TestZarrEngine:
         os.remove(str(d / "0.0"))
         out2, _ = read_zarr_array(str(d))
         assert (out2[0, :3] == 0).all() and (out2[1] == vals[1]).all()
+
+
+def test_pred_loc_batch_call_matches_per_expert():
+    """batch_call == per-expert __call__ for every method, including the
+    grid-hash-batched from_dataframe+max_dist hot path."""
+    import numpy as np
+    import pandas as pd
+
+    from gpsat_tpu.data.prediction_locations import PredictionLocations
+
+    rng = np.random.default_rng(5)
+    grid = pd.DataFrame({"x": rng.uniform(0, 10, 3000), "y": rng.uniform(0, 10, 3000)})
+    experts = pd.DataFrame({"x": [2.0, 5.0, 8.0], "y": [3.0, 5.0, 7.0], "t": [1.0, 2.0, 3.0]})
+
+    cases = [
+        dict(method="from_dataframe", coords_col=["x", "y"], df=grid, max_dist=2.0),
+        # missing coord column filled from the expert location
+        dict(method="from_dataframe", coords_col=["x", "y", "t"], df=grid, max_dist=2.0),
+        dict(method="expert_loc", coords_col=["x", "y"]),
+        dict(method="shift_arrays", coords_col=["x", "y"], x=np.array([-0.5, 0.0, 0.5])),
+    ]
+    for kw in cases:
+        pl = PredictionLocations(**kw)
+        batched = pl.batch_call(experts)
+        pl2 = PredictionLocations(**{k: v for k, v in kw.items()})
+        for e in range(len(experts)):
+            pl2.expert_loc = experts.iloc[[e]]
+            gold = pl2()
+            np.testing.assert_array_equal(batched[e], gold, err_msg=f"{kw['method']} expert {e}")

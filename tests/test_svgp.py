@@ -359,3 +359,55 @@ def test_collapsed_q_is_sgpr_optimum():
         data, kernel="Matern32", jitter=1e-8,
     ))
     assert e_pert < e_sgpr
+
+
+def test_knob_interactions():
+    """Interaction matrix of the SVGP optimizer knobs (VERDICT r2 weak #7):
+    explicit natural_gradients keeps the Adam path under solver='auto';
+    solver='collapsed' rejects natural_gradients and non-Gaussian
+    likelihoods; compaction knobs warn-and-ignore on Adam lanes."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from gpsat_tpu.models.svgp import make_svgp_core
+
+    # auto + natgrad request -> adam (the only path natgrad exists on)
+    core = make_svgp_core(num_inducing_points=16, natural_gradients=True)
+    assert core.optimizer == "adam" and core.natgrad_update is not None
+    core = make_svgp_core(num_inducing_points=16, natural_gradients="exact")
+    assert core.optimizer == "adam"
+
+    # plain auto Gaussian -> collapsed lbfgs
+    assert make_svgp_core(num_inducing_points=16).optimizer == "lbfgs"
+    # non-Gaussian -> adam regardless
+    assert make_svgp_core(num_inducing_points=16, likelihood="StudentT").optimizer == "adam"
+
+    with pytest.raises(AssertionError, match="natural_gradients"):
+        make_svgp_core(num_inducing_points=16, solver="collapsed", natural_gradients=True)
+    with pytest.raises(AssertionError, match="Gaussian"):
+        make_svgp_core(num_inducing_points=16, solver="collapsed", likelihood="StudentT")
+    with pytest.raises(AssertionError, match="Gaussian"):
+        make_svgp_core(num_inducing_points=16, natural_gradients="exact", likelihood="StudentT")
+
+    # adam lane + compaction knobs: warn and ignore (orchestrator-level)
+    from gpsat_tpu.experts import LocalExpertOI
+
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame({"x": rng.uniform(0, 4, 150), "y": rng.uniform(0, 4, 150)})
+    df["obs"] = np.sin(df["x"]) + 0.05 * rng.normal(size=150)
+    oi = LocalExpertOI(
+        expert_loc_config={"source": pd.DataFrame({"x": [2.0], "y": [2.0]})},
+        data_config={"data_source": df, "obs_col": "obs", "coords_col": ["x", "y"],
+                     "local_select": [{"col": ["x", "y"], "comp": "<", "val": 5.0}]},
+        model_config={"oi_model": "GPflowSVGPModel",
+                      "init_params": {"num_inducing_points": 16, "likelihood": "StudentT"},
+                      "optim_kwargs": {"max_iter": 30, "carry_iters": 10}},
+        pred_loc_config={"method": "expert_loc"},
+    )
+    import tempfile, os, warnings as W
+
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        oi.run(store_path=os.path.join(tempfile.mkdtemp(), "oi.h5"))
+    assert any("carry_iters" in str(w.message) for w in rec)
