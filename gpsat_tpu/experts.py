@@ -1305,8 +1305,20 @@ def get_results_from_h5file(
 ):
     """Read all (or selected) result tables plus the stored configs.
 
+    Accepts both this build's TableStore files and reference-produced
+    pandas-HDFStore (PyTables) results files (read-only interop,
+    data/pytables_compat.py) — a GPSat user's existing results open
+    unchanged.
+
     Returns (dict of DataFrames, list of configs).
     """
+    from gpsat_tpu.data import pytables_compat as PT
+
+    if PT.is_pytables_store(results_file):
+        return _get_results_from_pytables(
+            results_file, global_col_funcs, merge_on_expert_locations,
+            select_tables, table_suffix, add_suffix_to_table,
+        )
     out = {}
     configs = []
     with TableStore(results_file, mode="r") as store:
@@ -1341,4 +1353,45 @@ def get_results_from_h5file(
                     extra = [c for c in el.columns if c not in join_cols]
                     if extra:
                         out[k] = out[k].merge(el, on=join_cols, how="left")
+    return out, configs
+
+
+def _get_results_from_pytables(
+    results_file, global_col_funcs, merge_on_expert_locations,
+    select_tables, table_suffix, add_suffix_to_table,
+):
+    """get_results_from_h5file over a reference-produced PyTables store
+    (ref: GPSat/local_experts.py:1467-1620 reads the same layout with
+    pandas.HDFStore; here via the h5py interop parser)."""
+    from gpsat_tpu.data import pytables_compat as PT
+
+    keys = PT.list_tables(results_file)
+    if select_tables is not None:
+        want = [f"{t}{table_suffix}" if add_suffix_to_table else t for t in select_tables]
+        keys = [k for k in keys if k in want or k.startswith("oi_config")]
+    elif table_suffix:
+        keys = [k for k in keys if k.endswith(table_suffix) or k.startswith("oi_config")]
+
+    out, configs = {}, []
+    for k in keys:
+        df = PT.read_table(results_file, k)
+        if k.startswith("oi_config"):
+            configs.extend(json.loads(c) for c in df["config"])
+            continue
+        drop = all(n is None for n in df.index.names)
+        out[k] = df.reset_index(drop=drop)
+
+    if global_col_funcs is not None:
+        for k in out:
+            DL.add_cols(out[k], global_col_funcs)
+
+    el_key = f"expert_locs{table_suffix}"
+    if merge_on_expert_locations and el_key in PT.list_tables(results_file):
+        el = PT.read_table(results_file, el_key).reset_index()
+        for k in list(out.keys()):
+            if k.startswith("expert_locs"):
+                continue
+            join_cols = [c for c in el.columns if c in out[k].columns]
+            if join_cols and [c for c in el.columns if c not in join_cols]:
+                out[k] = out[k].merge(el, on=join_cols, how="left")
     return out, configs

@@ -132,3 +132,43 @@ def test_where_and_loader_integration(ref_store):
     df = DL.load(ref_store, table="lengthscales")
     assert {"x", "y", "lengthscales"} <= set(df.columns)
     assert len(df) == 4
+
+
+def test_get_results_from_pytables_store(tmp_path):
+    """A reference-produced results store opens through the standard
+    results reader (ref: local_experts.py:1467-1620 equivalent)."""
+    import json as _json
+
+    from gpsat_tpu.experts import get_results_from_h5file
+
+    path = str(tmp_path / "ref_results.h5")
+    cfg = {"model": {"oi_model": "GPflowGPRModel"}}
+    with h5py.File(path, "w") as f:
+        _write_frame_table(
+            f, "oi_config",
+            index_fields={"index": (np.arange(1, dtype=np.int64), "integer")},
+            data_columns=[
+                ("idx", np.array([1], dtype=np.int64), "integer"),
+                ("config", np.array([_json.dumps(cfg).encode()], dtype="S200"), "string"),
+            ],
+            blocks=[],
+        )
+        _write_frame_table(
+            f, "run_details",
+            index_fields={"x": (np.array([1.0, 2.0]), "float"),
+                          "y": (np.array([0.0, 0.0]), "float")},
+            blocks=[("values_block_0", ["num_obs", "objective_value"],
+                     np.array([[10.0, -5.0], [12.0, -6.0]]))],
+        )
+        _write_frame_table(
+            f, "expert_locs",
+            index_fields={"x": (np.array([1.0, 2.0]), "float"),
+                          "y": (np.array([0.0, 0.0]), "float")},
+            blocks=[("values_block_0", ["elev"], np.array([[3.0], [4.0]]))],
+        )
+    dfs, configs = get_results_from_h5file(path)
+    assert configs == [cfg]
+    assert "run_details" in dfs
+    rd = dfs["run_details"]
+    assert {"x", "y", "num_obs", "objective_value", "elev"} <= set(rd.columns)
+    assert len(rd) == 2

@@ -11,7 +11,9 @@ jax.config.update("jax_platforms", "cpu")
 MODULES = [
     ("gpsat_tpu", "Package root (enable_x64, enable_compilation_cache, paths)"),
     ("gpsat_tpu.experts", "LocalExpertOI orchestrator"),
+    ("gpsat_tpu.distributed", "Multi-host execution (jax.distributed)"),
     ("gpsat_tpu.models", "Model registry"),
+    ("gpsat_tpu.models.means", "Trainable prior mean functions"),
     ("gpsat_tpu.models.gpr", "Exact GPR"),
     ("gpsat_tpu.models.sgpr", "Sparse GPR (Titsias)"),
     ("gpsat_tpu.models.svgp", "SVGP"),
@@ -27,6 +29,8 @@ MODULES = [
     ("gpsat_tpu.ops.transforms", "Bijectors"),
     ("gpsat_tpu.data.dataloader", "Unified loading"),
     ("gpsat_tpu.data.netcdf", "netCDF4 via h5py"),
+    ("gpsat_tpu.data.zarr_reader", "zarr v2 reader/writer (stdlib)"),
+    ("gpsat_tpu.data.pytables_compat", "Reference-store (PyTables) read interop"),
     ("gpsat_tpu.data.select", "Selection DSL"),
     ("gpsat_tpu.data.store", "HDF5 table store"),
     ("gpsat_tpu.data.binning", "Binning"),
@@ -38,6 +42,7 @@ MODULES = [
     ("gpsat_tpu.xval", "Cross-validation"),
     ("gpsat_tpu.plot_utils", "Plotting"),
     ("gpsat_tpu.utils", "Utilities"),
+    ("gpsat_tpu.utils.flops", "FLOP accounting (roofline)"),
     ("gpsat_tpu.prime_cache", "Compile-cache priming"),
     ("gpsat_tpu.synthetic", "Synthetic data"),
     ("gpsat_tpu.datetime_utils", "Satellite datetimes"),
