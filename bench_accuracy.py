@@ -109,6 +109,8 @@ def main():
     ap.add_argument("-N", type=int, default=512)
     ap.add_argument("-P", type=int, default=64)
     ap.add_argument("--polish-iters", type=int, default=100)
+    ap.add_argument("--gold-steady", action="store_true",
+                    help="also time a second (warm-compile) gold pass")
     args = ap.parse_args()
 
     import jax
@@ -134,10 +136,12 @@ def main():
     f32_tols = dict(tol_grad=1e-3, tol_f=1e-6)
 
     gold, t = run(batch64, init64, jitter=0.0, linesearch="zoom", tols=f64_tols, device=cpu0)
-    _, t_steady = run(batch64, init64, jitter=0.0, linesearch="zoom", tols=f64_tols, device=cpu0)
-    print(json.dumps({"path": "gold_f64_cpu", "seconds": round(t, 1),
-                      "steady_seconds": round(t_steady, 1),
-                      "converged": f"{int(np.asarray(gold['converged']).sum())}/{B}"}))
+    row = {"path": "gold_f64_cpu", "seconds": round(t, 1),
+           "converged": f"{int(np.asarray(gold['converged']).sum())}/{B}"}
+    if args.gold_steady:
+        _, t_steady = run(batch64, init64, jitter=0.0, linesearch="zoom", tols=f64_tols, device=cpu0)
+        row["steady_seconds"] = round(t_steady, 1)
+    print(json.dumps(row))
 
     res32, t32 = run(batch32, init32, jitter=1e-5, linesearch="single_eval",
                      tols=f32_tols, device=f32_dev)
