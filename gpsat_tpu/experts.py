@@ -830,46 +830,61 @@ class LocalExpertOI:
             k: np.broadcast_to(np.asarray(v), (b.B,) + np.shape(v)).copy()
             for k, v in init_cparams.items()
         }
-        with TableStore(file) as store:
-            for pname in core.param_names:
-                tbl = f"{pname}{suffix}"
-                if tbl not in store:
-                    continue
-                # one read per param table, grouped by expert coordinates —
-                # replaces the reference's per-expert HDF5 where-queries
-                # (ref: local_experts.py:608-689)
-                pdf = store.select(tbl).reset_index()
-                grouped = {k: g for k, g in pdf.groupby(list(coords_col))}
-                # "nearest": warm-start from the closest stored expert when
-                # there is no exact coordinate match — the batch-compatible
-                # replacement for the reference's serial EMA warm start
-                # (ref: local_experts.py:1200-1217, divergence #2)
-                kdt = keys = None
-                if lp.get("nearest", False) and grouped:
-                    from scipy.spatial import cKDTree
+        from gpsat_tpu.data import pytables_compat as PT
 
-                    keys = list(grouped.keys())
-                    pts = np.asarray(
-                        [k if isinstance(k, tuple) else (k,) for k in keys], dtype=float
-                    )
-                    kdt = cKDTree(pts)
-                for bi, ei in enumerate(b.expert_index):
-                    if ei < 0:
-                        continue
-                    row = xprt_locs.iloc[int(ei)]
-                    kt = tuple(row[c] for c in coords_col)
-                    g = grouped.get(kt if len(kt) > 1 else kt[0], None)
-                    if (g is None or len(g) == 0) and kdt is not None:
-                        _, j = kdt.query(np.asarray(kt, dtype=float))
-                        g = grouped[keys[int(j)]]
-                    if g is None or len(g) == 0:
-                        continue
-                    dim_cols = sorted(c for c in g.columns if c.startswith("_dim_"))
-                    vals = g.sort_values(dim_cols)[pname].values.astype(float)
-                    if np.any(np.isnan(vals)):
-                        continue  # nan params are not loaded (ref: :670-681)
-                    tgt = out[pname][bi]
-                    out[pname][bi] = vals.reshape(np.shape(tgt)) if np.ndim(tgt) else vals[0]
+        pytables = PT.is_pytables_store(file)
+
+        def read_param_table(pname):
+            """One param table -> DataFrame (or None) — native TableStore
+            or a reference-produced PyTables store transparently."""
+            tbl = f"{pname}{suffix}"
+            if pytables:
+                if tbl not in PT.list_tables(file):
+                    return None
+                return PT.read_table(file, tbl).reset_index()
+            with TableStore(file) as store:
+                if tbl not in store:
+                    return None
+                return store.select(tbl).reset_index()
+
+        for pname in core.param_names:
+            # one read per param table, grouped by expert coordinates —
+            # replaces the reference's per-expert HDF5 where-queries
+            # (ref: local_experts.py:608-689)
+            pdf = read_param_table(pname)
+            if pdf is None:
+                continue
+            grouped = {k: g for k, g in pdf.groupby(list(coords_col))}
+            # "nearest": warm-start from the closest stored expert when
+            # there is no exact coordinate match — the batch-compatible
+            # replacement for the reference's serial EMA warm start
+            # (ref: local_experts.py:1200-1217, divergence #2)
+            kdt = keys = None
+            if lp.get("nearest", False) and grouped:
+                from scipy.spatial import cKDTree
+
+                keys = list(grouped.keys())
+                pts = np.asarray(
+                    [k if isinstance(k, tuple) else (k,) for k in keys], dtype=float
+                )
+                kdt = cKDTree(pts)
+            for bi, ei in enumerate(b.expert_index):
+                if ei < 0:
+                    continue
+                row = xprt_locs.iloc[int(ei)]
+                kt = tuple(row[c] for c in coords_col)
+                g = grouped.get(kt if len(kt) > 1 else kt[0], None)
+                if (g is None or len(g) == 0) and kdt is not None:
+                    _, j = kdt.query(np.asarray(kt, dtype=float))
+                    g = grouped[keys[int(j)]]
+                if g is None or len(g) == 0:
+                    continue
+                dim_cols = sorted(c for c in g.columns if c.startswith("_dim_"))
+                vals = g.sort_values(dim_cols)[pname].values.astype(float)
+                if np.any(np.isnan(vals)):
+                    continue  # nan params are not loaded (ref: :670-681)
+                tgt = out[pname][bi]
+                out[pname][bi] = vals.reshape(np.shape(tgt)) if np.ndim(tgt) else vals[0]
         return out
 
     def _run_host_batch(self, b, host_core, per_expert_init, constraints, coords_col, xprt_locs, optimise, predict):

@@ -172,3 +172,53 @@ def test_get_results_from_pytables_store(tmp_path):
     rd = dfs["run_details"]
     assert {"x", "y", "num_obs", "objective_value", "elev"} <= set(rd.columns)
     assert len(rd) == 2
+
+
+def test_warm_start_from_pytables_store(tmp_path):
+    """load_params={'file': <reference store>} warm-starts from a
+    PyTables-format results file transparently (predict-only rerun)."""
+    import numpy as np
+    import pandas as pd
+
+    from gpsat_tpu.data.store import TableStore
+    from gpsat_tpu.experts import LocalExpertOI
+
+    # reference-format store with per-expert hyperparameters
+    path = str(tmp_path / "ref_params.h5")
+    xs, ys = np.array([3.0, 7.0]), np.array([3.0, 7.0])
+    with h5py.File(path, "w") as f:
+        _write_frame_table(
+            f, "lengthscales",
+            index_fields={"x": (np.repeat(xs, 2), "float"),
+                          "y": (np.repeat(ys, 2), "float")},
+            blocks=[("values_block_0", ["_dim_0", "lengthscales"],
+                     np.stack([np.tile([0.0, 1.0], 2), [1.5, 2.5, 1.7, 2.7]], axis=1))],
+        )
+        _write_frame_table(
+            f, "kernel_variance",
+            index_fields={"x": (xs, "float"), "y": (ys, "float")},
+            blocks=[("values_block_0", ["_dim_0", "kernel_variance"],
+                     np.stack([np.zeros(2), [0.8, 0.9]], axis=1))],
+        )
+        _write_frame_table(
+            f, "likelihood_variance",
+            index_fields={"x": (xs, "float"), "y": (ys, "float")},
+            blocks=[("values_block_0", ["_dim_0", "likelihood_variance"],
+                     np.stack([np.zeros(2), [0.01, 0.02]], axis=1))],
+        )
+
+    rng = np.random.default_rng(0)
+    obs = pd.DataFrame({"x": rng.uniform(0, 10, 300), "y": rng.uniform(0, 10, 300)})
+    obs["obs"] = np.sin(obs["x"]) + 0.05 * rng.normal(size=300)
+    oi = LocalExpertOI(
+        expert_loc_config={"source": pd.DataFrame({"x": xs, "y": ys})},
+        data_config={"data_source": obs, "obs_col": "obs", "coords_col": ["x", "y"],
+                     "local_select": [{"col": ["x", "y"], "comp": "<", "val": 4.0}]},
+        model_config={"oi_model": "GPflowGPRModel", "load_params": {"file": path}},
+        pred_loc_config={"method": "expert_loc"},
+    )
+    out = str(tmp_path / "out.h5")
+    oi.run(store_path=out, optimise=False)
+    with TableStore(out, mode="r") as s:
+        ls = s.select("lengthscales", set_index=False).sort_values(["x", "_dim_0"])
+    np.testing.assert_allclose(ls["lengthscales"].values, [1.5, 2.5, 1.7, 2.7])
