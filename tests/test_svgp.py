@@ -411,3 +411,33 @@ def test_knob_interactions():
         W.simplefilter("always")
         oi.run(store_path=os.path.join(tempfile.mkdtemp(), "oi.h5"))
     assert any("carry_iters" in str(w.message) for w in rec)
+
+
+def test_predict_only_honors_loaded_q():
+    """optimise=False: device_init/finalize_params must NOT override
+    loaded variational params — predict-only reruns (smoothing, xval)
+    use stored q verbatim."""
+    import numpy as np
+
+    from bench_models import make_batch
+    from gpsat_tpu.models.svgp import make_svgp_core
+    from gpsat_tpu.parallel.engine import make_batched_runner, run_tile_batch
+
+    B, N, P = 2, 128, 4
+    batch = make_batch(B, N, P, 2, np.float64)
+    core = make_svgp_core(num_inducing_points=16)  # collapsed (has both hooks)
+    M = 16
+    rng = np.random.default_rng(0)
+    q_mu = rng.normal(size=(B, M))
+    q_sqrt = np.tile(np.eye(M), (B, 1, 1)) * 0.5
+    runner = make_batched_runner(
+        core, fixed_params=tuple(core.default_fixed_params),
+        max_iter=50, optimise=False,
+    )
+    res = run_tile_batch(
+        batch,
+        {"likelihood_variance": 0.01, "inducing_mean": q_mu, "inducing_chol": q_sqrt},
+        runner, core,
+    )
+    np.testing.assert_allclose(res["inducing_mean"], q_mu, rtol=1e-12)
+    np.testing.assert_allclose(res["inducing_chol"], q_sqrt, rtol=1e-12)
