@@ -744,6 +744,18 @@ class LocalExpertOI:
             return pd.Index([vals[0]], name=coords_col[0])
         return pd.MultiIndex.from_tuples([vals], names=coords_col)
 
+    @staticmethod
+    def _expert_index_batch(xprt_locs: pd.DataFrame, eis, coords_col):
+        """(Multi)Index rows for many experts at once — one row per entry
+        of ``eis`` (global row positions into ``xprt_locs``), values and
+        level dtypes identical to per-row :meth:`_expert_index` calls."""
+        if len(coords_col) == 1:
+            c = coords_col[0]
+            return pd.Index(xprt_locs[c].to_numpy()[eis], name=c)
+        return pd.MultiIndex.from_arrays(
+            [xprt_locs[c].to_numpy()[eis] for c in coords_col], names=coords_col
+        )
+
     def _run_details_row(self, rl, coords_col, num_obs, run_time, objective, optimised, success, model_name, device, config_id, num_iter=0):
         idx = self._expert_index(rl, coords_col)
         return pd.DataFrame(
@@ -1040,65 +1052,88 @@ class LocalExpertOI:
         batch_time,
         predict,
     ):
+        """Assemble one batch's result tables and append them to the store.
+
+        Fully vectorized: one DataFrame per table built directly from the
+        stacked result arrays (previously ~5 small frames per expert +
+        concat — ~2 s of host time per 512-expert batch). Row order,
+        dtypes and index values match the per-expert construction exactly
+        (ref schema: local_experts.py:499-550 store tables).
+        """
         params_to_store = self.params_to_store
-        preds_rows, run_rows = [], []
         store_params = core.param_names if params_to_store is None else params_to_store
-        param_rows = {p: [] for p in store_params if p in res}
+        store_params = [p for p in store_params if p in res]
 
-        per_expert_time = batch_time / max(len(res["expert_index"]), 1)
-        for i, ei in enumerate(res["expert_index"]):
-            rl = xprt_locs.iloc[[int(ei)]]
-            idx1 = self._expert_index(rl, coords_col)
-            P = int(res["pred_mask"][i].sum())
-            if predict and P > 0:
-                pc = pred_coords[row_ids.index(int(ei))]
-                data = {
-                    "_dim_0": np.arange(P),
-                    "f*": res["f_mean"][i][:P],
-                    "f*_var": res["f_var"][i][:P],
-                    "y_var": res["y_var"][i][:P],
-                    "f_bar": np.repeat(res["obs_mean"][i], P),
-                }
-                for ci, c in enumerate(coords_col):
-                    data[f"pred_loc_{c}"] = pc[:P, ci]
-                pdf = pd.DataFrame(data)
-                pdf.index = idx1.repeat(P)
-                preds_rows.append(pdf)
+        eis = np.asarray(res["expert_index"], dtype=int)
+        B = len(eis)
+        per_expert_time = batch_time / max(B, 1)
+        # per-expert (Multi)Index for all B experts in one pass; values and
+        # per-level dtypes are taken straight from the expert-location frame
+        base_idx = self._expert_index_batch(xprt_locs, eis, coords_col)
 
-            run_rows.append(
-                self._run_details_row(
-                    rl,
-                    coords_col,
-                    int(res["num_obs"][i]),
-                    per_expert_time,
-                    float(res["objective"][i]),
-                    optimise,
-                    bool(res["converged"][i]),
-                    model_name,
-                    device_name,
-                    config_id,
-                    num_iter=float(res["num_iter"][i]),
-                )
+        tables = {}
+
+        pm = np.asarray(res["pred_mask"])
+        P_i = pm.sum(axis=1).astype(int) if pm.ndim == 2 else np.zeros(B, dtype=int)
+        if predict and P_i.sum() > 0:
+            # padded [B, Pmax] arrays flatten to concatenated [:P_i] rows
+            # (row-major boolean indexing == expert-major row order)
+            Pmax = pm.shape[1]
+            prefix = np.arange(Pmax)[None, :] < P_i[:, None]
+            pos = {int(r): k for k, r in enumerate(row_ids)}
+            pc_all = np.concatenate(
+                [np.asarray(pred_coords[pos[int(ei)]])[:p] for ei, p in zip(eis, P_i) if p > 0]
             )
+            data = {
+                "_dim_0": np.broadcast_to(np.arange(Pmax), (B, Pmax))[prefix],
+                "f*": np.asarray(res["f_mean"])[prefix],
+                "f*_var": np.asarray(res["f_var"])[prefix],
+                "y_var": np.asarray(res["y_var"])[prefix],
+                "f_bar": np.repeat(np.asarray(res["obs_mean"]), P_i),
+            }
+            for ci, c in enumerate(coords_col):
+                data[f"pred_loc_{c}"] = pc_all[:, ci]
+            pdf = pd.DataFrame(data)
+            pdf.index = base_idx.repeat(P_i)
+            tables[f"preds{table_suffix}"] = pdf
 
-            for pname, rows in param_rows.items():
-                vals = np.atleast_1d(res[pname][i])
-                # n-d params flatten with one _dim_k column per axis
-                # (ref: utils.py:1437-1496 array_to_dataframe)
-                dims = np.indices(vals.shape).reshape(vals.ndim, -1)
-                data = {f"_dim_{k}": dims[k] for k in range(vals.ndim)}
-                data[pname] = vals.ravel()
-                pdf = pd.DataFrame(data)
-                pdf.index = idx1.repeat(len(pdf))
-                rows.append(pdf)
+        run_df = pd.DataFrame(
+            {
+                "_dim_0": np.zeros(B, dtype=int),
+                "num_obs": np.asarray(res["num_obs"], dtype=int),
+                "run_time": np.full(B, per_expert_time),
+                "objective_value": np.asarray(res["objective"], dtype=float),
+                "parameters_optimised": np.full(B, bool(optimise)),
+                "optimise_success": np.asarray(res["converged"], dtype=bool),
+                # float column: NaN marks host models that hide their
+                # iteration count (run_details must never fabricate it)
+                "num_iter": np.asarray(res["num_iter"], dtype=float),
+                "model": np.full(B, model_name[:64], dtype=object),
+                "device": np.full(B, device_name[:64], dtype=object),
+                "config_id": np.full(B, config_id),
+            },
+            index=base_idx,
+        )
+        tables[f"run_details{table_suffix}"] = run_df
+
+        for pname in store_params:
+            arr = np.asarray(res[pname])
+            if arr.ndim == 1:
+                arr = arr[:, None]  # scalars store as one _dim_0=0 row
+            shape = arr.shape[1:]
+            size = int(np.prod(shape))
+            # n-d params flatten with one _dim_k column per axis
+            # (ref: utils.py:1437-1496 array_to_dataframe)
+            dims = np.indices(shape).reshape(len(shape), -1)
+            data = {f"_dim_{k}": np.tile(dims[k], B) for k in range(len(shape))}
+            data[pname] = arr.reshape(B, -1).ravel()
+            pdf = pd.DataFrame(data)
+            pdf.index = base_idx.repeat(size)
+            tables[f"{pname}{table_suffix}"] = pdf
 
         with TableStore(store_path) as store:
-            if preds_rows:
-                store.append(f"preds{table_suffix}", pd.concat(preds_rows))
-            store.append(f"run_details{table_suffix}", pd.concat(run_rows))
-            for pname, rows in param_rows.items():
-                if rows:
-                    store.append(f"{pname}{table_suffix}", pd.concat(rows))
+            for name, frame in tables.items():
+                store.append(name, frame)
 
 
 def _plot_locations_and_obs_impl(
