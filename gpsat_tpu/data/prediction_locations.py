@@ -179,7 +179,10 @@ class PredictionLocations:
         vals = np.ascontiguousarray(df.loc[:, found_cols].values, dtype=float)
         refs = expert_rows[self.coords_col].values.astype(float)
         fc_loc = _match(found_cols, self.coords_col)
-        idx_sets = native.radius_query_all(vals, refs[:, fc_loc], float(md))
+        # strict d < max_dist: the reference's _max_dist_bool convention
+        # (prediction_locations.py:18-43), unlike local_select's inclusive
+        # cKDTree rule — the reference itself differs between the two
+        idx_sets = native.radius_query_all(vals, refs[:, fc_loc], float(md), inclusive=False)
         out = []
         full_dims = len(found_cols) == len(self.coords_col)
         missing = [c for c in self.coords_col if c not in found_cols]

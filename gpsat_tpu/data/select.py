@@ -154,9 +154,10 @@ def local_select_indices_all(
     index (native.radius_query_all: built once, queried for all experts
     in parallel; scipy fallback); remaining entries filter each expert's
     candidate set with vectorized numpy. Results match
-    ``np.flatnonzero(local_select_bool(...))`` per expert, up to
-    exact-boundary ties (the native grid uses a strict ``<`` where
-    cKDTree's ball query is inclusive — measure-zero for real data).
+    ``np.flatnonzero(local_select_bool(...))`` per expert exactly,
+    including exact-boundary points (inclusive d <= r, cKDTree ball-query
+    semantics — matters for binned data where obs sit exactly at
+    radius-multiple offsets from on-grid experts).
     """
     E = len(ref_locs)
     n = len(df)
@@ -173,7 +174,7 @@ def local_select_indices_all(
         if len(cols) == 2:
             from gpsat_tpu import native
 
-            cand = native.radius_query_all(pts, refs, float(ls0["val"]))
+            cand = native.radius_query_all(pts, refs, float(ls0["val"]), inclusive=True)
         else:
             tree = cKDTree(pts)
             cand = [np.asarray(ix, dtype=np.int64) for ix in tree.query_ball_point(refs, float(ls0["val"]))]

@@ -43,7 +43,7 @@ if _lib is not None:
     _lib.gpsat_inverse_softplus.argtypes = [_d, ctypes.c_int64, ctypes.c_double, _d]
     _lib.gpsat_inverse_sigmoid.argtypes = [_d, ctypes.c_int64, ctypes.c_double, ctypes.c_double, _d]
     _lib.gpsat_grid_index_build.argtypes = [_d, _d, ctypes.c_int64, ctypes.c_double]
-    _lib.gpsat_grid_index_query.argtypes = [_d, _d, ctypes.c_int64, ctypes.c_double, ctypes.c_int, _i64, _i64]
+    _lib.gpsat_grid_index_query.argtypes = [_d, _d, ctypes.c_int64, ctypes.c_double, ctypes.c_int, ctypes.c_int, _i64, _i64]
     _lib.gpsat_grid_index_free.argtypes = []
 
 
@@ -107,11 +107,19 @@ def inverse_sigmoid(y, low: float = 0.0, high: float = 1.0) -> np.ndarray:
     return out.reshape(y.shape)
 
 
-def radius_query_all(coords_xy: np.ndarray, expert_xy: np.ndarray, radius: float) -> List[np.ndarray]:
+def radius_query_all(
+    coords_xy: np.ndarray, expert_xy: np.ndarray, radius: float, *, inclusive: bool = True
+) -> List[np.ndarray]:
     """Per-expert index sets of points within radius (2-d).
 
     Grid-hash index built once + parallel per-expert queries; falls back
     to scipy cKDTree when the native library is absent.
+
+    ``inclusive`` selects the boundary rule, which the reference is split
+    on: True = d <= r (scipy ``query_ball_point``, the local-select
+    convention, ref: dataloader.py:2437-2440); False = d < r (the
+    ``_max_dist_bool`` prediction-location convention, ref:
+    prediction_locations.py:18-43). Both backends honor it exactly.
     """
     coords_xy = np.ascontiguousarray(coords_xy, dtype=np.float64)
     expert_xy = np.ascontiguousarray(np.atleast_2d(expert_xy), dtype=np.float64)
@@ -119,17 +127,25 @@ def radius_query_all(coords_xy: np.ndarray, expert_xy: np.ndarray, radius: float
         from scipy.spatial import cKDTree
 
         tree = cKDTree(coords_xy)
-        return [np.asarray(ix, dtype=np.int64) for ix in tree.query_ball_point(expert_xy, radius)]
+        out = []
+        for e, ix in enumerate(tree.query_ball_point(expert_xy, radius)):
+            ix = np.asarray(ix, dtype=np.int64)
+            if not inclusive and len(ix):
+                d2 = ((coords_xy[ix] - expert_xy[e]) ** 2).sum(axis=1)
+                ix = ix[d2 < radius * radius]
+            out.append(ix)
+        return out
 
     x = np.ascontiguousarray(coords_xy[:, 0])
     y = np.ascontiguousarray(coords_xy[:, 1])
     ex = np.ascontiguousarray(expert_xy[:, 0])
     ey = np.ascontiguousarray(expert_xy[:, 1])
     E = len(ex)
+    inc = 1 if inclusive else 0
     _lib.gpsat_grid_index_build(_dp(x), _dp(y), len(x), float(radius))
     counts = np.zeros(E, dtype=np.int64)
     _lib.gpsat_grid_index_query(
-        _dp(ex), _dp(ey), E, float(radius), 0,
+        _dp(ex), _dp(ey), E, float(radius), 0, inc,
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), None,
     )
     offsets = np.zeros(E, dtype=np.int64)
@@ -137,7 +153,7 @@ def radius_query_all(coords_xy: np.ndarray, expert_xy: np.ndarray, radius: float
     total = int(counts.sum())
     flat = np.empty(total, dtype=np.int64)
     _lib.gpsat_grid_index_query(
-        _dp(ex), _dp(ey), E, float(radius), 1,
+        _dp(ex), _dp(ey), E, float(radius), 1, inc,
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )

@@ -171,8 +171,11 @@ void gpsat_grid_index_build(const double* x, const double* y, int64_t n, double 
 
 // Count then fill: for E experts, first call with fill=0 to get per-expert
 // counts; allocate; call with fill=1 and CSR offsets to collect indices.
+// `inclusive` picks the boundary rule: d <= r (scipy query_ball_point
+// semantics, used by local_select) vs d < r (the reference's
+// _max_dist_bool semantics, used by prediction locations).
 void gpsat_grid_index_query(const double* ex, const double* ey, int64_t n_experts,
-                            double radius, int fill,
+                            double radius, int fill, int inclusive,
                             int64_t* counts_or_offsets, int64_t* out_indices) {
   const GridIndex& g = *g_index;
   const double r2 = radius * radius;
@@ -194,7 +197,8 @@ void gpsat_grid_index_query(const double* ex, const double* ey, int64_t n_expert
           const int64_t p = g.point_ids[k];
           const double ddx = g.xs[p] - qx;
           const double ddy = g.ys[p] - qy;
-          if (ddx * ddx + ddy * ddy < r2) {
+          const double dd = ddx * ddx + ddy * ddy;
+          if (inclusive ? (dd <= r2) : (dd < r2)) {
             if (fill) out_indices[write++] = p;
             else count++;
           }

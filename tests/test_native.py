@@ -82,3 +82,64 @@ class TestNative:
 
         expect = cdist(locs, np.zeros((1, 2)))[:, 0] < 1.5
         np.testing.assert_array_equal(out, expect)
+
+
+class TestRadiusBoundary:
+    """Exact-boundary semantics: local_select is inclusive (d <= r, the
+    reference's query_ball_point), prediction locations strict (d < r,
+    the reference's _max_dist_bool) — on BOTH backends."""
+
+    def _fixture(self):
+        # expert at origin; points exactly at r, just inside, just outside
+        coords = np.array([[4.0, 0.0], [0.0, -4.0], [3.9999, 0.0], [4.0001, 0.0], [1.0, 1.0]])
+        experts = np.array([[0.0, 0.0]])
+        return coords, experts
+
+    def test_native_inclusive_vs_strict(self, native):
+        coords, experts = self._fixture()
+        inc = native.radius_query_all(coords, experts, 4.0, inclusive=True)[0]
+        st = native.radius_query_all(coords, experts, 4.0, inclusive=False)[0]
+        assert set(inc.tolist()) == {0, 1, 2, 4}
+        assert set(st.tolist()) == {2, 4}
+
+    def test_fallback_inclusive_vs_strict(self, native, monkeypatch):
+        coords, experts = self._fixture()
+        monkeypatch.setattr(native, "_lib", None)
+        inc = native.radius_query_all(coords, experts, 4.0, inclusive=True)[0]
+        st = native.radius_query_all(coords, experts, 4.0, inclusive=False)[0]
+        assert set(inc.tolist()) == {0, 1, 2, 4}
+        assert set(st.tolist()) == {2, 4}
+
+    def test_batched_select_matches_per_expert_on_boundary(self, native):
+        import pandas as pd
+
+        from gpsat_tpu.data import select as sel
+
+        # binned-data geometry: obs on a regular grid, expert on a bin
+        # center, radius an exact multiple of the spacing
+        g = np.arange(-6, 7, 1.0)
+        xx, yy = np.meshgrid(g, g)
+        df = pd.DataFrame({"x": xx.ravel(), "y": yy.ravel()})
+        refs = pd.DataFrame({"x": [0.0], "y": [0.0]})
+        ls = [{"col": ["x", "y"], "comp": "<", "val": 4.0}]
+        per_expert = np.flatnonzero(sel.local_select_bool(df, refs.iloc[[0]], ls))
+        batched = sel.local_select_indices_all(df, refs, ls)[0]
+        np.testing.assert_array_equal(np.sort(batched), np.sort(per_expert))
+        # the boundary points (±4, 0), (0, ±4) ARE included
+        assert len(per_expert) == len(df[(df.x**2 + df.y**2) <= 16.0])
+
+    def test_batched_pred_locs_match_per_expert_on_boundary(self, native):
+        import pandas as pd
+
+        from gpsat_tpu.data.prediction_locations import PredictionLocations
+
+        g = np.arange(-6, 7, 1.0)
+        xx, yy = np.meshgrid(g, g)
+        df = pd.DataFrame({"x": xx.ravel(), "y": yy.ravel()})
+        refs = pd.DataFrame({"x": [0.0, 1.0], "y": [0.0, 0.0]})
+        pl = PredictionLocations(method="from_dataframe", df=df, max_dist=4.0, coords_col=["x", "y"])
+        got = pl.batch_call(refs)
+        for i in range(len(refs)):
+            pl.expert_loc = refs.iloc[[i]]
+            expect = pl()
+            np.testing.assert_array_equal(got[i], expect)
