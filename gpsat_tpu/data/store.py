@@ -132,9 +132,36 @@ class TableStore:
             for c in df.columns:
                 vals, tag = self._encode(df[c].values)
                 ds = grp[str(c)]
-                assert ds.attrs["dtype_tag"] == tag or (
-                    ds.attrs["dtype_tag"].startswith("f") and tag.startswith("f")
-                ), f"dtype mismatch on column {c}: {ds.attrs['dtype_tag']} vs {tag}"
+                tag_old = ds.attrs["dtype_tag"]
+
+                def _kind(t):
+                    try:
+                        return np.dtype(t).kind
+                    except TypeError:
+                        return "?"
+
+                k_old, k_new = _kind(tag_old), _kind(tag)
+                if tag_old != tag and not (k_old == "f" and k_new == "f"):
+                    # numeric int<->float cross-appends are reconciled like
+                    # HDFStore would (needed e.g. to restart against stores
+                    # written before a column widened from int to float)
+                    numeric = {k_old, k_new} <= {"i", "u", "f"}
+                    assert numeric, f"dtype mismatch on column {c}: {tag_old} vs {tag}"
+                    integral = np.all(np.isfinite(vals)) and np.all(vals == np.trunc(vals))
+                    if k_old == "f" or integral:
+                        # incoming values fit the stored dtype losslessly
+                        vals = vals.astype(ds.dtype)
+                    else:
+                        # promote the stored int column to float in place
+                        old = ds[...].astype(vals.dtype)
+                        del grp[str(c)]
+                        ds = grp.create_dataset(
+                            str(c),
+                            data=old,
+                            maxshape=(None,) + old.shape[1:],
+                            chunks=True,
+                        )
+                        ds.attrs["dtype_tag"] = tag
                 ds.resize(n_old + len(vals), axis=0)
                 ds[n_old:] = vals
 

@@ -82,3 +82,34 @@ class TestTableStore:
     def test_select_missing_table(self, store):
         with pytest.raises(AssertionError, match="not in store"):
             store.select("nope")
+
+
+class TestNumericCrossAppend:
+    """int<->float cross-appends reconcile instead of raising — restarting
+    against a store written before a column widened (e.g. run_details
+    num_iter int -> float) must keep working."""
+
+    def test_float_into_int_integral_casts(self, store):
+        store.append("t", pd.DataFrame({"n": np.array([1, 2], dtype=np.int64)}))
+        store.append("t", pd.DataFrame({"n": np.array([3.0, 4.0])}))
+        out = store.select("t")
+        assert list(out["n"]) == [1, 2, 3, 4]
+
+    def test_float_into_int_nan_promotes(self, store):
+        store.append("t", pd.DataFrame({"n": np.array([1, 2], dtype=np.int64)}))
+        store.append("t", pd.DataFrame({"n": np.array([3.5, np.nan])}))
+        out = store.select("t")
+        assert out["n"].dtype.kind == "f"
+        np.testing.assert_array_equal(out["n"].values[:3], [1.0, 2.0, 3.5])
+        assert np.isnan(out["n"].values[3])
+
+    def test_int_into_float_casts(self, store):
+        store.append("t", pd.DataFrame({"n": np.array([1.5, 2.5])}))
+        store.append("t", pd.DataFrame({"n": np.array([3, 4], dtype=np.int64)}))
+        out = store.select("t")
+        assert list(out["n"]) == [1.5, 2.5, 3.0, 4.0]
+
+    def test_string_vs_numeric_still_raises(self, store):
+        store.append("t", pd.DataFrame({"n": ["a", "b"]}))
+        with pytest.raises(AssertionError, match="dtype mismatch"):
+            store.append("t", pd.DataFrame({"n": np.array([1.0, 2.0])}))
