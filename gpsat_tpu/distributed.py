@@ -204,34 +204,60 @@ def merge_stores(
         assert overwrite, f"out_path exists: {out_path} (pass overwrite=True)"
         os.remove(out_path)
 
+    # Global config renumbering: distinct comparable configs get ids in
+    # first-seen order across hosts, and every host's config_id column is
+    # remapped through its own old-id -> new-id table BEFORE concatenation
+    # (hosts that ran different config subsets number them differently, so
+    # raw config_id values are only meaningful per host).
+    seen: dict = {}  # comparable-config key -> merged config_id
+    config_rows: dict = {}  # config-table name -> {key: row}
+
     # table -> list of DataFrames (with index-col metadata preserved)
     frames: dict = {}
     index_cols: dict = {}
     for p in host_paths:
         with TableStore(p, mode="r") as store:
-            for t in store.keys():
-                if t == _COMPLETE_TABLE:
+            tables = [t for t in store.keys() if t != _COMPLETE_TABLE]
+            # host's per-suffix old->new config_id maps
+            id_maps: dict = {}
+            for t in tables:
+                if not t.startswith("oi_config"):
+                    continue
+                suffix = t[len("oi_config"):]
+                cfg_df = store.select(t, set_index=False)
+                remap = {}
+                for _, row in cfg_df.iterrows():
+                    key = _comparable_config_str(json.loads(row["config"]))
+                    if key not in seen:
+                        seen[key] = len(seen)
+                    config_rows.setdefault(t, {}).setdefault(key, {**row, "config_id": seen[key]})
+                    remap[int(row["config_id"])] = seen[key]
+                id_maps[suffix] = remap
+            for t in tables:
+                if t.startswith("oi_config"):
                     continue
                 df = store.select(t, set_index=False)
+                if "config_id" in df.columns and id_maps:
+                    # longest config-table suffix that matches this table
+                    match = max(
+                        (s for s in id_maps if t.endswith(s)), key=len, default=None
+                    )
+                    if match is not None:
+                        df["config_id"] = df["config_id"].map(
+                            lambda i: id_maps[match].get(int(i), int(i))
+                        )
                 idx = json.loads(store._h5[t].attrs["index_cols"])
                 frames.setdefault(t, []).append(df)
                 index_cols.setdefault(t, idx)
+    for t, rows in config_rows.items():
+        frames[t] = [pd.DataFrame(sorted(rows.values(), key=lambda r: r["config_id"]))]
+        index_cols.setdefault(t, [])
 
     merged_tables = []
     with TableStore(out_path) as store:
         for t, dfs in frames.items():
             df = pd.concat(dfs, ignore_index=True)
-            if t.startswith("oi_config"):
-                # one row per distinct comparable config, renumbered
-                seen: dict = {}
-                keep = []
-                for _, row in df.iterrows():
-                    key = _comparable_config_str(json.loads(row["config"]))
-                    if key not in seen:
-                        seen[key] = len(seen)
-                        keep.append({**row, "config_id": seen[key]})
-                df = pd.DataFrame(keep)
-            elif sort:
+            if sort and not t.startswith("oi_config"):
                 sort_cols = [c for c in index_cols[t] if c in df.columns]
                 sort_cols += sorted(c for c in df.columns if c.startswith("_dim_"))
                 sort_cols += sorted(c for c in df.columns if c.startswith("pred_loc_"))

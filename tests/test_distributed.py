@@ -185,3 +185,41 @@ def test_merge_stores_dedupes_configs(tmp_path):
     # run_kwargs-only differences dedupe to one config row
     assert len(cfgs) == 1
     assert len(rd) == 2 and rd.index.names == ["x"]
+
+
+def test_merge_stores_remaps_config_ids(tmp_path):
+    """Hosts that ran different config subsets number config_ids
+    differently; merge must remap run_details.config_id per host so rows
+    keep pointing at their own config after the global renumbering."""
+    from gpsat_tpu.distributed import merge_stores
+
+    cfg_a = {"model": {"oi_model": "GPflowGPRModel"}}
+    cfg_b = {"model": {"oi_model": "GPflowSGPRModel"}}
+    # host 0 ran A (id 0) then B (id 1); host 1 only ran B (id 0)
+    with TableStore(str(tmp_path / "r.h0.h5")) as store:
+        store.append("oi_config", pd.DataFrame({
+            "config_id": [0, 1], "datetime": ["t", "t"],
+            "config": [json.dumps(cfg_a), json.dumps(cfg_b)],
+        }))
+        store.append("run_details", pd.DataFrame(
+            {"num_obs": [10, 11], "config_id": [0, 1]},
+            index=pd.Index([0.0, 1.0], name="x"),
+        ))
+    with TableStore(str(tmp_path / "r.h1.h5")) as store:
+        store.append("oi_config", pd.DataFrame({
+            "config_id": [0], "datetime": ["t"], "config": [json.dumps(cfg_b)],
+        }))
+        store.append("run_details", pd.DataFrame(
+            {"num_obs": [12], "config_id": [0]},
+            index=pd.Index([2.0], name="x"),
+        ))
+    out = str(tmp_path / "merged.h5")
+    merge_stores(str(tmp_path / "r.h*.h5"), out)
+    with TableStore(out, mode="r") as store:
+        cfgs = store.select("oi_config", set_index=False)
+        rd = store.select("run_details", set_index=False)
+    assert list(cfgs["config_id"]) == [0, 1]
+    by_model = {json.loads(c)["model"]["oi_model"]: i for c, i in zip(cfgs["config"], cfgs["config_id"])}
+    rd = rd.sort_values("x")
+    # host 0 rows keep A->0, B->1; host 1's B row is remapped 0 -> 1
+    assert list(rd["config_id"]) == [by_model["GPflowGPRModel"], by_model["GPflowSGPRModel"], by_model["GPflowSGPRModel"]]
