@@ -138,12 +138,17 @@ def read_table(path: str, key: str, where=None) -> pd.DataFrame:
             vals = data[fn]
             kind_raw = ds.attrs.get(f"{fn}_kind")
             if vals.ndim == 2:
-                # values block: pickled list of column names in <fn>_kind
+                # values block: pickled list of column names in <fn>_kind;
+                # <fn>_dtype says what the block holds (datetime64 blocks
+                # are stored as int64, string blocks as fixed-width bytes)
                 cols = _unpickle_attr(kind_raw)
                 if not isinstance(cols, (list, tuple)):
                     cols = [f"{fn}_{i}" for i in range(vals.shape[1])]
+                block_dtype = _attr(ds, f"{fn}_dtype")
+                if not isinstance(block_dtype, str):
+                    block_dtype = None
                 for i, c in enumerate(cols):
-                    columns[str(c)] = vals[:, i]
+                    columns[str(c)] = _decode_kind(vals[:, i], block_dtype, encoding)
             else:
                 kind = kind_raw
                 if isinstance(kind, bytes):

@@ -20,7 +20,9 @@ def _write_frame_table(f, key, *, index_fields, blocks, data_columns=(), nrows=N
     """Hand-write one pandas 'frame_table' group.
 
     index_fields: {name: (values, kind)}; blocks: [(field_name, colnames,
-    2-d values)]; data_columns: [(field_name, values, kind)].
+    2-d values[, dtype_str])] where dtype_str mirrors pandas's
+    ``<field>_dtype`` attr (e.g. 'datetime64', 'string40', 'float64');
+    data_columns: [(field_name, values, kind)].
     """
     grp = f.create_group(key)
     grp.attrs["pandas_type"] = np.bytes_(b"frame_table")
@@ -31,7 +33,7 @@ def _write_frame_table(f, key, *, index_fields, blocks, data_columns=(), nrows=N
     dtype = []
     for n, (vals, kind) in index_fields.items():
         dtype.append((n, vals.dtype))
-    for fn, _, vals in blocks:
+    for fn, _, vals, *_ in blocks:
         dtype.append((fn, vals.dtype, (vals.shape[1],)))
     for fn, vals, _ in data_columns:
         dtype.append((fn, vals.dtype))
@@ -39,7 +41,7 @@ def _write_frame_table(f, key, *, index_fields, blocks, data_columns=(), nrows=N
     rec = np.zeros(n, dtype=dtype)
     for name, (vals, kind) in index_fields.items():
         rec[name] = vals
-    for fn, _, vals in blocks:
+    for fn, _, vals, *_ in blocks:
         rec[fn] = vals
     for fn, vals, _ in data_columns:
         rec[fn] = vals
@@ -51,9 +53,11 @@ def _write_frame_table(f, key, *, index_fields, blocks, data_columns=(), nrows=N
         ds.attrs[f"FIELD_{j}_NAME"] = np.bytes_(name.encode())
         ds.attrs[f"{name}_kind"] = np.bytes_(kind.encode())
         j += 1
-    for fn, cols, _ in blocks:
+    for fn, cols, _, *dt in blocks:
         ds.attrs[f"FIELD_{j}_NAME"] = np.bytes_(fn.encode())
         ds.attrs[f"{fn}_kind"] = np.void(pickle.dumps(list(cols)))
+        if dt:
+            ds.attrs[f"{fn}_dtype"] = np.bytes_(dt[0].encode())
         j += 1
     for fn, _, kind in data_columns:
         ds.attrs[f"FIELD_{j}_NAME"] = np.bytes_(fn.encode())
@@ -222,3 +226,39 @@ def test_warm_start_from_pytables_store(tmp_path):
     with TableStore(out, mode="r") as s:
         ls = s.select("lengthscales", set_index=False).sort_values(["x", "_dim_0"])
     np.testing.assert_allclose(ls["lengthscales"].values, [1.5, 2.5, 1.7, 2.7])
+
+
+def test_string_and_datetime_values_blocks(tmp_path):
+    """Columns stored in non-data_column values blocks decode too: string
+    blocks (fixed-width bytes) -> str, datetime64 blocks (int64 ns) ->
+    datetime64[ns] — the layout run_details 'model'/'device' and date
+    columns take in real reference stores."""
+    import h5py
+
+    from gpsat_tpu.data import pytables_compat as PT
+
+    path = str(tmp_path / "blk.h5")
+    n = 3
+    # PyTables always stores datetime64 blocks as int64 NANOSECONDS
+    dates = pd.to_datetime(["2020-03-01", "2020-03-02", "2020-03-05"]).as_unit("ns")
+    with h5py.File(path, "w") as f:
+        _write_frame_table(
+            f,
+            "run_details",
+            index_fields={"index": (np.arange(n), "integer")},
+            blocks=[
+                ("values_block_0", ["num_obs"], np.arange(n, dtype=float)[:, None], "float64"),
+                ("values_block_1", ["model", "device"],
+                 np.array([[b"GPflowGPRModel", b"gpu"]] * n, dtype="S16"), "string16"),
+                ("values_block_2", ["date"],
+                 dates.asi8[:, None], "datetime64"),
+            ],
+        )
+    df = PT.read_table(path, "run_details")
+    assert df["model"].tolist() == ["GPflowGPRModel"] * n
+    assert df["device"].tolist() == ["gpu"] * n
+    assert df["date"].dtype == np.dtype("datetime64[ns]")
+    assert list(df["date"]) == list(dates)
+    # a filter on the decoded string column matches (the failure mode:
+    # bytes left undecoded make this select nothing)
+    assert (df["model"] == "GPflowGPRModel").all()
