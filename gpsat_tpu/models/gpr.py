@@ -214,8 +214,9 @@ class GPRModel(BaseGPRModel):
             ),
         }
         self._bijectors = {name: T.POSITIVE for name in PARAM_NAMES}
+        mean_overrides = MF.resolve_mean_kwargs(mean_func_kwargs, self.mean_function)
         for p, dflt in MF.mean_param_defaults(self.mean_function, D).items():
-            override = mean_func_kwargs.get({"mean_c": "c", "mean_A": "A"}[p])
+            override = mean_overrides.get(p)
             self._params[p] = (
                 np.reshape(np.asarray(override, dtype=float), dflt.shape) if override is not None else dflt
             )
@@ -240,17 +241,7 @@ class GPRModel(BaseGPRModel):
                 names.append(p)
         return names
 
-    def get_mean_c(self) -> float:
-        return float(self._params["mean_c"])
-
-    def set_mean_c(self, mean_c):
-        self._params["mean_c"] = np.asarray(float(np.ravel(mean_c)[0]))
-
-    def get_mean_A(self) -> np.ndarray:
-        return np.asarray(self._params["mean_A"])
-
-    def set_mean_A(self, mean_A):
-        self._params["mean_A"] = np.asarray(mean_A, dtype=float).reshape(self.coords.shape[1])
+    # (get/set_mean_c and get/set_mean_A inherit from BaseGPRModel)
 
     # ----- optimise -----
     def optimise_parameters(self, max_iter: int = 10_000, fixed_params=None, **opt_kwargs) -> bool:

@@ -46,6 +46,31 @@ def mean_param_names(mean_function) -> tuple:
     return ()
 
 
+def resolve_mean_kwargs(mean_func_kwargs: dict, mean_function) -> dict:
+    """mean_func_kwargs -> {internal param name: value}, accepting BOTH
+    gpflow spellings of the intercept: Constant(c=...) and Linear(A, b)
+    (ref: gpflow mean_functions.py). Unknown keys raise instead of being
+    silently dropped."""
+    kw = dict(mean_func_kwargs or {})
+    out = {}
+    for alias in ("c", "b"):
+        if alias in kw:
+            assert "mean_c" not in out, "pass only one of 'c'/'b' for the intercept"
+            out["mean_c"] = kw.pop(alias)
+    if "A" in kw:
+        out["mean_A"] = kw.pop("A")
+    assert not kw, (
+        f"unknown mean_func_kwargs keys: {sorted(kw)} "
+        "(accepted: 'c' or 'b' for the intercept, 'A' for the Linear slope)"
+    )
+    allowed = mean_param_names(mean_function)
+    bad = [p for p in out if p not in allowed]
+    assert not bad, (
+        f"mean_func_kwargs {sorted(bad)} not applicable to mean_function={mean_function!r}"
+    )
+    return out
+
+
 def mean_param_defaults(mean_function, D: int, dtype=np.float64) -> dict:
     out = {}
     if mean_function in ("Constant", "Linear"):

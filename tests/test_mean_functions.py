@@ -186,3 +186,35 @@ class TestBatchedEngine:
             np.testing.assert_allclose(
                 res["f_mean"][b], far[b] @ res["mean_A"][b] + res["mean_c"][b], rtol=0.05
             )
+
+
+def test_linear_intercept_accepts_gpflow_b_naming():
+    """gpflow names the Linear intercept 'b' (Linear(A, b)) and the
+    Constant one 'c'; both spellings must reach mean_c — a ported
+    reference config using 'b' previously lost its intercept silently."""
+    import numpy as np
+    import pytest
+
+    from gpsat_tpu.models import get_model
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(-2, 2, size=(40, 2))
+    y = 3.0 + X @ np.array([0.5, -0.2]) + 0.01 * rng.normal(size=40)
+
+    def make(mean_func_kwargs):
+        return get_model("GPflowGPRModel")(
+            coords=X, obs=y, mean_function="Linear", mean_func_kwargs=mean_func_kwargs
+        )
+
+    m_b = make({"A": [0.5, -0.2], "b": 3.0})
+    m_c = make({"A": [0.5, -0.2], "c": 3.0})
+    assert m_b.get_mean_c() == m_c.get_mean_c() == 3.0
+    np.testing.assert_array_equal(m_b.get_mean_A(), [0.5, -0.2])
+
+    # unknown keys and inapplicable params raise loudly
+    with pytest.raises(AssertionError, match="unknown mean_func_kwargs"):
+        make({"slope": [1.0, 1.0]})
+    with pytest.raises(AssertionError, match="not applicable"):
+        get_model("GPflowGPRModel")(
+            coords=X, obs=y, mean_function="Constant", mean_func_kwargs={"A": [1.0, 1.0]}
+        )
