@@ -43,7 +43,7 @@ def make_large_tiles(B, N, P, D, dtype, seed=0):
     )
 
 
-def run_point(N, B, max_iter, dtype, device=None):
+def run_point(N, B, max_iter, dtype, device=None, chunk_size="auto"):
     import jax
 
     from gpsat_tpu.experts import bijectors_from
@@ -53,7 +53,7 @@ def run_point(N, B, max_iter, dtype, device=None):
     P, D = 32, 2
     core = make_sgpr_core(
         kernel="Matern32", bijectors=bijectors_from(None),
-        num_inducing_points=M_INDUCING, chunk_size="auto",
+        num_inducing_points=M_INDUCING, chunk_size=chunk_size,
     )
     batch = make_large_tiles(B, N, P, D, dtype)
     f32 = dtype == np.float32
@@ -122,9 +122,12 @@ def main():
         }), flush=True)
 
     if args.check:
-        # f32 production vs f64 CPU gold on identical N=4096 tiles
+        # f32 production vs f64 CPU gold on identical N=4096 tiles.
+        # chunk_size forced on (N=4096 is below the 'auto' threshold of
+        # 8192) so the check exercises the lax.scan chunk-accumulation
+        # path this bench exists to prove out, not the materialized one.
         N, B = 4096, 4
-        res32, _, _ = run_point(N, B, 200, dtype)
+        res32, _, _ = run_point(N, B, 200, dtype, chunk_size=1024)
         cpu = jax.devices("cpu")[0]
         x64_was = bool(jax.config.read("jax_enable_x64"))
         try:

@@ -112,20 +112,30 @@ def read_zarr(path: str, variables: Optional[Sequence[str]] = None, decode_cf: b
         k for k in os.listdir(path) if _is_zarr_array(os.path.join(path, k))
     )
     assert names, f"no zarr arrays found under: {path}"
-    arrays: Dict[str, np.ndarray] = {}
+    # metadata pass first (shape + dims from .zarray/.zattrs, no chunk IO)
+    # so only the requested variables' chunks are read and decompressed
     attrs_map: Dict[str, dict] = {}
     dims_map: Dict[str, tuple] = {}
+    shape_map: Dict[str, tuple] = {}
     for k in names:
-        vals, attrs = read_zarr_array(os.path.join(path, k))
-        arrays[k] = vals
+        adir = os.path.join(path, k)
+        with open(os.path.join(adir, ".zarray")) as f:
+            shape_map[k] = tuple(json.load(f)["shape"])
+        attrs = {}
+        zattrs = os.path.join(adir, ".zattrs")
+        if os.path.exists(zattrs):
+            with open(zattrs) as f:
+                attrs = json.load(f)
         attrs_map[k] = attrs
-        dims_map[k] = tuple(attrs.get(_DIM_ATTR, [f"dim_{i}" for i in range(vals.ndim)]))
+        dims_map[k] = tuple(
+            attrs.get(_DIM_ATTR, [f"dim_{i}" for i in range(len(shape_map[k]))])
+        )
 
     # coordinate arrays: name == their own (single) dim
-    coords = {k for k in arrays if dims_map[k] == (k,)}
+    coords = {k for k in names if dims_map[k] == (k,)}
     data_vars = [k for k in names if k not in coords]
     if variables is not None:
-        missing = [v for v in variables if v not in arrays]
+        missing = [v for v in variables if v not in names]
         if missing:
             raise KeyError(f"variables not in {path}: {missing}")
         data_vars = [v for v in variables if v not in coords]
@@ -133,10 +143,15 @@ def read_zarr(path: str, variables: Optional[Sequence[str]] = None, decode_cf: b
     dim_order: List[str] = []
     dim_size: Dict[str, int] = {}
     for k in data_vars:
-        for d, n in zip(dims_map[k], arrays[k].shape):
+        for d, n in zip(dims_map[k], shape_map[k]):
             if d not in dim_order:
                 dim_order.append(d)
                 dim_size[d] = n
+
+    needed = list(data_vars) + [d for d in dim_order if d in coords]
+    arrays: Dict[str, np.ndarray] = {
+        k: read_zarr_array(os.path.join(path, k))[0] for k in needed
+    }
 
     coord_vals: Dict[str, np.ndarray] = {}
     for d in dim_order:
