@@ -136,35 +136,76 @@ def host_store_path(store_path: str, process_id: int) -> str:
     return f"{root}.h{process_id}{ext or '.h5'}"
 
 
-def mark_host_complete(store_path: str, process_id: int) -> None:
+def run_token(config: dict, expert_locs: Optional[pd.DataFrame] = None) -> str:
+    """Deterministic token identifying THIS run's work for the completion
+    markers, computed identically (no communication) on every host from
+    the comparable config subset plus the full pre-partition expert-loc
+    table. Markers from a different config sharing the store file, or
+    from a run over a smaller expert set (elastic restart that added
+    locations), carry a different token and are ignored by the merge wait
+    instead of being mistaken for completion.
+    """
+    import hashlib
+
+    from gpsat_tpu.experts import _comparable_config_str
+
+    h = hashlib.sha1(_comparable_config_str(config).encode())
+    if expert_locs is not None:
+        h.update(pd.util.hash_pandas_object(expert_locs, index=False).values.tobytes())
+    return h.hexdigest()
+
+
+def mark_host_complete(store_path: str, process_id: int, token: str = "") -> None:
     """Write the completion marker process 0's merge waits on."""
     with TableStore(store_path) as store:
         store.put(
             _COMPLETE_TABLE,
-            pd.DataFrame({"process_id": [process_id], "datetime": [pd.Timestamp.now().isoformat()]}),
+            pd.DataFrame({
+                "process_id": [process_id], "token": [token],
+                "datetime": [pd.Timestamp.now().isoformat()],
+            }),
         )
 
 
-def host_is_complete(store_path: str) -> bool:
+def clear_host_marker(store_path: str) -> None:
+    """Drop a stale completion marker before starting (new) work."""
+    if not os.path.exists(store_path):
+        return
+    with TableStore(store_path) as store:
+        if _COMPLETE_TABLE in store:
+            store.delete(_COMPLETE_TABLE)
+
+
+def host_is_complete(store_path: str, token: str = "") -> bool:
     if not os.path.exists(store_path):
         return False
     try:
         with TableStore(store_path, mode="r") as store:
-            return _COMPLETE_TABLE in store
+            if _COMPLETE_TABLE not in store:
+                return False
+            if not token:
+                return True
+            marker = store.get(_COMPLETE_TABLE)
+            # pre-token markers (no column) never satisfy a token wait
+            if "token" not in marker.columns:
+                return False
+            return bool((marker["token"].astype(str) == token).any())
     except OSError:
         return False  # mid-write
 
 
-def wait_for_hosts(paths: Sequence[str], timeout: float = 600.0, poll: float = 0.5) -> None:
+def wait_for_hosts(paths: Sequence[str], timeout: float = 600.0, poll: float = 0.5, token: str = "") -> None:
     """Block until every per-host store carries its completion marker.
 
     File-based (no collectives): works identically on CPU test clusters
     and TPU pods sharing a filesystem, and tolerates hosts finishing at
-    wildly different times.
+    wildly different times. With ``token``, only markers written for the
+    SAME run (see :func:`run_token`) count — a stale marker left in a
+    reused store file does not release the wait.
     """
     t0 = time.monotonic()
     while True:
-        missing = [p for p in paths if not host_is_complete(p)]
+        missing = [p for p in paths if not host_is_complete(p, token=token)]
         if not missing:
             return
         if time.monotonic() - t0 > timeout:
@@ -312,16 +353,18 @@ def run_distributed(
         model_config=config.get("model"),
         pred_loc_config=config.get("pred_loc"),
     )
+    token = run_token(config, oi.expert_locs)  # pre-partition: hosts agree
     if nproc > 1:
+        clear_host_marker(my_store)
         oi.expert_locs = partition_expert_locs(oi.expert_locs, nproc, pid)
     run_kwargs.setdefault("mesh", local_mesh())
     oi.run(store_path=my_store, **run_kwargs)
 
     if nproc > 1:
-        mark_host_complete(my_store, pid)
+        mark_host_complete(my_store, pid, token=token)
         if merge and pid == 0:
             paths = [host_store_path(store_path, h) for h in range(nproc)]
-            wait_for_hosts(paths, timeout=merge_timeout)
+            wait_for_hosts(paths, timeout=merge_timeout, token=token)
             merge_stores(paths, store_path, overwrite=True)
             cprint(f"[distributed] merged {nproc} host stores -> {store_path}", c="OKGREEN")
     return my_store

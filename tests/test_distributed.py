@@ -223,3 +223,45 @@ def test_merge_stores_remaps_config_ids(tmp_path):
     rd = rd.sort_values("x")
     # host 0 rows keep A->0, B->1; host 1's B row is remapped 0 -> 1
     assert list(rd["config_id"]) == [by_model["GPflowGPRModel"], by_model["GPflowSGPRModel"], by_model["GPflowSGPRModel"]]
+
+
+def test_completion_markers_are_run_scoped(tmp_path):
+    """A stale _host_complete marker (previous config sharing the store,
+    or a run over fewer expert locations) must not satisfy the merge wait
+    for the current run."""
+    from gpsat_tpu.distributed import (
+        clear_host_marker, host_is_complete, mark_host_complete, run_token,
+        wait_for_hosts,
+    )
+
+    locs = pd.DataFrame({"x": [0.0, 1.0], "y": [0.0, 1.0]})
+    cfg_a = {"model": {"oi_model": "GPflowGPRModel"}}
+    cfg_b = {"model": {"oi_model": "GPflowSGPRModel"}}
+    tok_a = run_token(cfg_a, locs)
+    tok_b = run_token(cfg_b, locs)
+    assert tok_a != tok_b
+    # elastic restart: adding a location changes the token
+    assert run_token(cfg_a, pd.concat([locs, locs])) != tok_a
+    # run_kwargs differences do NOT change it (comparable subset only)
+    assert run_token({**cfg_a, "run_kwargs": {"store_path": "z"}}, locs) == tok_a
+
+    p = str(tmp_path / "r.h0.h5")
+    mark_host_complete(p, 0, token=tok_a)
+    assert host_is_complete(p, token=tok_a)
+    assert not host_is_complete(p, token=tok_b)  # stale marker ignored
+    with pytest.raises(TimeoutError):
+        wait_for_hosts([p], timeout=0.2, poll=0.05, token=tok_b)
+    # marker from config A replaced once config B's host finishes
+    mark_host_complete(p, 0, token=tok_b)
+    wait_for_hosts([p], timeout=1.0, token=tok_b)
+    clear_host_marker(p)
+    assert not host_is_complete(p)
+    clear_host_marker(p)  # idempotent, including on missing files
+    clear_host_marker(str(tmp_path / "absent.h5"))
+
+    # pre-token marker (old format, no token column) never satisfies a
+    # token wait but still satisfies an untokened check
+    with TableStore(p) as store:
+        store.put("_host_complete", pd.DataFrame({"process_id": [0]}))
+    assert host_is_complete(p)
+    assert not host_is_complete(p, token=tok_a)
