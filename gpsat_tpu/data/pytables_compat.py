@@ -150,16 +150,28 @@ def read_table(path: str, key: str, where=None) -> pd.DataFrame:
                 for i, c in enumerate(cols):
                     columns[str(c)] = _decode_kind(vals[:, i], block_dtype, encoding)
             else:
-                kind = kind_raw
-                if isinstance(kind, bytes):
-                    kind = kind.decode("utf-8", errors="replace")
-                if isinstance(kind, np.ndarray):
-                    kind = None
+                # Two layouts share the scalar-field shape:
+                #  - IndexCol: <fn>_kind is a plain kind STRING ("integer",
+                #    "datetime64", ...);
+                #  - DataCol (a data_column): <fn>_kind is a pickled LIST
+                #    of column names (pandas DataCol.set_attr stores
+                #    self.values there) and the type lives in <fn>_dtype.
+                col_name = fn
+                unpickled = _unpickle_attr(kind_raw)
+                if isinstance(unpickled, (list, tuple)) and len(unpickled) >= 1:
+                    col_name = str(unpickled[0])
+                    kind = _attr(ds, f"{fn}_dtype")
+                else:
+                    kind = kind_raw
+                    if isinstance(kind, bytes):
+                        kind = kind.decode("utf-8", errors="replace")
+                    if isinstance(kind, np.ndarray):
+                        kind = None
                 decoded = _decode_kind(vals, kind if isinstance(kind, str) else None, encoding)
                 if fn == "index" or fn.endswith("_index") or _is_index_field(grp, fn):
                     index_arrays[fn] = decoded
                 else:
-                    columns[fn] = decoded  # data_column
+                    columns[col_name] = decoded  # data_column
 
     df = pd.DataFrame(columns)
     if index_arrays:

@@ -59,9 +59,13 @@ def _write_frame_table(f, key, *, index_fields, blocks, data_columns=(), nrows=N
         if dt:
             ds.attrs[f"{fn}_dtype"] = np.bytes_(dt[0].encode())
         j += 1
-    for fn, _, kind in data_columns:
+    for fn, _, dtype_str in data_columns:
         ds.attrs[f"FIELD_{j}_NAME"] = np.bytes_(fn.encode())
-        ds.attrs[f"{fn}_kind"] = np.bytes_(kind.encode())
+        # real pandas DataCol layout: <fn>_kind is a PICKLED LIST of the
+        # column names (DataCol.set_attr stores self.values), the type
+        # string lives in <fn>_dtype — unlike IndexCol's plain kind string
+        ds.attrs[f"{fn}_kind"] = np.void(pickle.dumps([fn]))
+        ds.attrs[f"{fn}_dtype"] = np.bytes_(dtype_str.encode())
         j += 1
 
 
@@ -262,3 +266,29 @@ def test_string_and_datetime_values_blocks(tmp_path):
     # a filter on the decoded string column matches (the failure mode:
     # bytes left undecoded make this select nothing)
     assert (df["model"] == "GPflowGPRModel").all()
+
+
+def test_scalar_datetime_data_column(tmp_path):
+    """datetime64 stored as a scalar data_column (the standard reference
+    setup for HDFStore where-queries on 'date'): the column must come back
+    as datetime64, not raw int64 nanoseconds, and string where-queries
+    must work against it."""
+    from gpsat_tpu.data import pytables_compat as PT
+
+    path = str(tmp_path / "dtcol.h5")
+    dates = np.array(
+        ["2020-03-04", "2020-03-05", "2020-03-06"], dtype="datetime64[ns]"
+    )
+    with h5py.File(path, "w") as f:
+        _write_frame_table(
+            f, "data",
+            index_fields={"index": (np.arange(3, dtype=np.int64), "integer")},
+            blocks=[("values_block_0", ["obs"], np.arange(3.0).reshape(3, 1))],
+            data_columns=[("date", dates.view("int64"), "datetime64[ns]")],
+        )
+    df = PT.read_table(path, "data")
+    assert list(df.columns) == ["obs", "date"]
+    assert np.issubdtype(df["date"].dtype, np.datetime64)
+    np.testing.assert_array_equal(df["date"].values, dates)
+    sel = PT.read_table(path, "data", where=["date >= '2020-03-05'"])
+    assert list(sel["obs"]) == [1.0, 2.0]
