@@ -23,14 +23,41 @@ _LIB_PATHS = [
     os.path.join(os.path.dirname(__file__), "..", "native", _LIB_NAME),
 ]
 
-_lib = None
-for p in _LIB_PATHS:
-    if os.path.exists(p):
+# ABI contract with native/src/gpsat_native.cpp (gpsat_abi_version). The
+# .so is gitignored and built out-of-band, so a stale binary is a real
+# possibility; calling it with these argtypes would pass shifted pointer
+# arguments (v1 -> v2 added `inclusive` to gpsat_grid_index_query).
+# Mismatch or missing symbol => treat the library as absent and use the
+# numpy/scipy fallbacks, with a rebuild hint.
+_ABI_VERSION = 2
+
+
+def _load_checked(paths):
+    for p in paths:
+        if not os.path.exists(p):
+            continue
         try:
-            _lib = ctypes.CDLL(p)
-            break
+            lib = ctypes.CDLL(p)
         except OSError:
-            pass
+            continue
+        try:
+            lib.gpsat_abi_version.restype = ctypes.c_int64
+            built = int(lib.gpsat_abi_version())
+        except AttributeError:
+            built = 1  # pre-versioning builds
+        if built != _ABI_VERSION:
+            import warnings
+
+            warnings.warn(
+                f"{p} has ABI v{built}, expected v{_ABI_VERSION} — using the "
+                f"numpy/scipy fallbacks; rebuild with `python -m gpsat_tpu.build_native`"
+            )
+            continue
+        return lib
+    return None
+
+
+_lib = _load_checked(_LIB_PATHS)
 
 HAS_NATIVE = _lib is not None
 

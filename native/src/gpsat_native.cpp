@@ -49,6 +49,13 @@ void parallel_for(int64_t n, F&& body) {
 
 extern "C" {
 
+// ABI version, checked by the ctypes loader (gpsat_tpu/native.py) before
+// any argtypes are trusted. Bump whenever an exported signature changes
+// (e.g. v2 added the `inclusive` argument to gpsat_grid_index_query);
+// a stale prebuilt .so then falls back to the numpy/scipy paths instead
+// of being called with shifted pointer arguments.
+int64_t gpsat_abi_version() { return 2; }
+
 // Euclidean-ball mask: out[i] = ||locs[i,:] - ref||_2 < max_dist.
 // Per-dimension prefilter then full norm, matching the numba kernel's
 // shape (ref: prediction_locations.py:18-43); built for ~1e8 rows.

@@ -143,3 +143,35 @@ class TestRadiusBoundary:
             pl.expert_loc = refs.iloc[[i]]
             expect = pl()
             np.testing.assert_array_equal(got[i], expect)
+
+
+def test_abi_gate_rejects_stale_library(tmp_path):
+    """A prebuilt .so with a different (or missing) gpsat_abi_version must
+    be refused — calling a v1 binary with v2 argtypes passes shifted
+    pointer arguments (segfault territory)."""
+    from gpsat_tpu import native
+
+    src = tmp_path / "stale.cpp"
+    src.write_text(
+        '#include <cstdint>\n'
+        'extern "C" int64_t gpsat_abi_version() { return 1; }\n'
+    )
+    so = tmp_path / "libstale.so"
+    subprocess.run(
+        ["g++", "-shared", "-fPIC", "-o", str(so), str(src)], check=True
+    )
+    with pytest.warns(UserWarning, match="ABI v1"):
+        assert native._load_checked([str(so)]) is None
+
+    # no version symbol at all == pre-versioning v1: also refused
+    src2 = tmp_path / "unversioned.cpp"
+    src2.write_text('extern "C" void gpsat_grid_index_free() {}\n')
+    so2 = tmp_path / "libunversioned.so"
+    subprocess.run(
+        ["g++", "-shared", "-fPIC", "-o", str(so2), str(src2)], check=True
+    )
+    with pytest.warns(UserWarning, match="ABI v1"):
+        assert native._load_checked([str(so2)]) is None
+
+    # missing files are skipped silently
+    assert native._load_checked([str(tmp_path / "absent.so")]) is None
