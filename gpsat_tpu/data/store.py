@@ -148,9 +148,15 @@ class TableStore:
                     numeric = {k_old, k_new} <= {"i", "u", "f"}
                     assert numeric, f"dtype mismatch on column {c}: {tag_old} vs {tag}"
                     integral = np.all(np.isfinite(vals)) and np.all(vals == np.trunc(vals))
-                    if k_old == "f" or integral:
-                        # incoming values fit the stored dtype losslessly
-                        vals = vals.astype(ds.dtype)
+                    # lossless only if the cast round-trips: a negative int
+                    # into an unsigned column, or an int wider than the
+                    # stored dtype, must promote the column instead of
+                    # silently wrapping
+                    cast = vals.astype(ds.dtype) if (k_old == "f" or integral) else None
+                    if cast is not None and (
+                        k_old == "f" or np.array_equal(cast.astype(vals.dtype), vals)
+                    ):
+                        vals = cast
                     else:
                         # promote the stored int column to float in place
                         old = ds[...].astype(vals.dtype)

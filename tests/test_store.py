@@ -113,3 +113,24 @@ class TestNumericCrossAppend:
         store.append("t", pd.DataFrame({"n": ["a", "b"]}))
         with pytest.raises(AssertionError, match="dtype mismatch"):
             store.append("t", pd.DataFrame({"n": np.array([1.0, 2.0])}))
+
+    def test_nonfitting_int_promotes_not_wraps(self, store):
+        """Values that don't round-trip through the stored int dtype must
+        promote the column, never wrap (e.g. -1 into unsigned storage)."""
+        store.append("t", pd.DataFrame({"n": np.array([1, 2], dtype=np.uint8)}))
+        store.append("t", pd.DataFrame({"n": np.array([-1, 300], dtype=np.int64)}))
+        out = store.select("t")
+        assert list(out["n"]) == [1, 2, -1, 300]
+
+    def test_wide_int_into_narrow_promotes(self, store):
+        store.append("t", pd.DataFrame({"n": np.array([1, 2], dtype=np.int32)}))
+        big = np.array([2**40, 5], dtype=np.int64)
+        store.append("t", pd.DataFrame({"n": big}))
+        out = store.select("t")
+        assert list(out["n"]) == [1, 2, 2**40, 5]
+
+    def test_integral_float_too_wide_for_int_promotes(self, store):
+        store.append("t", pd.DataFrame({"n": np.array([1, 2], dtype=np.int16)}))
+        store.append("t", pd.DataFrame({"n": np.array([1e6, 3.0])}))
+        out = store.select("t")
+        assert list(out["n"]) == [1.0, 2.0, 1e6, 3.0]
