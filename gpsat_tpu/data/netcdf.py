@@ -180,6 +180,15 @@ def read_netcdf(
                 if d not in dim_order:
                     dim_order.append(d)
                     dim_size[d] = n
+        if variables is not None:
+            # a requested COORDINATE (dimension scale) is an index level
+            # (xarray to_dataframe semantics); without this its dim —
+            # hence its values — would silently vanish when no selected
+            # data var covers it
+            for v in variables:
+                if v in scales and v not in dim_order:
+                    dim_order.append(v)
+                    dim_size[v] = scales[v].shape[0]
 
         coords: Dict[str, np.ndarray] = {}
         for d in dim_order:

@@ -121,15 +121,7 @@ class PredictionLocations:
         elif self.method == "from_dataframe":
             out = self._from_dataframe(**self.kwargs)
         elif self.method == "from_source":
-            assert "load_kwargs" in self.kwargs, (
-                "method='from_source' requires 'load_kwargs' (passed to gpsat_tpu.data.dataloader.load)"
-            )
-            from gpsat_tpu.data.dataloader import load
-
-            load_kwargs = self.kwargs.pop("load_kwargs")
-            df = load(**load_kwargs).drop_duplicates()
-            self.method = "from_dataframe"
-            self.kwargs["df"] = df
+            self._resolve_source()
             out = self._from_dataframe(**self.kwargs)
         else:
             raise ValueError(f"method: '{self.method}' not implemented")
@@ -156,15 +148,28 @@ class PredictionLocations:
         per-expert path with identical results. Row order matches the
         per-expert masks (df order).
         """
+        if self.method == "from_source":
+            # resolve the lazy load up front so reference-style configs
+            # (from_source + max_dist) take the batched path too
+            self._resolve_source()
         md = self.kwargs.get("max_dist")
         df = self.kwargs.get("df")
+        found_cols = (
+            [c for c in self.coords_col if c in df.columns]
+            if df is not None and self.coords_col is not None else []
+        )
         batchable = (
             self.method == "from_dataframe"
             and md is not None
             and df is not None
             and "local_select" not in self.kwargs
-            and self.coords_col is not None
-            and len([c for c in self.coords_col if c in df.columns]) == 2
+            and len(found_cols) == 2
+            # non-f64 grids fall back: _from_dataframe casts the expert
+            # loc to the grid dtype (int truncation / f32 rounding) and
+            # masks in that dtype — the batched query is f64-only, so
+            # only the f64 case is bit-identical between the two paths
+            and df.dtypes[found_cols].eq(np.float64).all()
+            and np.issubdtype(expert_rows[self.coords_col].values.dtype, np.number)
         )
         if not batchable:
             out = []
@@ -175,7 +180,6 @@ class PredictionLocations:
 
         from gpsat_tpu import native
 
-        found_cols = [c for c in self.coords_col if c in df.columns]
         vals = np.ascontiguousarray(df.loc[:, found_cols].values, dtype=float)
         refs = expert_rows[self.coords_col].values.astype(float)
         fc_loc = _match(found_cols, self.coords_col)
@@ -197,6 +201,19 @@ class PredictionLocations:
                 full[:, mloc] = refs[e, mloc]
                 out.append(full)
         return out
+
+    def _resolve_source(self):
+        """Load the 'from_source' grid once and become 'from_dataframe'
+        (the reference's lazy-then-cached idiom, ref:
+        GPSat/prediction_locations.py:82-100)."""
+        assert "load_kwargs" in self.kwargs, (
+            "method='from_source' requires 'load_kwargs' (passed to gpsat_tpu.data.dataloader.load)"
+        )
+        from gpsat_tpu.data.dataloader import load
+
+        load_kwargs = self.kwargs.pop("load_kwargs")
+        self.kwargs["df"] = load(**load_kwargs).drop_duplicates()
+        self.method = "from_dataframe"
 
     def _to_array(self, x):
         (out,) = to_array(x)

@@ -139,6 +139,10 @@ def read_zarr(path: str, variables: Optional[Sequence[str]] = None, decode_cf: b
         if missing:
             raise KeyError(f"variables not in {path}: {missing}")
         data_vars = [v for v in variables if v not in coords]
+        # a requested COORDINATE is an index level (xarray to_dataframe
+        # semantics); without this its dim — hence its values — would
+        # silently vanish when no selected data var covers it
+        extra_dims = [v for v in variables if v in coords]
 
     dim_order: List[str] = []
     dim_size: Dict[str, int] = {}
@@ -147,6 +151,11 @@ def read_zarr(path: str, variables: Optional[Sequence[str]] = None, decode_cf: b
             if d not in dim_order:
                 dim_order.append(d)
                 dim_size[d] = n
+    if variables is not None:
+        for d in extra_dims:
+            if d not in dim_order:
+                dim_order.append(d)
+                dim_size[d] = shape_map[d][0]
 
     needed = list(data_vars) + [d for d in dim_order if d in coords]
     arrays: Dict[str, np.ndarray] = {

@@ -389,3 +389,125 @@ def test_pred_loc_batch_call_matches_per_expert():
             pl2.expert_loc = experts.iloc[[e]]
             gold = pl2()
             np.testing.assert_array_equal(batched[e], gold, err_msg=f"{kw['method']} expert {e}")
+
+
+def test_pred_loc_batch_call_from_source_and_dtypes(tmp_path, monkeypatch):
+    """from_source resolves once up front and then takes the batched
+    grid-hash path; non-f64 grids fall back to the per-expert path (whose
+    expert-loc-to-grid-dtype cast the batched query cannot reproduce) and
+    still match it exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from gpsat_tpu import native
+    from gpsat_tpu.data.prediction_locations import PredictionLocations
+
+    rng = np.random.default_rng(7)
+    grid = pd.DataFrame({"x": rng.uniform(0, 10, 2000), "y": rng.uniform(0, 10, 2000)})
+    csv = tmp_path / "grid.csv"
+    grid.to_csv(csv, index=False)
+    experts = pd.DataFrame({"x": [2.0, 5.0], "y": [3.0, 5.0]})
+
+    calls = {"n": 0}
+    real = native.radius_query_all
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(native, "radius_query_all", counting)
+
+    pl = PredictionLocations(
+        method="from_source", coords_col=["x", "y"],
+        load_kwargs={"source": str(csv)}, max_dist=2.0,
+    )
+    batched = pl.batch_call(experts)
+    assert calls["n"] == 1, "from_source should resolve then batch via the grid hash"
+    # gold: per-expert path on the SAME from_source config (CSV text
+    # round-trip perturbs last-ulp values, so compare like with like)
+    gold_pl = PredictionLocations(
+        method="from_source", coords_col=["x", "y"],
+        load_kwargs={"source": str(csv)}, max_dist=2.0,
+    )
+    for e in range(len(experts)):
+        gold_pl.expert_loc = experts.iloc[[e]]
+        np.testing.assert_array_equal(batched[e], gold_pl())
+
+    # int grid: expert (2.6, 3.4) truncates to (2, 3) in the per-expert
+    # path — batch_call must fall back and agree with it
+    int_grid = pd.DataFrame({
+        "x": rng.integers(0, 10, 2000), "y": rng.integers(0, 10, 2000)
+    })
+    experts_frac = pd.DataFrame({"x": [2.6], "y": [3.4]})
+    calls["n"] = 0
+    pl_int = PredictionLocations(
+        method="from_dataframe", coords_col=["x", "y"], df=int_grid, max_dist=2.0
+    )
+    batched_int = pl_int.batch_call(experts_frac)
+    assert calls["n"] == 0, "non-f64 grid must not take the batched path"
+    per = PredictionLocations(
+        method="from_dataframe", coords_col=["x", "y"], df=int_grid, max_dist=2.0
+    )
+    per.expert_loc = experts_frac.iloc[[0]]
+    np.testing.assert_array_equal(batched_int[0], per())
+
+    # f32 grid likewise falls back and matches
+    f32_grid = grid.astype(np.float32)
+    pl32 = PredictionLocations(
+        method="from_dataframe", coords_col=["x", "y"], df=f32_grid, max_dist=2.0
+    )
+    batched32 = pl32.batch_call(experts)
+    assert calls["n"] == 0
+    per32 = PredictionLocations(
+        method="from_dataframe", coords_col=["x", "y"], df=f32_grid, max_dist=2.0
+    )
+    for e in range(len(experts)):
+        per32.expert_loc = experts.iloc[[e]]
+        np.testing.assert_array_equal(batched32[e], per32())
+
+
+def test_readers_return_requested_coordinate_variables(tmp_path):
+    """variables=[...] including a coordinate array that no selected data
+    var covers must return it as an index level (xarray to_dataframe
+    semantics), not silently drop it — for both the zarr and netcdf
+    readers."""
+    import numpy as np
+
+    from gpsat_tpu.data.zarr_reader import read_zarr, write_zarr
+
+    store = str(tmp_path / "s.zarr")
+    write_zarr(
+        store,
+        {"obs": (("t",), np.array([1.0, 2.0, 3.0]))},
+        coords={"t": np.array([10.0, 20.0, 30.0]),
+                "lat": np.array([55.0, 56.0])},
+    )
+    out = read_zarr(store, variables=["lat", "obs"])
+    flat = out.reset_index()
+    assert "lat" in flat.columns and "obs" in flat.columns
+    assert sorted(set(flat["lat"].dropna())) == [55.0, 56.0]
+    # coord alone
+    only = read_zarr(store, variables=["lat"]).reset_index()
+    assert sorted(only["lat"]) == [55.0, 56.0]
+    # coord covered by a data var: present as index level, not duplicated
+    cov = read_zarr(store, variables=["obs"])
+    assert cov.index.name == "t" and list(cov.columns) == ["obs"]
+
+    # netcdf reader: same contract
+    import h5py
+
+    from gpsat_tpu.data.netcdf import read_netcdf
+
+    nc = str(tmp_path / "s.nc")
+    with h5py.File(nc, "w") as f:
+        t = f.create_dataset("t", data=np.array([10.0, 20.0, 30.0]))
+        t.make_scale("t")
+        lat = f.create_dataset("lat", data=np.array([55.0, 56.0]))
+        lat.make_scale("lat")
+        d = f.create_dataset("obs", data=np.array([1.0, 2.0, 3.0]))
+        d.dims[0].attach_scale(t)
+    out = read_netcdf(nc, variables=["lat", "obs"]).reset_index()
+    assert "lat" in out.columns and "obs" in out.columns
+    assert sorted(set(out["lat"].dropna())) == [55.0, 56.0]
+    only = read_netcdf(nc, variables=["lat"]).reset_index()
+    assert sorted(only["lat"]) == [55.0, 56.0]
