@@ -845,58 +845,65 @@ class LocalExpertOI:
         from gpsat_tpu.data import pytables_compat as PT
 
         pytables = PT.is_pytables_store(file)
+        # one store open (or table listing) for the WHOLE param loop —
+        # not one per parameter table
+        pt_tables = set(PT.list_tables(file)) if pytables else None
+        store = None if pytables else TableStore(file)
 
         def read_param_table(pname):
             """One param table -> DataFrame (or None) — native TableStore
             or a reference-produced PyTables store transparently."""
             tbl = f"{pname}{suffix}"
             if pytables:
-                if tbl not in PT.list_tables(file):
+                if tbl not in pt_tables:
                     return None
                 return PT.read_table(file, tbl).reset_index()
-            with TableStore(file) as store:
-                if tbl not in store:
-                    return None
-                return store.select(tbl).reset_index()
+            if tbl not in store:
+                return None
+            return store.select(tbl).reset_index()
 
-        for pname in core.param_names:
-            # one read per param table, grouped by expert coordinates —
-            # replaces the reference's per-expert HDF5 where-queries
-            # (ref: local_experts.py:608-689)
-            pdf = read_param_table(pname)
-            if pdf is None:
-                continue
-            grouped = {k: g for k, g in pdf.groupby(list(coords_col))}
-            # "nearest": warm-start from the closest stored expert when
-            # there is no exact coordinate match — the batch-compatible
-            # replacement for the reference's serial EMA warm start
-            # (ref: local_experts.py:1200-1217, divergence #2)
-            kdt = keys = None
-            if lp.get("nearest", False) and grouped:
-                from scipy.spatial import cKDTree
+        try:
+            for pname in core.param_names:
+                # one read per param table, grouped by expert coordinates —
+                # replaces the reference's per-expert HDF5 where-queries
+                # (ref: local_experts.py:608-689)
+                pdf = read_param_table(pname)
+                if pdf is None:
+                    continue
+                grouped = {k: g for k, g in pdf.groupby(list(coords_col))}
+                # "nearest": warm-start from the closest stored expert when
+                # there is no exact coordinate match — the batch-compatible
+                # replacement for the reference's serial EMA warm start
+                # (ref: local_experts.py:1200-1217, divergence #2)
+                kdt = keys = None
+                if lp.get("nearest", False) and grouped:
+                    from scipy.spatial import cKDTree
 
-                keys = list(grouped.keys())
-                pts = np.asarray(
-                    [k if isinstance(k, tuple) else (k,) for k in keys], dtype=float
-                )
-                kdt = cKDTree(pts)
-            for bi, ei in enumerate(b.expert_index):
-                if ei < 0:
-                    continue
-                row = xprt_locs.iloc[int(ei)]
-                kt = tuple(row[c] for c in coords_col)
-                g = grouped.get(kt if len(kt) > 1 else kt[0], None)
-                if (g is None or len(g) == 0) and kdt is not None:
-                    _, j = kdt.query(np.asarray(kt, dtype=float))
-                    g = grouped[keys[int(j)]]
-                if g is None or len(g) == 0:
-                    continue
-                dim_cols = sorted(c for c in g.columns if c.startswith("_dim_"))
-                vals = g.sort_values(dim_cols)[pname].values.astype(float)
-                if np.any(np.isnan(vals)):
-                    continue  # nan params are not loaded (ref: :670-681)
-                tgt = out[pname][bi]
-                out[pname][bi] = vals.reshape(np.shape(tgt)) if np.ndim(tgt) else vals[0]
+                    keys = list(grouped.keys())
+                    pts = np.asarray(
+                        [k if isinstance(k, tuple) else (k,) for k in keys], dtype=float
+                    )
+                    kdt = cKDTree(pts)
+                for bi, ei in enumerate(b.expert_index):
+                    if ei < 0:
+                        continue
+                    row = xprt_locs.iloc[int(ei)]
+                    kt = tuple(row[c] for c in coords_col)
+                    g = grouped.get(kt if len(kt) > 1 else kt[0], None)
+                    if (g is None or len(g) == 0) and kdt is not None:
+                        _, j = kdt.query(np.asarray(kt, dtype=float))
+                        g = grouped[keys[int(j)]]
+                    if g is None or len(g) == 0:
+                        continue
+                    dim_cols = sorted(c for c in g.columns if c.startswith("_dim_"))
+                    vals = g.sort_values(dim_cols)[pname].values.astype(float)
+                    if np.any(np.isnan(vals)):
+                        continue  # nan params are not loaded (ref: :670-681)
+                    tgt = out[pname][bi]
+                    out[pname][bi] = vals.reshape(np.shape(tgt)) if np.ndim(tgt) else vals[0]
+        finally:
+            if store is not None:
+                store.close()
         return out
 
     def _run_host_batch(self, b, host_core, per_expert_init, constraints, coords_col, xprt_locs, optimise, predict):
@@ -1032,7 +1039,7 @@ class LocalExpertOI:
         out = {k: np.asarray(v) for k, v in res.items()}
         for p, vals in pvals.items():
             if vals:
-                out[p] = np.stack([np.atleast_1d(v) if np.ndim(vals[0]) else v for v in vals])
+                out[p] = _stack_param_lanes(vals)
         return out
 
     def _store_batch(
@@ -1232,6 +1239,28 @@ _HOST_RESERVED_INIT_KEYS = (
     "smart_init",
     "jitter",
 )
+
+
+def _stack_param_lanes(vals: list) -> np.ndarray:
+    """Stack one parameter's per-expert values into a [B, ...] array.
+
+    Mixed success is possible: a failed ``get_<param>`` appends a 0-d NaN
+    while successful experts return [D] arrays. Failures are filled to
+    the parameter's shape (NaN, or broadcast for compatible scalars)
+    instead of letting a ragged ``np.stack`` kill the whole batch's
+    storage."""
+    shapes = [np.shape(v) for v in vals if np.ndim(v)]
+    tgt = shapes[0] if shapes else ()
+    fixed = []
+    for v in vals:
+        if np.shape(v) == tgt:
+            fixed.append(np.asarray(v, dtype=float))
+        else:
+            try:
+                fixed.append(np.broadcast_to(np.asarray(v, dtype=float), tgt).copy())
+            except ValueError:
+                fixed.append(np.full(tgt, np.nan))
+    return np.stack(fixed)
 
 
 def _host_model_kwargs(init_params: dict) -> dict:
