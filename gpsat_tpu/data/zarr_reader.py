@@ -45,9 +45,15 @@ def _decompress(buf: bytes, compressor: Optional[dict]) -> bytes:
         # zlib.decompress handles both zlib- and gzip-wrapped deflate
         # streams with wbits=47 (auto-detect)
         return zlib.decompress(buf, 47) if cid == "gzip" else zlib.decompress(buf)
+    if cid == "zstd":
+        import zstandard
+
+        return zstandard.ZstdDecompressor().decompress(
+            buf, max_output_size=1 << 34
+        )
     raise NotImplementedError(
         f"zarr compressor '{cid}' not supported by the built-in reader "
-        "(supported: null, zlib, gzip); re-write the store with "
+        "(supported: null, zlib, gzip, zstd); re-write the store with "
         "compressor=zarr.Zlib() or uncompressed"
     )
 
@@ -195,8 +201,11 @@ def read_zarr(path: str, variables: Optional[Sequence[str]] = None, decode_cf: b
 # writer (fixtures / migration; zlib or uncompressed)
 # --------------------------------------------------------------------------
 
-def write_zarr_array(array_dir: str, values: np.ndarray, dims: Sequence[str], chunks=None, compress: bool = True, attrs: Optional[dict] = None):
+def write_zarr_array(array_dir: str, values: np.ndarray, dims: Sequence[str], chunks=None, compress=True, attrs: Optional[dict] = None):
+    """compress: False/None, True/"zlib", or "zstd"."""
     values = np.ascontiguousarray(values)
+    codec = {True: "zlib", False: None, None: None}.get(compress, compress)
+    assert codec in (None, "zlib", "zstd"), f"unsupported codec: {codec}"
     os.makedirs(array_dir, exist_ok=True)
     if chunks is None:
         chunks = tuple(min(s, 1 << 16) for s in values.shape) or ()
@@ -205,7 +214,7 @@ def write_zarr_array(array_dir: str, values: np.ndarray, dims: Sequence[str], ch
         "shape": list(values.shape),
         "chunks": list(chunks),
         "dtype": values.dtype.str,
-        "compressor": {"id": "zlib", "level": 1} if compress else None,
+        "compressor": {"id": codec, "level": 1} if codec else None,
         "fill_value": None,
         "order": "C",
         "filters": None,
@@ -225,8 +234,12 @@ def write_zarr_array(array_dir: str, values: np.ndarray, dims: Sequence[str], ch
                 pad[tuple(slice(0, s) for s in chunk.shape)] = chunk
                 chunk = pad
             raw = np.ascontiguousarray(chunk).tobytes()
-            if compress:
+            if codec == "zlib":
                 raw = zlib.compress(raw, 1)
+            elif codec == "zstd":
+                import zstandard
+
+                raw = zstandard.ZstdCompressor(level=1).compress(raw)
             with open(os.path.join(array_dir, ".".join(str(i) for i in idx)), "wb") as f:
                 f.write(raw)
 

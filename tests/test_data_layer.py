@@ -511,3 +511,37 @@ def test_readers_return_requested_coordinate_variables(tmp_path):
     assert sorted(set(out["lat"].dropna())) == [55.0, 56.0]
     only = read_netcdf(nc, variables=["lat"]).reset_index()
     assert sorted(only["lat"]) == [55.0, 56.0]
+
+
+def test_zarr_zstd_codec(tmp_path):
+    """numcodecs-style zstd-compressed chunks decode (zstandard is in the
+    image; frames without a content-size header included)."""
+    import numpy as np
+    import zstandard
+
+    from gpsat_tpu.data.zarr_reader import read_zarr, read_zarr_array, write_zarr
+
+    store = str(tmp_path / "z.zarr")
+    vals = np.arange(12.0).reshape(3, 4)
+    write_zarr(store, {"z": (("a", "b"), vals)},
+               coords={"a": np.arange(3.0), "b": np.arange(4.0)},
+               compress="zstd")
+    out, _ = read_zarr_array(str(tmp_path / "z.zarr" / "z"))
+    np.testing.assert_array_equal(out, vals)
+    df = read_zarr(store)
+    assert len(df) == 12
+
+    # streamed frame with no content size in the header (numcodecs'
+    # stream_writer path) must also decode
+    import json, os
+    chunk_file = os.path.join(store, "a", "0")
+    raw = zstandard.ZstdDecompressor().decompress(
+        open(chunk_file, "rb").read(), max_output_size=1 << 20)
+    cctx = zstandard.ZstdCompressor(level=1)
+    import io
+    buf = io.BytesIO()
+    with cctx.stream_writer(buf, closefd=False) as w:
+        w.write(raw)
+    open(chunk_file, "wb").write(buf.getvalue())
+    out2, _ = read_zarr_array(os.path.join(store, "a"))
+    np.testing.assert_array_equal(out2, np.arange(3.0))
