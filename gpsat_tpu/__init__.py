@@ -27,6 +27,16 @@ __version__ = "0.1.0"
 import os as _os
 
 
+def get_path(*sub_dirs: str) -> str:
+    """Path under the installed package directory (ref: GPSat/__init__.py:13-15)."""
+    return _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), *sub_dirs)
+
+
+def get_config_path(*sub_dirs: str) -> str:
+    """Path under <repo>/configs (ref: GPSat/__init__.py:23-25)."""
+    return get_parent_path("configs", *sub_dirs)
+
+
 def get_parent_path(*sub_dirs: str) -> str:
     """Path under the repository root (ref: GPSat/__init__.py helper)."""
     parent = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))

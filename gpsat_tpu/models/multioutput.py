@@ -297,3 +297,209 @@ class MultioutputGPRModel:
             kernel=self.kernel,
         )
         return {"f*": np.asarray(mean), "f*_var": np.asarray(var)}
+
+
+# --------------------------------------------------------------------------
+# Forward models + model-based likelihoods
+# (ref: multioutput/utils.py:9-65, multioutput/likelihoods.py:14-216 —
+# re-designed on jax.numpy; same math, no gpflow/check_shapes machinery)
+# --------------------------------------------------------------------------
+
+
+def multivariate_gaussian_log_density(x, mu, cov):
+    """log N(x | mu, cov), batched over leading dims
+    (ref: multioutput/utils.py multivariate_gaussian_log_density)."""
+    x, mu, cov = jnp.asarray(x), jnp.asarray(mu), jnp.asarray(cov)
+    P = mu.shape[-1]
+    diff = (mu - x)[..., :, None]
+    cov_b = jnp.broadcast_to(cov, mu.shape + (P,))
+    sol = jnp.linalg.solve(cov_b, diff)
+    _, logdet = jnp.linalg.slogdet(cov)
+    quad = jnp.squeeze(jnp.swapaxes(diff, -1, -2) @ sol, (-1, -2))
+    return -(P / 2) * jnp.log(2 * jnp.pi) - 0.5 * logdet - 0.5 * quad
+
+
+def add_likelihood_noise_cov(K, R):
+    """K: [..., N, N, P, P]; adds block-diagonal R at n==n'
+    (ref: multioutput/utils.py add_likelihood_noise_cov — the reference
+    round-trips through an (NP, NP) LinearOperatorBlockDiag; a broadcast
+    over the n==n' diagonal is equivalent)."""
+    K = jnp.asarray(K)
+    N = K.shape[-3]
+    eye = jnp.eye(N)[:, :, None, None]
+    return K + eye * jnp.asarray(R)
+
+
+def multioutput_conditional(Kmn, Kmm, Knn, f, H, R, *, full_cov: bool = False):
+    """Posterior over L latent processes at N points given M observed
+    P-vectors f (ref: multioutput/utils.py multioutput_conditional).
+
+    Kmn: [M, L, N, L]; Kmm: [M, L, M, L]; Knn: [N, L, N, L] (full_cov) or
+    [N, L, L]; f: [M, P]; H: [P, L]; R: [P, P].
+    Returns (mean [N, L], var [N, L, N, L] | [N, L, L]).
+
+    Implementation collapses the 4-d tensors to dense matrices and applies
+    the block observation operator kron(I_M, H) — identical math to the
+    reference's transpose/reshape pipeline, one Cholesky of (MP, MP).
+    """
+    Kmn, Kmm, Knn = jnp.asarray(Kmn), jnp.asarray(Kmm), jnp.asarray(Knn)
+    f, H, R = jnp.asarray(f), jnp.asarray(H), jnp.asarray(R)
+    M, L, N, _ = Kmn.shape
+    P = H.shape[0]
+    Kmm_d = Kmm.reshape(M * L, M * L)
+    Kmn_d = Kmn.reshape(M * L, N * L)
+    Hb = jnp.kron(jnp.eye(M), H)                      # [M P, M L]
+    ks = Hb @ Kmm_d @ Hb.T + jnp.kron(jnp.eye(M), R)  # [M P, M P]
+    Lm = jnp.linalg.cholesky(ks)
+    A = jax.scipy.linalg.solve_triangular(Lm, Hb @ Kmn_d, lower=True)  # [MP, NL]
+    if full_cov:
+        fvar = (Knn.reshape(N * L, N * L) - A.T @ A).reshape(N, L, N, L)
+    else:
+        AtA = jnp.einsum("ka,kb->ab", A, A).reshape(N, L, N, L)
+        fvar = Knn - jnp.diagonal(AtA, axis1=0, axis2=2).transpose(2, 0, 1)
+    A2 = jax.scipy.linalg.solve_triangular(Lm.T, A, lower=False)
+    fmean = (A2.T @ f.reshape(M * P, 1)).reshape(N, L)
+    return fmean, fvar
+
+
+class ForwardModel:
+    """Measurement operator h(x): latent F -> observation space
+    (ref: multioutput/utils.py ForwardModel)."""
+
+    def __init__(self, input_dim: int, latent_dim: int, observation_dim: int, *args, **kwargs):
+        self.input_dim = input_dim
+        self.latent_dim = latent_dim
+        self.observation_dim = observation_dim
+
+    def _forward(self, X, F):
+        raise NotImplementedError
+
+    def __call__(self, X, F):
+        return self._forward(X, F)
+
+
+class LinearForwardModel(ForwardModel):
+    """y = H f, H: [P, L] (ref: multioutput/utils.py LinearForwardModel)."""
+
+    def __init__(self, input_dim: int, latent_dim: int, observation_dim: int, H):
+        super().__init__(input_dim, latent_dim, observation_dim)
+        H = jnp.asarray(H)
+        assert H.shape == (observation_dim, latent_dim), (
+            "Tensor H in forward model must be of shape (obs_dim, latent_dim)"
+        )
+        self.tensor = H
+
+    def _forward(self, X, F):
+        return jnp.einsum("pl,...l->...p", self.tensor, jnp.asarray(F))
+
+    def propagate_mean(self, Fmu):
+        return self._forward(None, Fmu)
+
+    def propagate_cov(self, Fcov):
+        return self.tensor @ jnp.asarray(Fcov) @ self.tensor.T
+
+
+class ForwardModelLikelihood:
+    """y = h(x) + eps, eps ~ N(0, R) (ref: multioutput/likelihoods.py:14-37)."""
+
+    def __init__(self, variance, *args, **kwargs):
+        self.h = self.get_model(*args, **kwargs)
+        assert isinstance(self.h, ForwardModel)
+        P = self.h.observation_dim
+        if isinstance(variance, (int, float)):
+            variance = variance * jnp.eye(P)
+        variance = jnp.asarray(variance)
+        assert variance.shape == (P, P)
+        self.variance = variance
+        self.input_dim = self.h.input_dim
+        self.latent_dim = self.h.latent_dim
+        self.observation_dim = self.h.observation_dim
+
+    def get_model(self, *args, **kwargs) -> ForwardModel:
+        raise NotImplementedError
+
+
+class LinearModelLikelihood(ForwardModelLikelihood):
+    """y = Hx + noise (ref: multioutput/likelihoods.py:40-146). Closed-form
+    moments/expectations for the linear-Gaussian case."""
+
+    def __init__(self, input_dim: int, variance, forward_model):
+        super().__init__(variance, input_dim, forward_model)
+        self.H = self.h.tensor
+
+    def get_model(self, input_dim, forward_model):
+        if isinstance(forward_model, LinearForwardModel):
+            return forward_model
+        H = jnp.asarray(forward_model)
+        observation_dim, latent_dim = H.shape
+        return LinearForwardModel(input_dim, latent_dim, observation_dim, H)
+
+    def variance_at(self, X):
+        X = jnp.asarray(X)
+        P = self.variance.shape[0]
+        return jnp.broadcast_to(self.variance, X.shape[:-1] + (P, P))
+
+    def log_prob(self, X, F, Y):
+        return multivariate_gaussian_log_density(Y, self.h(X, F), self.variance)
+
+    def conditional_mean(self, X, F):
+        return self.h(X, F)
+
+    def conditional_variance(self, X, F):
+        F = jnp.asarray(F)
+        return jnp.broadcast_to(jnp.diag(self.variance), F.shape[:-1] + (self.observation_dim,))
+
+    def predict_mean_and_var(self, X, Fmu, Fcov):
+        return self.h.propagate_mean(Fmu), self.h.propagate_cov(Fcov) + self.variance
+
+    def predict_log_density(self, X, Fmu, Fcov, Y):
+        return multivariate_gaussian_log_density(
+            Y, self.h.propagate_mean(Fmu), self.h.propagate_cov(Fcov) + self.variance
+        )
+
+    def variational_expectations(self, X, Fmu, Fcov, Y):
+        """E_q[log p(y | f)] for q = N(Fmu, Fcov)
+        (ref: likelihoods.py:121-141): Gaussian log-density at the
+        propagated mean minus half the propagated-covariance trace term."""
+        HFmu = self.h.propagate_mean(Fmu)
+        HFcovHt = self.h.propagate_cov(Fcov)
+        base = multivariate_gaussian_log_density(Y, HFmu, self.variance)
+        tr = jnp.trace(jnp.linalg.solve(
+            jnp.broadcast_to(self.variance, HFcovHt.shape), HFcovHt),
+            axis1=-2, axis2=-1)
+        return base - 0.5 * tr
+
+
+class NonlinearModelLikelihood(ForwardModelLikelihood):
+    """y = h(x) + noise for nonlinear h; variational expectations by
+    Monte Carlo over q(f) (ref: multioutput/likelihoods.py:149-216; the
+    reference draws tf.random normals — here a jax.random key keeps it
+    deterministic/jittable)."""
+
+    def __init__(self, forward_model: ForwardModel, variance, num_samples: int = 100, seed: int = 0):
+        super().__init__(variance, forward_model)
+        self.num_monte_carlo_points = num_samples
+        self._key = jax.random.PRNGKey(seed)
+
+    def get_model(self, forward_model):
+        return forward_model
+
+    def log_prob(self, X, F, Y):
+        return multivariate_gaussian_log_density(Y, self.h(X, F), self.variance)
+
+    def variational_expectations(self, X, Fmu, Fcov, Y):
+        Fmu, Fcov = jnp.asarray(Fmu), jnp.asarray(Fcov)
+        S = self.num_monte_carlo_points
+        N, D = Fmu.shape[-2], Fmu.shape[-1]
+        eps = jax.random.normal(self._key, (S, N, D), dtype=Fmu.dtype)
+        Lc = jnp.linalg.cholesky(Fcov)
+        samples = Fmu[None] + jnp.einsum("nde,sne->snd", Lc, eps)
+        lp = multivariate_gaussian_log_density(
+            jnp.broadcast_to(Y, (S,) + Y.shape), self.h(X, samples), self.variance
+        )
+        return jnp.mean(lp, axis=0)
+
+
+# reference class-name aliases (ref: multioutput/gpr.py:14,82)
+MultioutputGPR = MultioutputGPRModel
+MultioutputSVGP = MultioutputSVGPModel

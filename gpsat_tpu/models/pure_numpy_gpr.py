@@ -78,7 +78,7 @@ def neg_lml(hypers, x, y, approx: bool = False, M=None, grad: bool = True):
         else:
             L = np.linalg.cholesky(Kx + np.eye(n) * sn2)
             A = np.atleast_2d(np.linalg.solve(L.T, np.linalg.solve(L, y))).T
-            nlZ = float(y @ A) / 2 + np.log(L.diagonal()).sum() + n * np.log(2 * np.pi) / 2
+            nlZ = float((y @ A).item()) / 2 + np.log(L.diagonal()).sum() + n * np.log(2 * np.pi) / 2
             Q = np.linalg.solve(L.T, np.linalg.solve(L, np.eye(n))) - A @ A.T
         if grad:
             # true raw-space gradients (the reference's formulas are
@@ -198,3 +198,32 @@ class PureNumpyGPR:
 
     def set_likelihood_variance(self, v):
         self.likeli_var = float(np.ravel(v)[0])
+
+
+# --------------------------------------------------------------------------
+# reference-named aliases (migration surface; same signatures/semantics as
+# GPSat/models/pure_python_gpr.py:378-553)
+# --------------------------------------------------------------------------
+
+SGPkernel = sgp_kernel
+Nystroem = nystroem
+
+
+def SMLII_mod(hypers, x, y, approx=False, M=None, grad=True, use_log=True):
+    """Negative LML objective (ref: pure_python_gpr.py:439-506). The
+    reference's ``use_log`` flag is dead code there (hypers are consumed
+    raw); accepted and ignored for signature parity."""
+    del use_log
+    return neg_lml(hypers, x, y, approx=approx, M=M, grad=grad)
+
+
+def GPR(x, y, xs, ell, sf2, sn2, mean, approx=False, M=None, returnprior=False):
+    """Posterior mean + predictive std at xs (ref: pure_python_gpr.py:509-553).
+
+    Returns (fs, sfs) or, with ``returnprior``, (fs, sfs, prior_std)."""
+    fs, sfs = gpr_predict(x, y, xs, ell=ell, sf2=sf2, sn2=sn2, mean=mean,
+                          approx=approx, M=M)
+    if returnprior:
+        prior_sd = np.sqrt(sgp_kernel(xs, ell=ell, sigma=sf2).diagonal())
+        return fs, sfs, prior_sd
+    return fs, sfs

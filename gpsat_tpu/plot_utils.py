@@ -379,6 +379,17 @@ def plot_wrapper(
     return fig
 
 
+def plot_gpflow_minimal_example(model, model_init=None, opt_params=None, pred_params=None):
+    """Reference-named smoke harness (ref: GPSat/plot_utils.py:346-456):
+    runs the gpflow getting-started example through any BaseGPRModel and
+    returns (predictions dict, parameters dict) like the reference. The
+    'gpflow' in the name refers to the example's origin, not the backend —
+    here ``model`` is any TPU-native model class."""
+    pred, params, _ = plot_minimal_example(model, model_init=model_init,
+                                           opt_params=opt_params, pred_params=pred_params)
+    return pred, params
+
+
 def plot_minimal_example(model_cls, model_init=None, opt_params=None, pred_params=None):
     """Run any BaseGPRModel through the gpflow getting-started example and
     plot fit +-1.96 sigma (ref: plot_utils.py:346 plot_gpflow_minimal_example;

@@ -18,6 +18,28 @@ from gpsat_tpu.postprocess import (  # noqa: F401
 from gpsat_tpu.utils.misc import cprint, get_config_from_sysargv
 
 
+def get_smooth_params_config():
+    """Config from sys.argv, falling back to the example postprocessing
+    config with example result paths (ref: GPSat/postprocessing.py:580-599)."""
+    import json
+    import warnings
+
+    from gpsat_tpu import get_config_path, get_parent_path
+    from gpsat_tpu.utils.misc import json_serializable, nested_dict_literal_eval
+
+    config = get_config_from_sysargv()
+    if config is None:
+        config_file = get_config_path("example_postprocessing.json")
+        warnings.warn(f"\nconfig is empty / not provided, will just use an example config:\n{config_file}")
+        with open(config_file, "r") as f:
+            config = nested_dict_literal_eval(json.load(f))
+        config["result_file"] = get_parent_path("results", "example", "ABC_binned_example.h5")
+        config["output_file"] = get_parent_path("results", "example", "ABC_binned_example.h5")
+        cprint("example config being used:", c="BOLD")
+        cprint(json.dumps(json_serializable(config), indent=4), c="HEADER")
+    return config
+
+
 def main(config: dict = None):
     if config is None:
         config = get_config_from_sysargv()

@@ -7,8 +7,17 @@ base_dirs, sub_dirs, file_regex, col_funcs, row_select, col_select,
 read_engine, read_kwargs, batch.
 """
 
-from gpsat_tpu.data.ingest import read_and_store
+from gpsat_tpu.data.ingest import get_dirs_to_search, read_and_store  # noqa: F401
 from gpsat_tpu.utils.misc import cprint, get_config_from_sysargv
+
+
+def update_attr(x, cid, vals):
+    """Copy-modify-return an attrs dict (HDF attrs don't update in place;
+    ref: GPSat/read_and_store.py:19-27)."""
+    assert isinstance(x, dict)
+    tmp = x.copy()
+    tmp[cid] = vals
+    return tmp
 
 
 def main(config: dict = None):

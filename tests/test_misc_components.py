@@ -283,3 +283,88 @@ def test_get_weighted_values_drops_nan_keys():
     assert len(out) == 2
     assert not out["rx"].isna().any()
     np.testing.assert_allclose(out["v"].values, [2.0, 6.0])
+
+
+class TestReferenceCompatSurface:
+    """Reference-placement aliases (migration surface; ref: GPSat/utils.py,
+    GPSat/__init__.py, bin_data.py:853, postprocessing.py:580)."""
+
+    def test_sigmoid_round_trip_and_saturation(self):
+        import numpy as np
+        from gpsat_tpu.utils import inverse_sigmoid, sigmoid
+
+        x = np.linspace(-4, 4, 9)
+        np.testing.assert_allclose(inverse_sigmoid(sigmoid(x, 1, 3), 1, 3), x, atol=1e-10)
+        assert inverse_sigmoid(1.0, 1, 3) == -np.inf
+        assert inverse_sigmoid(3.0, 1, 3) == np.inf
+        np.testing.assert_allclose(sigmoid(0.0), 0.5)
+
+    def test_utils_lazy_aliases_resolve(self):
+        import gpsat_tpu.utils as U
+
+        for name in ["sparse_true_array", "get_previous_oi_config",
+                     "check_prev_oi_config", "get_git_information",
+                     "glue_local_predictions", "bin_obs_by_date", "log_lines",
+                     "not_nan", "softplus", "inverse_softplus", "json_load",
+                     "expand_dict_by_vals", "get_col_values", "diff_distance",
+                     "assign_category_col", "convert_lon_lat_str",
+                     "move_to_archive", "pretty_print_class"]:
+            assert callable(getattr(U, name)), name
+        import pytest
+
+        with pytest.raises(AttributeError):
+            U.definitely_not_a_symbol
+
+    def test_package_path_helpers(self):
+        import os
+
+        import gpsat_tpu as g
+
+        assert g.get_path().endswith("gpsat_tpu")
+        assert os.path.isdir(g.get_config_path())
+        assert g.get_config_path("x.json").endswith(os.path.join("configs", "x.json"))
+
+    def test_update_attr_copies(self):
+        from gpsat_tpu.read_and_store import update_attr
+
+        d = {"a": 1}
+        out = update_attr(d, "b", 2)
+        assert out == {"a": 1, "b": 2} and d == {"a": 1}
+
+    def test_pure_python_reference_wrappers(self):
+        import numpy as np
+        from gpsat_tpu.models.pure_python_gpr import GPR, SGPkernel, SMLII_mod
+        from gpsat_tpu.models.pure_numpy_gpr import gpr_predict, neg_lml, sgp_kernel
+
+        rng = np.random.default_rng(0)
+        x = rng.uniform(size=(15, 2))
+        y = np.sin(3 * x[:, 0])
+        ell = np.array([0.7, 1.1])
+        np.testing.assert_allclose(SGPkernel(x, ell=ell, sigma=1.3),
+                                   sgp_kernel(x, ell=ell, sigma=1.3))
+        h = np.array([0.7, 1.1, 1.3, 0.05])
+        v1, g1 = SMLII_mod(h, x, y, use_log=True)
+        v2, g2 = neg_lml(h, x, y)
+        np.testing.assert_allclose(v1, v2)
+        np.testing.assert_allclose(g1, g2)
+        fs, sfs, prior = GPR(x, y, x[:4], ell=ell, sf2=1.3, sn2=0.05, mean=0.1,
+                             returnprior=True)
+        fs2, sfs2 = gpr_predict(x, y, x[:4], ell=ell, sf2=1.3, sn2=0.05, mean=0.1)
+        np.testing.assert_allclose(fs, fs2)
+        np.testing.assert_allclose(sfs, sfs2)
+        np.testing.assert_allclose(prior, np.sqrt(1.3) * np.ones(4), atol=1e-10)
+
+    def test_config_fallback_loaders(self, monkeypatch, tmp_path):
+        """get_bin_data_config / get_smooth_params_config fall back to the
+        example configs when no sysargv config is given."""
+        import sys
+
+        monkeypatch.setattr(sys, "argv", ["prog"])
+        import warnings
+
+        from gpsat_tpu.postprocessing import get_smooth_params_config
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            cfg = get_smooth_params_config()
+        assert "result_file" in cfg and cfg["result_file"].endswith("ABC_binned_example.h5")
