@@ -163,3 +163,27 @@ def _wheres_to_parquet_filter(where):
         if isinstance(wd, dict) and all(k in wd for k in ("col", "comp", "val")) and not wd.get("negate"):
             out.append((wd["col"], wd["comp"], wd["val"]))
     return out or None
+
+
+def add_data_to_col(df: pd.DataFrame, add_data_to_col: Optional[dict] = None, verbose: bool = False) -> pd.DataFrame:
+    """Set a column to each value in turn, replicating the rows per value
+    (ref: GPSat/dataloader.py add_data_to_col — a scalar sets one column;
+    a list of k values concatenates k copies of the DataFrame, one per
+    value)."""
+    if add_data_to_col is None:
+        add_data_to_col = {}
+    assert isinstance(add_data_to_col, dict), (
+        f"add_data_to_col expected to be dict, got: {type(add_data_to_col)}"
+    )
+    for col, vals in add_data_to_col.items():
+        if not isinstance(vals, (list, tuple, np.ndarray)):
+            vals = [vals]
+        if verbose:
+            print(f"adding column: {col} with {len(vals)} value(s)")
+        parts = []
+        for v in vals:
+            tmp = df.copy(True)
+            tmp[col] = v
+            parts.append(tmp)
+        df = pd.concat(parts, axis=0)
+    return df

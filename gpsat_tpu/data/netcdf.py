@@ -228,7 +228,28 @@ def write_netcdf(path: str, df_or_vars, coords: Optional[Dict[str, np.ndarray]] 
     on-disk convention)."""
     import h5py
 
-    if isinstance(df_or_vars, pd.DataFrame):
+    if isinstance(df_or_vars, pd.DataFrame) and isinstance(df_or_vars.index, pd.MultiIndex):
+        # unstack onto the dense dim product (xarray's df.to_xarray()
+        # convention): each index level becomes a dimension, missing cells
+        # are NaN
+        df = df_or_vars
+        levels = list(df.index.names)
+        uniq = [np.unique(df.index.get_level_values(l).to_numpy()) for l in levels]
+        shape = tuple(len(u) for u in uniq)
+        pos = [
+            {v: i for i, v in enumerate(u)} for u in uniq
+        ]
+        idx = tuple(
+            np.array([pos[k][v] for v in df.index.get_level_values(l).to_numpy()])
+            for k, l in enumerate(levels)
+        )
+        coords = dict(zip(levels, uniq))
+        data = {}
+        for c in df.columns:
+            arr = np.full(shape, np.nan, dtype=float)
+            arr[idx] = df[c].to_numpy()
+            data[c] = (tuple(levels), arr)
+    elif isinstance(df_or_vars, pd.DataFrame):
         coords = {"index": df_or_vars.index.to_numpy()}
         data = {c: ("index", df_or_vars[c].to_numpy()) for c in df_or_vars.columns}
     else:

@@ -12,6 +12,7 @@ Reproduces the reference DataLoader's selection semantics
 
 from __future__ import annotations
 
+import warnings
 from functools import reduce
 from typing import List, Optional, Union
 
@@ -229,3 +230,51 @@ def get_where_list(global_select, local_select=None, ref_loc=None) -> List[dict]
                 if loc_col == ls["col"]:
                     out.append({"col": gs["src_col"], "comp": ls["comp"], "val": func(ref[loc_col], ls["val"])})
     return out
+
+
+def get_where_list_legacy(read_in_by: Optional[dict] = None, where=None):
+    """Expand a ``read_in_by`` spec into a list of HDF-style where-string
+    lists (ref: GPSat/dataloader.py get_where_list_legacy). Each key maps to
+    {"values": ..., "how": ...}; "interval" makes [>=, <) pairs from
+    consecutive values, any other ``how`` is used as a comparison operator.
+    ``values`` may be {"func": ..., **kwargs} resolved via config_func
+    (named-op registry with eval-compat, replacing the reference's eval)."""
+    import re as _re
+    from functools import reduce as _reduce
+
+    if read_in_by is None:
+        where_list = where
+        if not isinstance(where_list, list):
+            where_list = [where_list]
+        return where_list
+
+    assert isinstance(read_in_by, dict), (
+        f"read_in_by provided, expected to be dict, got: {type(read_in_by)}"
+    )
+    if where is not None:
+        warnings.warn("'read_in_by' is specified, as is 'where' in 'input' of config, will ignore 'where'")
+
+    from gpsat_tpu.utils.config_func import config_func
+
+    where_dict = {}
+    for k, v in read_in_by.items():
+        vals = v["values"]
+        how = v["how"]
+        if isinstance(vals, dict):
+            vals = dict(vals)
+            func = vals.pop("func")
+            vals = config_func(func, kwargs=vals)
+        if isinstance(vals, (int, float, str)):
+            vals = [vals]
+        if not isinstance(vals, np.ndarray):
+            vals = np.array(vals)
+        numeric = bool(_re.search("int|float", str(vals.dtype)))
+        q = "" if numeric else "'"
+        if how == "interval":
+            w = [[f"{k} >= {q}{vals[i]}{q}", f"{k} < {q}{vals[i + 1]}{q}"]
+                 for i in range(len(vals) - 1)]
+        else:
+            w = [[f"{k} {how} {q}{val}{q}"] for val in vals]
+        where_dict[k] = w
+
+    return _reduce(lambda x, y: [xi + yi for xi in x for yi in y], where_dict.values())

@@ -30,12 +30,20 @@ class DataLoader:
     # --- loading / selection (ref: dataloader.py:1011-1800) ---
     load = staticmethod(_dl.load)
     add_cols = staticmethod(_dl.add_cols)
+    add_data_to_col = staticmethod(_dl.add_data_to_col)
     data_select = staticmethod(_sel.data_select)
     row_select_bool = staticmethod(_sel.row_select_bool)
     local_data_select = staticmethod(_sel.local_data_select)
     get_where_list = staticmethod(_sel.get_where_list)
+    get_where_list_legacy = staticmethod(_sel.get_where_list_legacy)
     kdt_tree_list_for_local_select = staticmethod(_sel.build_kdtrees)
     _bool_numpy_from_where = staticmethod(_sel.bool_array_from_where)
+
+    @staticmethod
+    def is_list_of_dict(lst) -> bool:
+        """True iff lst is a list whose elements are all dicts
+        (ref: dataloader.py is_list_of_dict)."""
+        return isinstance(lst, list) and all(isinstance(x, dict) for x in lst)
 
     # --- multi-file ingest (ref: dataloader.py:232-1009) ---
     read_from_multiple_files = staticmethod(_ingest.read_from_multiple_files)
@@ -78,6 +86,34 @@ class DataLoader:
                 s.append(table, df)
             else:
                 s.put(table, df, replace=True)
+
+    # --- table marshalling (ref: dataloader.py:2451-2608) ---
+    @staticmethod
+    def make_multiindex_df(*args, **kwargs):
+        from gpsat_tpu.utils.tables import make_multiindex_df as _f
+
+        return _f(*args, **kwargs)
+
+    @staticmethod
+    def mindex_df_to_mindex_dataarray(*args, **kwargs):
+        """Reference name for utils.tables.mindex_df_to_dataarray
+        (ref: dataloader.py:2529)."""
+        from gpsat_tpu.utils.tables import mindex_df_to_dataarray as _f
+
+        return _f(*args, **kwargs)
+
+    @staticmethod
+    def write_to_netcdf(ds, path: str, mode: str = "w", **to_netcdf_kwargs):
+        """Write variables to a netCDF4(-compatible HDF5) file
+        (ref: dataloader.py write_to_netcdf — there a thin xr.Dataset
+        wrapper; xarray is not in this image, so this accepts what
+        data.netcdf.write_netcdf takes: a DataFrame (indexed by dims) or a
+        {name: (dims, values)} dict, written with h5py dimension scales
+        that round-trip through read_netcdf)."""
+        assert mode == "w", f"only mode='w' is supported, got: {mode}"
+        from gpsat_tpu.data.netcdf import write_netcdf as _w
+
+        return _w(path, ds, **to_netcdf_kwargs)
 
     @staticmethod
     def get_attribute_from_table(source, table: str, attribute_name: str):

@@ -75,6 +75,21 @@ class LocalExpertData:
     engine: Union[str, None] = None
     read_kwargs: Union[dict, None] = None
 
+    def set_data_source(self, verbose: bool = False):
+        """Normalize the data source for loading (ref: local_experts.py:68-81):
+        infer the engine from a string source's suffix so later load()
+        calls don't re-infer. Sources stay lazily opened (paths, not
+        handles) — the native readers open per load."""
+        if isinstance(self.data_source, str) and self.engine is None:
+            import os
+
+            from gpsat_tpu.data.dataloader import FILE_SUFFIX_ENGINE_MAP
+
+            suffix = os.path.splitext(self.data_source)[1].lower().lstrip(".")
+            self.engine = FILE_SUFFIX_ENGINE_MAP.get(suffix, self.engine)
+            if verbose:
+                print(f"set_data_source: engine={self.engine} for {self.data_source}")
+
     def load(self, where=None, **kwargs):
         use_where = list(self.where) if self.where is not None else None
         if where is not None:
@@ -905,6 +920,106 @@ class LocalExpertOI:
             if store is not None:
                 store.close()
         return out
+
+    def load_params(
+        self,
+        model,
+        previous=None,
+        previous_params=None,
+        file=None,
+        param_names=None,
+        ref_loc=None,
+        index_adjust=None,
+        table_suffix: str = "",
+        **param_dict,
+    ) -> int:
+        """Set a (host) model's parameters from a results file at one
+        expert location, from previous params, or from explicit values
+        (ref: local_experts.py:553-606 — same signature/return contract:
+        0 on success, 1 if a file read yields no parameters)."""
+        if file is not None:
+            assert isinstance(file, str), f"load_params file is not str: {type(file)}"
+            assert os.path.exists(file), f"load_params file does not exist:\n{file}"
+            rl = dict(pandas_to_dict(ref_loc))
+            for k, v in (index_adjust or {}).items():
+                from gpsat_tpu.utils.config_func import config_func
+
+                rl[k] = config_func(**v, args=rl[k])
+            param_dict = self._read_params_for_loc(
+                file=file, model=model, ref_loc=rl,
+                param_names=param_names, table_suffix=table_suffix,
+            )
+            if len(param_dict) == 0:
+                return 1
+        elif previous is not None:
+            param_dict = previous_params or {}
+        model.set_parameters(**param_dict)
+        return 0
+
+    def _read_params_for_loc(self, file, model, ref_loc, param_names=None, table_suffix=""):
+        """One expert location's parameters from a results store (native
+        TableStore or reference PyTables), keyed by coordinate match
+        (ref: local_experts.py:608-689)."""
+        from gpsat_tpu.data import pytables_compat as PT
+
+        names = param_names if param_names is not None else list(model.param_names)
+        pytables = PT.is_pytables_store(file)
+        pt_tables = set(PT.list_tables(file)) if pytables else None
+        store = None if pytables else TableStore(file)
+        out = {}
+        try:
+            for pname in names:
+                tbl = f"{pname}{table_suffix}"
+                if pytables:
+                    pdf = PT.read_table(file, tbl).reset_index() if tbl in pt_tables else None
+                else:
+                    pdf = store.select(tbl).reset_index() if tbl in store else None
+                if pdf is None or len(pdf) == 0:
+                    continue
+                m = np.ones(len(pdf), dtype=bool)
+                for k, v in ref_loc.items():
+                    if k in pdf.columns:
+                        m &= (pdf[k].values == v)
+                g = pdf[m]
+                if len(g) == 0:
+                    continue
+                dim_cols = sorted(c for c in g.columns if c.startswith("_dim_"))
+                vals = g.sort_values(dim_cols)[pname].values
+                if np.any(pd.isna(vals)):
+                    continue  # nan params are not loaded (ref: :670-681)
+                out[pname] = vals if len(vals) > 1 else vals[0]
+        finally:
+            if store is not None:
+                store.close()
+        return out
+
+    @staticmethod
+    def dict_of_array_to_table(x, ref_loc=None, concat: bool = False, table=None, default_dim: int = 1):
+        """Dict of arrays -> DataFrame(s) multi-indexed by the reference
+        location (ref: local_experts.py:691-747)."""
+        from gpsat_tpu.utils.tables import dict_of_array_to_dict_of_dataframe
+
+        assert isinstance(x, dict), f"input expected to be dict, got: {type(x)}"
+        if len(x) == 0:
+            return x
+        if concat:
+            assert table is not None, "concat is True but (replacement) table (name) not provided"
+        dfs = dict_of_array_to_dict_of_dataframe(x, concat=concat, reset_index=True)
+        if ref_loc is not None:
+            ref_loc = pandas_to_dict(ref_loc)
+            assert isinstance(ref_loc, dict), f"ref_loc expected to be dict (or Series), got: {type(ref_loc)}"
+            names = list(ref_loc.keys())
+            tup = tuple(ref_loc.values())
+            for k, df in dfs.items():
+                if len(names) == 1:
+                    df.index = pd.Index([tup[0]] * len(df), name=names[0])
+                else:
+                    df.index = pd.MultiIndex.from_tuples([tup] * len(df), names=names)
+        if not concat:
+            return dfs
+        return {
+            (table if k == default_dim else f"{table}_{k}"): v for k, v in dfs.items()
+        }
 
     def _run_host_batch(self, b, host_core, per_expert_init, constraints, coords_col, xprt_locs, optimise, predict):
         """Serial per-expert execution for models without a batched core —

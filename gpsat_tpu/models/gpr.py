@@ -223,6 +223,38 @@ class GPRModel(BaseGPRModel):
             self._bijectors[p] = T.IDENTITY
         self._last_opt_result = None
 
+    def update_obs_data(
+        self,
+        data=None,
+        coords_col=None,
+        obs_col=None,
+        coords=None,
+        obs=None,
+        coords_scale=None,
+        obs_scale=None,
+        obs_mean=None,
+    ):
+        """Swap the observation data in place, keeping the current
+        hyperparameters (ref: gpflow_models.py:331-349 — re-runs the base
+        data ingestion; args passed through unchanged, so omitted scales
+        reset to their defaults exactly as in the reference)."""
+        from gpsat_tpu.models.base import BaseGPRModel
+
+        BaseGPRModel.__init__(
+            self,
+            data=data,
+            coords_col=coords_col,
+            obs_col=obs_col,
+            coords=coords,
+            obs=obs,
+            coords_scale=coords_scale,
+            obs_scale=obs_scale,
+            obs_mean=obs_mean,
+        )
+        assert self.coords.shape[1] == len(self._params["lengthscales"]), (
+            "update_obs_data changed the coordinate dimension; rebuild the model instead"
+        )
+
     # ----- data for the functional core -----
     def _data_dict(self):
         X = jnp.asarray(self.coords)

@@ -144,6 +144,10 @@ class PureNumpyGPR:
         self.kernel_var = float(kernel_var)
         self.likeli_var = float(likeli_var)
         self.mean = float(mean)
+        # optional per-parameter [low, high] box constraints, applied as
+        # log-space bounds in the L-BFGS-B run (ref: pure_python_gpr.py
+        # :60-235 transform bookkeeping / set_*_constraints)
+        self._bounds = {}
 
     @property
     def param_names(self):
@@ -153,8 +157,75 @@ class PureNumpyGPR:
         h = np.concatenate([self.length_scales, [self.kernel_var, self.likeli_var]])
         return float(neg_lml(h, self.x, self.y[:, 0], grad=False))
 
+    def get_loglikelihood(self) -> float:
+        """Log marginal likelihood at the current hyperparameters
+        (ref: pure_python_gpr.py:344-358)."""
+        return -self.get_objective_function_value()
+
+    def optimise(self, opt_method: str = "L-BFGS-B", jac: bool = False) -> bool:
+        """Reference-named optimizer entry (ref: pure_python_gpr.py:303-342;
+        there jac defaults False = finite differences — honored here)."""
+        return self.optimise_parameters(opt_method=opt_method, jac=jac)
+
+    def _log_bounds(self):
+        """Per-variable (low, high) log-space bounds for L-BFGS-B, or None."""
+        if not self._bounds:
+            return None
+        D = len(self.length_scales)
+        lo = np.full(D + 2, -np.inf)
+        hi = np.full(D + 2, np.inf)
+        spans = {"lengthscales": slice(0, D), "kernel_variance": slice(D, D + 1),
+                 "likelihood_variance": slice(D + 1, D + 2)}
+        for name, (low, high) in self._bounds.items():
+            s = spans[name]
+            lo[s] = np.broadcast_to(low, (s.stop - s.start,))
+            hi[s] = np.broadcast_to(high, (s.stop - s.start,))
+        with np.errstate(divide="ignore"):
+            return list(zip(np.log(np.maximum(lo, 1e-300)), np.log(hi)))
+
+    def _set_constraint(self, name, low, high, move_within_tol=True, tol=1e-2, scale=False, scale_magnitude=None):
+        low = np.asarray(low, dtype=float)
+        high = np.asarray(high, dtype=float)
+        assert np.all(low <= high), f"constraint low > high for {name}"
+        if scale and name == "lengthscales":
+            s = scale_magnitude if scale_magnitude is not None else 1.0
+            low, high = low / s, high / s
+        self._bounds[name] = (low, high)
+        cur = np.asarray(self.get_parameters()[name], dtype=float)
+        if move_within_tol:
+            cur = np.clip(cur, low + tol, high - tol)
+        else:
+            cur = np.clip(cur, low, high)
+        getattr(self, f"set_{name}")(cur)
+
+    def set_lengthscales_constraints(self, low, high, **kwargs):
+        self._set_constraint("lengthscales", low, high, **kwargs)
+
+    def set_kernel_variance_constraints(self, low, high, **kwargs):
+        self._set_constraint("kernel_variance", low, high, **kwargs)
+
+    def set_likelihood_variance_constraints(self, low, high, **kwargs):
+        self._set_constraint("likelihood_variance", low, high, **kwargs)
+
+    def set_parameter_constraints(self, constraints_dict: dict, **kwargs):
+        for k, v in constraints_dict.items():
+            assert k in self.param_names, f"cannot constrain parameter: {k}"
+            getattr(self, f"set_{k}_constraints")(**v, **kwargs)
+
+    def get_parameters(self, *args, return_dict: bool = True):
+        args = args or self.param_names
+        if return_dict:
+            return {a: getattr(self, f"get_{a}")() for a in args}
+        return [getattr(self, f"get_{a}")() for a in args]
+
+    def set_parameters(self, **kwargs):
+        for k, v in kwargs.items():
+            assert k in self.param_names, f"cannot set parameter: {k}"
+            getattr(self, f"set_{k}")(v)
+
     def optimise_parameters(self, opt_method: str = "L-BFGS-B", jac: bool = True) -> bool:
-        """Optimize in log space (strictly-positive reparameterization)."""
+        """Optimize in log space (strictly-positive reparameterization);
+        box constraints from set_*_constraints become log-space bounds."""
         x0 = np.log(np.concatenate([self.length_scales, [self.kernel_var, self.likeli_var]]))
 
         def obj(v):
@@ -164,7 +235,8 @@ class PureNumpyGPR:
                 return nlZ, d * h  # chain rule through exp
             return neg_lml(h, self.x, self.y[:, 0], grad=False)
 
-        res = scipy.optimize.minimize(obj, x0=x0, method=opt_method, jac=jac)
+        res = scipy.optimize.minimize(obj, x0=x0, method=opt_method, jac=jac,
+                                      bounds=self._log_bounds())
         self._last_num_iter = int(res.get("nit", 0))
         h = np.exp(res.x)
         self.length_scales = h[:-2]

@@ -81,24 +81,36 @@ class TorchGPRModel(BaseGPRModel):
             float(np.log(np.expm1(init_nv))) if init_nv > 1e-6 else -13.0, dtype=torch.float32, requires_grad=True
         )
         self.smoothness = float(smoothness)
+        # per-raw-param interval constraints; softplus when unconstrained
+        # (gpytorch's default), sigmoid-interval when set_*_constraints is
+        # called (gpytorch's Interval; ref: gpytorch_models.py:238-320)
+        self._intervals = {}
 
     # softplus positivity (gpytorch's default constraint)
     def _pos(self, raw):
         return self._t.nn.functional.softplus(raw)
 
+    def _val(self, attr):
+        raw = getattr(self, attr)
+        iv = self._intervals.get(attr)
+        if iv is None:
+            return self._pos(raw)
+        low, high = iv
+        return low + (high - low) * self._t.sigmoid(raw)
+
     def _gram(self, X1, X2):
-        ls = self._pos(self.raw_ls)
+        ls = self._val("raw_ls")
         d = self._t.cdist(X1 / ls, X2 / ls)
-        return self._pos(self.raw_kv) * _matern(d, self.smoothness)
+        return self._val("raw_kv") * _matern(d, self.smoothness)
 
     def _prior_var(self, Xs):
         """Prior variance diag k(x*, x*) — overridden by approximations."""
-        return self._pos(self.raw_kv)
+        return self._val("raw_kv")
 
     def _neg_lml(self):
         t = self._t
         n = self.X.shape[0]
-        K = self._gram(self.X, self.X) + self._pos(self.raw_nv) * t.eye(n)
+        K = self._gram(self.X, self.X) + self._val("raw_nv") * t.eye(n)
         L = t.linalg.cholesky(K)
         alpha = t.cholesky_solve(self.Y[:, None], L)
         return (
@@ -155,14 +167,14 @@ class TorchGPRModel(BaseGPRModel):
         Xs = t.tensor(coords, dtype=t.float32)
         with t.no_grad():
             n = self.X.shape[0]
-            K = self._gram(self.X, self.X) + self._pos(self.raw_nv) * t.eye(n)
+            K = self._gram(self.X, self.X) + self._val("raw_nv") * t.eye(n)
             L = t.linalg.cholesky(K)
             Ks = self._gram(self.X, Xs)
             alpha = t.cholesky_solve(self.Y[:, None], L)
             f_mean = (Ks.T @ alpha)[:, 0]
             v = t.linalg.solve_triangular(L, Ks, upper=False)
             f_var = self._prior_var(Xs) - (v * v).sum(0)
-            y_var = f_var + self._pos(self.raw_nv)
+            y_var = f_var + self._val("raw_nv")
         out = {
             "f*": f_mean.numpy().astype(float),
             "f*_var": f_var.numpy().astype(float),
@@ -174,13 +186,13 @@ class TorchGPRModel(BaseGPRModel):
 
     # --- getters / setters ---
     def get_lengthscales(self):
-        return self._pos(self.raw_ls).detach().numpy().astype(float)
+        return self._val("raw_ls").detach().numpy().astype(float)
 
     def get_kernel_variance(self):
-        return float(self._pos(self.raw_kv).detach())
+        return float(self._val("raw_kv").detach())
 
     def get_likelihood_variance(self):
-        return float(self._pos(self.raw_nv).detach())
+        return float(self._val("raw_nv").detach())
 
     def get_smoothness(self):
         return self.smoothness
@@ -188,10 +200,48 @@ class TorchGPRModel(BaseGPRModel):
     def _set_raw(self, attr, value):
         import torch
 
-        v = np.maximum(np.asarray(value, dtype=float), 1e-10)
-        raw = np.log(np.expm1(v))
+        iv = self._intervals.get(attr)
+        if iv is None:
+            v = np.maximum(np.asarray(value, dtype=float), 1e-10)
+            raw = np.log(np.expm1(v))
+        else:
+            low, high = (np.asarray(t.detach(), dtype=float) for t in iv)
+            # inverse of low + (high-low)*sigmoid(raw), clipped just inside
+            frac = (np.asarray(value, dtype=float) - low) / (high - low)
+            frac = np.clip(frac, 1e-6, 1 - 1e-6)
+            raw = np.log(frac / (1 - frac))
         with torch.no_grad():
             getattr(self, attr).copy_(torch.tensor(raw, dtype=torch.float32))
+
+    def _set_interval(self, attr, low, high, move_within_tol=True, tol=1e-8, scale=False, scale_magnitude=None):
+        """Re-wrap a raw parameter with a sigmoid interval constraint,
+        preserving its current value (ref: gpytorch_models.py:238-320
+        set_*_constraints + _preprocess_constraint)."""
+        import torch
+
+        cur = self._val(attr).detach().numpy()
+        low = np.broadcast_to(np.asarray(low, dtype=float), np.shape(cur)).copy()
+        high = np.broadcast_to(np.asarray(high, dtype=float), np.shape(cur)).copy()
+        assert np.all(low <= high), f"constraint low > high for {attr}"
+        if scale:
+            s = self.coords_scale[0, :] if scale_magnitude is None else scale_magnitude
+            low, high = low / s, high / s
+        if move_within_tol:
+            cur = np.clip(cur, low + tol, high - tol)
+        self._intervals[attr] = (
+            torch.tensor(low, dtype=torch.float32),
+            torch.tensor(high, dtype=torch.float32),
+        )
+        self._set_raw(attr, cur)
+
+    def set_lengthscales_constraints(self, low, high, **kwargs):
+        self._set_interval("raw_ls", low, high, **kwargs)
+
+    def set_kernel_variance_constraints(self, low, high, **kwargs):
+        self._set_interval("raw_kv", low, high, **kwargs)
+
+    def set_likelihood_variance_constraints(self, low, high, **kwargs):
+        self._set_interval("raw_nv", low, high, **kwargs)
 
     def set_lengthscales(self, v):
         self._set_raw("raw_ls", np.broadcast_to(np.atleast_1d(v), self.raw_ls.shape))
