@@ -73,7 +73,12 @@ def main(B: int = None):
         num_obs=fill,
     )
 
-    core = make_gpr_core(jitter=1e-5 if on_tpu else 0.0)
+    # GPSAT_PROFILE=1: concentrated LML (kernel variance closed-form per
+    # eval; one fewer search dimension, same per-iteration cost)
+    core = make_gpr_core(
+        jitter=1e-5 if on_tpu else 0.0,
+        profile_variance=bool(int(os.environ.get("GPSAT_PROFILE", "0"))),
+    )
     tols = dict(tol_grad=1e-3, tol_f=1e-6) if on_tpu else dict(tol_grad=1e-6, tol_f=1e-11)
     # single_eval: exactly one fused value+grad per L-BFGS iteration (no
     # linesearch probes at all — under vmap every probe is paid by all

@@ -65,12 +65,26 @@ def make_gpr_core(
     bijectors: Optional[dict] = None,
     jitter: float = 0.0,
     mean_function: Optional[str] = None,
+    profile_variance: bool = False,
 ) -> ModelCore:
     """Exact GPR core (objective = negative log marginal likelihood).
 
     mean_function "Constant"/"Linear" adds trainable per-expert prior-mean
     params mean_c (+ mean_A [D] for Linear), identity bijectors
     (ref: gpflow_models.py:143-157; gpsat_tpu.models.means).
+
+    profile_variance=True (EXPERIMENTAL, opt-in) optimizes the
+    concentrated LML: the kernel variance is closed-form per evaluation
+    and the search runs over (lengthscales, tau = lv/kv) only — identical
+    optimum on well-behaved tiles, one fewer dimension, same one-Cholesky
+    cost per iteration (+1 Cholesky in finalize). Requires plain POSITIVE
+    bijectors on kernel_variance / likelihood_variance.
+    Measured: iters max 23 -> 21, mean -2-17% at bench shapes — BUT the
+    concentrated surface makes the degenerate pure-noise stationary point
+    (lengthscales -> 0) reachable in the first optimizer steps on some
+    tiles (~1/8 lanes of the f64 test seed converge there with a worse
+    objective; tests/test_gpr_profiled.py pins the behavior). Keep it off
+    unless the workload is verified non-degenerate.
     """
     from gpsat_tpu.models import means as MF
 
@@ -80,6 +94,14 @@ def make_gpr_core(
     bijectors = dict(bijectors)
     for p in MF.mean_param_names(mean_function):
         bijectors.setdefault(p, T.IDENTITY)
+
+    if profile_variance:
+        assert bijectors.get("kernel_variance") is T.POSITIVE and bijectors.get("likelihood_variance") is T.POSITIVE, (
+            "profile_variance requires unconstrained-positive kernel/likelihood "
+            "variances (interval constraints change the feasible set of the "
+            "profiled parameterization) — drop the constraints or use the joint path"
+        )
+        return _make_profiled_gpr_core(kernel, bijectors, jitter, mean_function)
 
     def objective(uparams, data):
         return gpr_core.neg_lml(uparams, data, kernel=kernel, bijectors=bijectors, jitter=jitter)
@@ -115,4 +137,49 @@ def make_gpr_core(
         inverse=inverse,
         init_cparams=init_cparams,
         param_names=tuple(gpr_core.PARAM_NAMES) + MF.mean_param_names(mean_function),
+    )
+
+
+def _make_profiled_gpr_core(kernel, bijectors, jitter, mean_function) -> ModelCore:
+    """Concentrated-LML GPR core (see make_gpr_core(profile_variance=True)).
+
+    Internally the 'likelihood_variance' parameter slot carries
+    tau = lv/kv during optimization; kernel_variance is held fixed
+    (ignored by the objective). device_init maps the caller's (kv0, lv0)
+    init to tau0; finalize_params computes sigma2_hat once at the optimum
+    and restores true (kernel_variance, likelihood_variance), so stored
+    tables / predictions are in the standard parameterization.
+    """
+    import dataclasses
+
+    from gpsat_tpu.models import means as MF
+
+    base = make_gpr_core(kernel=kernel, bijectors=bijectors, jitter=jitter,
+                         mean_function=mean_function, profile_variance=False)
+
+    def objective(uparams, data):
+        return gpr_core.neg_lml_profiled(uparams, data, kernel=kernel, bijectors=bijectors, jitter=jitter)
+
+    def device_init(uparams0, data):
+        kv = bijectors["kernel_variance"].forward(uparams0["kernel_variance"])
+        lv = bijectors["likelihood_variance"].forward(uparams0["likelihood_variance"])
+        out = dict(uparams0)
+        out["likelihood_variance"] = bijectors["likelihood_variance"].inverse(lv / kv)
+        return out
+
+    def finalize_params(cparams, data):
+        tau = cparams["likelihood_variance"]
+        sig2 = gpr_core.profiled_sigma2_hat(cparams, data, kernel=kernel, jitter=jitter)
+        out = dict(cparams)
+        out["kernel_variance"] = sig2
+        out["likelihood_variance"] = tau * sig2
+        return out
+
+    return dataclasses.replace(
+        base,
+        name=f"GPR[{kernel},profiled]",
+        objective=objective,
+        default_fixed_params=("kernel_variance",),
+        device_init=device_init,
+        finalize_params=finalize_params,
     )

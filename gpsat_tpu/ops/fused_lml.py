@@ -152,3 +152,93 @@ def _fused_bwd(kernel, residuals, g):
 
 
 masked_gpr_lml_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# --------------------------------------------------------------------------
+# profiled (concentrated) LML: kernel variance solved in closed form
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def masked_gpr_lml_profiled(kernel, X, y, mask, lengthscales, tau, jitter):
+    """Masked GPR LML with the kernel variance profiled out.
+
+    With K = sigma2 * A, A = k_unit(ls) + tau*I (tau = noise/signal ratio),
+    the LML's argmax over sigma2 is closed-form: sigma2_hat = y^T A^-1 y / n.
+    This returns lml(ls, sigma2_hat, tau*sigma2_hat) — the same optimum as
+    the joint problem over one fewer search dimension, still one Cholesky
+    per evaluation. Gradients (w.r.t. ls, tau, y) follow the envelope
+    theorem: G_p = alpha alpha^T / sigma2_hat - A^-1 replaces the joint
+    form's G (Rasmussen & Williams eq. 5.9 structure).
+
+    Same gradient contract as masked_gpr_lml_fused: zero cotangents for
+    X, mask, jitter.
+    """
+    lml, _ = _profiled_fwd_impl(kernel, X, y, mask, lengthscales, tau, jitter)
+    return lml
+
+
+def profiled_sigma2(kernel, X, y, mask, lengthscales, tau, jitter):
+    """Closed-form sigma2_hat = y^T A^-1 y / n at (lengthscales, tau)."""
+    m = mask.astype(X.dtype)
+    n = jnp.sum(m)
+    one = jnp.asarray(1.0, dtype=X.dtype)
+    k, _ = _kernel_and_r(kernel, X, lengthscales, one)
+    A = LA.add_diag(k, tau + jitter)
+    Am = LA.mask_gram(A, m)
+    L = LA.cholesky(Am)
+    v = LA.tri_solve(L, (y * m)[:, None])
+    return jnp.sum(v * v) / n
+
+
+def _profiled_fwd_impl(kernel, X, y, mask, lengthscales, tau, jitter):
+    m = mask.astype(X.dtype)
+    n = jnp.sum(m)
+    one = jnp.asarray(1.0, dtype=X.dtype)
+    k, r = _kernel_and_r(kernel, X, lengthscales, one)
+    A = LA.add_diag(k, tau + jitter)
+    Am = LA.mask_gram(A, m)
+    ym = (y * m)[:, None]
+    L = LA.cholesky(Am)
+    v = LA.tri_solve(L, ym)
+    quad = jnp.sum(v * v)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    sig2 = quad / n
+    # joint lml at (ls, sig2, tau*sig2): -(n/2)(1 + log sig2) - logdet/2 - (n/2)log 2pi
+    lml = -0.5 * n * (1.0 + jnp.log(sig2)) - 0.5 * logdet - 0.5 * n * jnp.log(2.0 * jnp.pi)
+    W = LA.tri_inv_blocked(L)
+    Ainv = jnp.matmul(W.T, W, precision=jax.lax.Precision.HIGHEST)
+    alpha = jnp.matmul(Ainv, ym, precision=jax.lax.Precision.HIGHEST)
+    residuals = (X, m, lengthscales, r, Ainv, alpha[:, 0], sig2)
+    return lml, residuals
+
+
+def _profiled_fwd(kernel, X, y, mask, lengthscales, tau, jitter):
+    return _profiled_fwd_impl(kernel, X, y, mask, lengthscales, tau, jitter)
+
+
+def _profiled_bwd(kernel, residuals, g):
+    X, m, lengthscales, r, Ainv, alpha, sig2 = residuals
+    outer_m = m[:, None] * m[None, :]
+    G = (alpha[:, None] * alpha[None, :] / sig2 - Ainv) * outer_m
+
+    one = jnp.asarray(1.0, dtype=X.dtype)
+    phi = _dk_dl_factor(kernel, r, one)
+    D = X.shape[1]
+    Gphi = G * phi
+    d_ls = []
+    for d in range(D):
+        delta2 = (X[:, d, None] - X[None, :, d]) ** 2
+        d_ls.append(0.5 * jnp.sum(Gphi * delta2) / lengthscales[d] ** 3)
+    d_ls = jnp.stack(d_ls)
+
+    # dA/dtau = I on valid rows
+    d_tau = 0.5 * jnp.sum(m * (alpha**2 / sig2 - jnp.diagonal(Ainv)))
+
+    # d lml / dy = -(A^-1 y) / sig2 on valid rows (envelope through sig2_hat)
+    dy = g * (-alpha / sig2) * m
+    zX = jnp.zeros_like(X)
+    zm = jnp.zeros_like(m)
+    return (zX, dy, zm, g * d_ls, g * d_tau, jnp.zeros_like(d_tau))
+
+
+masked_gpr_lml_profiled.defvjp(_profiled_fwd, _profiled_bwd)
