@@ -89,6 +89,13 @@ def main():
     import jax
 
     jax.config.update("jax_default_matmul_precision", "highest")
+    # A/B knob: GPSAT_NO_FAST_INV=1 forces the sequential triangular-solve
+    # path (per-chunk tri_solve) instead of the materialized W = L^-1
+    if int(__import__("os").environ.get("GPSAT_NO_FAST_INV", "0")):
+        from gpsat_tpu.ops import linalg as _LA
+
+        _LA.set_fast_inverse(False)
+        print("# fast-inverse DISABLED (A/B mode)", file=sys.stderr)
     from gpsat_tpu import enable_compilation_cache
 
     enable_compilation_cache()

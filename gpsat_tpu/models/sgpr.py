@@ -80,6 +80,19 @@ def _common_terms(cparams: dict, data: dict, *, kernel: str, jitter: float, chun
     N = X.shape[0]
     C = _resolve_chunk(N, chunk_size)
 
+    # f32 fast path: materialize W = L^-1 once (blocked, matmul-rich) so
+    # every chunk's A_i = W Kuf_i is an MXU matmul instead of an M-step
+    # sequential triangular solve — L is constant across chunks, so the
+    # solve work was being repeated n_chunks times
+    if LA.use_fast_inverse(X.dtype):
+        Winv = LA.tri_inv_blocked(L)
+
+        def solve_L(R):
+            return jnp.matmul(Winv, R, precision=jax.lax.Precision.HIGHEST)
+    else:
+        def solve_L(R):
+            return LA.tri_solve(L, R)
+
     if C and N > C:
         # pad N up to a chunk multiple; padded rows carry mask 0 so their
         # Kuf columns vanish exactly like engine-level tile padding
@@ -97,7 +110,7 @@ def _common_terms(cparams: dict, data: dict, *, kernel: str, jitter: float, chun
             AAT_, Aerr_, ymsq_ = carry
             Xi, ymi, mi = inp
             Kuf_i = K.gram(kernel, Z, Xi, ls, kv) * mi[None, :]
-            A_i = LA.tri_solve(L, Kuf_i) / sigma
+            A_i = solve_L(Kuf_i) / sigma
             return (
                 AAT_ + A_i @ A_i.T,
                 Aerr_ + A_i @ ymi[:, None],
@@ -112,7 +125,7 @@ def _common_terms(cparams: dict, data: dict, *, kernel: str, jitter: float, chun
         (AAT, Aerr, ymsq), _ = jax.lax.scan(jax.checkpoint(body), init, (Xc, ymc, mc))
     else:
         Kuf = K.gram(kernel, Z, X, ls, kv) * m[None, :]
-        A = LA.tri_solve(L, Kuf) / sigma
+        A = solve_L(Kuf) / sigma
         AAT = A @ A.T
         ym = y * m
         Aerr = A @ ym[:, None]

@@ -104,8 +104,16 @@ def tri_inv_blocked(L: Array, T: int = 64) -> Array:
     off-diagonal matmuls.
     """
     N = L.shape[-1]
-    if N <= T or N % T != 0:
+    if N <= T:
         return tri_solve(L, jnp.eye(N, dtype=L.dtype))
+    if N % T != 0:
+        # identity-pad to the next block multiple: inv([[L,0],[0,I]]) =
+        # [[L^-1,0],[0,I]], so the top-left slice of the padded inverse is
+        # exact. Keeps e.g. the reference's M=500 inducing set on the
+        # blocked (matmul-rich) path instead of a 500-step solve.
+        P = N + (-N) % T
+        Lp = jnp.eye(P, dtype=L.dtype).at[:N, :N].set(L)
+        return tri_inv_blocked(Lp, T=T)[:N, :N]
     nblk = N // T
     eyeT = jnp.eye(T, dtype=L.dtype)
     Lb = [[L[i * T : (i + 1) * T, k * T : (k + 1) * T] for k in range(nblk)] for i in range(nblk)]

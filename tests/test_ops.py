@@ -175,3 +175,19 @@ class TestFusedLML:
         g2 = jax.grad(f_ref, argnums=(0, 1, 2))(*args)
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7, atol=1e-10)
+
+
+def test_tri_inv_blocked_non_multiple_sizes():
+    """Identity-padding keeps non-block-multiple sizes (e.g. the
+    reference's M=500 inducing set) on the blocked path, exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gpsat_tpu.ops import linalg as LA
+
+    rng = np.random.default_rng(0)
+    for n in [500, 65, 130, 127]:
+        A = rng.normal(size=(n, n))
+        Lnp = np.linalg.cholesky(A @ A.T + n * np.eye(n))
+        W = np.asarray(LA.tri_inv_blocked(jnp.asarray(Lnp), T=64))
+        np.testing.assert_allclose(W @ Lnp, np.eye(n), atol=1e-8)

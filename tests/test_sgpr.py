@@ -237,3 +237,41 @@ def test_large_n_tile_fits_and_fits_well():
     assert 0.005 < nv < 0.02, f"noise variance {nv} should approach 0.01"
     pred = m.predict(np.array([[2.5, 2.5]]), apply_scale=False)
     assert np.isfinite(pred["f*"]).all() and float(pred["f*_var"][0]) > 0
+
+
+def test_fast_inverse_path_matches_solve_path():
+    """The f32-production W = L^-1 matmul path (forced on in f64) matches
+    the triangular-solve path to roundoff, chunked and unchunked."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gpsat_tpu.models.sgpr import elbo, predict
+    from gpsat_tpu.ops import linalg as LA
+
+    rng = np.random.default_rng(0)
+    N, M, D = 300, 100, 2
+    X = rng.uniform(-4, 4, (N, D))
+    y = np.sin(X[:, 0]) + 0.1 * rng.normal(size=N)
+    mask = (np.arange(N) < 280).astype(float)
+    Z = X[rng.choice(N, M, replace=False)]
+    cp = {
+        "lengthscales": jnp.asarray([1.0, 1.2]),
+        "kernel_variance": jnp.asarray(0.8),
+        "likelihood_variance": jnp.asarray(0.05),
+        "inducing_points": jnp.asarray(Z),
+    }
+    data = {"X": jnp.asarray(X), "y": jnp.asarray(y), "mask": jnp.asarray(mask)}
+    Xnew = jnp.asarray(rng.uniform(-3, 3, (7, D)))
+    try:
+        LA.set_fast_inverse(True)
+        e_fast = float(elbo(cp, data, kernel="Matern32"))
+        e_fast_c = float(elbo(cp, data, kernel="Matern32", chunk_size=128))
+        p_fast = predict(cp, data, Xnew, kernel="Matern32")
+    finally:
+        LA.set_fast_inverse(None)
+    e_ref = float(elbo(cp, data, kernel="Matern32"))
+    p_ref = predict(cp, data, Xnew, kernel="Matern32")
+    np.testing.assert_allclose(e_fast, e_ref, rtol=1e-9)
+    np.testing.assert_allclose(e_fast_c, e_ref, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(p_fast["f_mean"]), np.asarray(p_ref["f_mean"]), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(p_fast["f_var"]), np.asarray(p_ref["f_var"]), atol=1e-9)
