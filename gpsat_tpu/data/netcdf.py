@@ -121,6 +121,16 @@ def _attr_bytes(attrs, name) -> bytes:
     return b""
 
 
+def _decode_bytes(vals: np.ndarray) -> np.ndarray:
+    """h5py variable-length strings arrive as bytes objects; give back str."""
+    if vals.dtype.kind == "O" and any(isinstance(x, (bytes, bytearray)) for x in vals.reshape(-1)[:1]):
+        return np.asarray(
+            [x.decode("utf-8", errors="replace") if isinstance(x, (bytes, bytearray)) else x
+             for x in vals.reshape(-1)], dtype=object
+        ).reshape(vals.shape)
+    return vals
+
+
 def _is_scale(ds) -> bool:
     return _attr_bytes(ds.attrs, "CLASS").startswith(b"DIMENSION_SCALE")
 
@@ -193,7 +203,7 @@ def read_netcdf(
         coords: Dict[str, np.ndarray] = {}
         for d in dim_order:
             if d in scales and not _attr_bytes(scales[d].attrs, "NAME").startswith(_PHONY_DIM_PREFIX):
-                vals = np.asarray(scales[d][()])
+                vals = _decode_bytes(np.asarray(scales[d][()]))
                 coords[d] = _decode_cf(vals, scales[d].attrs) if decode_cf else vals
             else:
                 coords[d] = np.arange(dim_size[d])
@@ -201,7 +211,7 @@ def read_netcdf(
         columns = {}
         shape_full = tuple(dim_size[d] for d in dim_order)
         for k, v in data_vars.items():
-            vals = np.asarray(v[()])
+            vals = _decode_bytes(np.asarray(v[()]))
             if decode_cf:
                 vals = _decode_cf(vals, v.attrs)
             # broadcast over the full dim product (xarray to_dataframe
@@ -244,10 +254,25 @@ def write_netcdf(path: str, df_or_vars, coords: Optional[Dict[str, np.ndarray]] 
             for k, l in enumerate(levels)
         )
         coords = dict(zip(levels, uniq))
+        dense = len(df) == int(np.prod(shape))
         data = {}
         for c in df.columns:
-            arr = np.full(shape, np.nan, dtype=float)
-            arr[idx] = df[c].to_numpy()
+            col = df[c].to_numpy()
+            kind = col.dtype.kind
+            # missing cells get the column dtype's own null (NaT/None/NaN);
+            # dense int/bool columns keep their dtype instead of being
+            # demoted to float (xarray to_xarray convention)
+            if kind == "M":
+                arr = np.full(shape, np.datetime64("NaT"), dtype=col.dtype)
+            elif kind == "m":
+                arr = np.full(shape, np.timedelta64("NaT"), dtype=col.dtype)
+            elif kind in "OUS":
+                arr = np.full(shape, None, dtype=object)
+            elif dense and kind not in "fc":
+                arr = np.zeros(shape, dtype=col.dtype)
+            else:
+                arr = np.full(shape, np.nan, dtype=float)
+            arr[idx] = col
             data[c] = (tuple(levels), arr)
     elif isinstance(df_or_vars, pd.DataFrame):
         coords = {"index": df_or_vars.index.to_numpy()}
@@ -256,12 +281,33 @@ def write_netcdf(path: str, df_or_vars, coords: Optional[Dict[str, np.ndarray]] 
         data = df_or_vars
         coords = coords or {}
 
+    def encode(vals):
+        """HDF5 has no datetime64/unicode dtypes: CF-encode datetimes
+        (int64 ns + units attr, NaT -> _FillValue, round-tripped by
+        _decode_cf) and write strings variable-length."""
+        vals = np.asarray(vals)
+        if vals.dtype.kind == "M":
+            ints = vals.astype("datetime64[ns]").astype(np.int64)
+            attrs = {"units": "nanoseconds since 1970-01-01",
+                     "_FillValue": np.int64(np.iinfo(np.int64).min)}
+            return ints, attrs, None
+        if vals.dtype.kind in "OUS":
+            out = np.asarray(
+                ["" if v is None else str(v) for v in vals.reshape(-1)], dtype=object
+            ).reshape(vals.shape)
+            return out, {}, h5py.string_dtype()
+        return vals, {}, None
+
     with h5py.File(path, "w") as f:
         for d, vals in coords.items():
-            ds = f.create_dataset(d, data=np.asarray(vals))
+            enc, attrs, dt = encode(vals)
+            ds = f.create_dataset(d, data=enc, dtype=dt)
+            ds.attrs.update(attrs)
             ds.make_scale(d)
         for name, (dims, vals) in data.items():
             dims = (dims,) if isinstance(dims, str) else tuple(dims)
-            ds = f.create_dataset(name, data=np.asarray(vals))
+            enc, attrs, dt = encode(vals)
+            ds = f.create_dataset(name, data=enc, dtype=dt)
+            ds.attrs.update(attrs)
             for axis, d in enumerate(dims):
                 ds.dims[axis].attach_scale(f[d])

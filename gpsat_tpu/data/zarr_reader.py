@@ -48,9 +48,13 @@ def _decompress(buf: bytes, compressor: Optional[dict]) -> bytes:
     if cid == "zstd":
         import zstandard
 
-        return zstandard.ZstdDecompressor().decompress(
-            buf, max_output_size=1 << 34
-        )
+        dctx = getattr(_decompress, "_zstd", None)
+        if dctx is None:
+            dctx = _decompress._zstd = zstandard.ZstdDecompressor()
+        # streamed frames carry no content size in the header; decompressobj
+        # grows its output to the actual size instead of preallocating a
+        # max_output_size bound (a one-shot decompress() would need one)
+        return dctx.decompressobj().decompress(buf)
     raise NotImplementedError(
         f"zarr compressor '{cid}' not supported by the built-in reader "
         "(supported: null, zlib, gzip, zstd); re-write the store with "

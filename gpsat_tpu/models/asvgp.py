@@ -453,33 +453,8 @@ class ASVGPModel(BaseGPRModel):
     def set_likelihood_variance(self, v):
         self._params["likelihood_variance"] = np.asarray(np.ravel(v)[0], dtype=float)
 
-    # ----- constraints (sigmoid reparam, same mechanism as GPRModel;
-    # ref: asvgp_model.py set_*_constraints via the gpflow bijector path) -----
-    def _set_constraint(self, name, low, high, move_within_tol=True, tol=1e-8, scale=False, scale_magnitude=None):
-        cur = np.atleast_1d(np.asarray(self._params[name], dtype=float))
-        low = np.broadcast_to(np.atleast_1d(np.asarray(low, dtype=float)), cur.shape).copy()
-        high = np.broadcast_to(np.atleast_1d(np.asarray(high, dtype=float)), cur.shape).copy()
-        assert np.all(low <= high), "all high-constraint values must be >= low"
-        if scale:
-            s = self.coords_scale[0, :] if scale_magnitude is None else scale_magnitude
-            low, high = low / s, high / s
-        if move_within_tol:
-            cur = T.move_within_tol(cur, low, high, tol=tol)
-        if np.asarray(self._params[name]).ndim == 0:
-            self._params[name] = np.asarray(cur[0])
-            self._bijectors[name] = T.interval(low[0], high[0])
-        else:
-            self._params[name] = cur
-            self._bijectors[name] = T.interval(low, high)
-
-    def set_lengthscales_constraints(self, low, high, **kw):
-        self._set_constraint("lengthscales", low, high, **kw)
-
-    def set_kernel_variance_constraints(self, low, high, **kw):
-        self._set_constraint("kernel_variance", low, high, **kw)
-
-    def set_likelihood_variance_constraints(self, low, high, **kw):
-        self._set_constraint("likelihood_variance", low, high, **kw)
+    # constraints: sigmoid reparam via BaseGPRModel._set_constraint
+    # (ref: asvgp_model.py set_*_constraints via the gpflow bijector path)
 
 
 # --------------------------------------------------------------------------

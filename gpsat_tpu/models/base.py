@@ -169,3 +169,34 @@ class BaseGPRModel(ABC):
         for k, v in constraints_dict.items():
             assert k in self.param_names, f"cannot constrain parameter: {k}; not in {self.param_names}"
             getattr(self, f"set_{k}_constraints")(**v, **kwargs)
+
+    # ----- sigmoid-interval constraints, shared by the JAX-core models
+    # (GPR/ASVGP/VFF each keep params in self._params with a bijector per
+    # name in self._bijectors); ref: gpflow_models.py:416-494 -----
+    def _set_constraint(self, name, low, high, move_within_tol=True, tol=1e-8, scale=False, scale_magnitude=None):
+        from gpsat_tpu.ops import transforms as T
+
+        cur = np.atleast_1d(np.asarray(self._params[name], dtype=float))
+        low = np.broadcast_to(np.atleast_1d(np.asarray(low, dtype=float)), cur.shape).copy()
+        high = np.broadcast_to(np.atleast_1d(np.asarray(high, dtype=float)), cur.shape).copy()
+        assert np.all(low <= high), "all high-constraint values must be >= low"
+        if scale:
+            mag = self.coords_scale[0, :] if scale_magnitude is None else scale_magnitude
+            low, high = low / mag, high / mag
+        if move_within_tol:
+            cur = T.move_within_tol(cur, low, high, tol=tol)
+        if np.asarray(self._params[name]).ndim == 0:
+            self._params[name] = np.asarray(cur[0])
+            self._bijectors[name] = T.interval(low[0], high[0])
+        else:
+            self._params[name] = cur
+            self._bijectors[name] = T.interval(low, high)
+
+    def set_lengthscales_constraints(self, low, high, **kw):
+        self._set_constraint("lengthscales", low, high, **kw)
+
+    def set_kernel_variance_constraints(self, low, high, **kw):
+        self._set_constraint("kernel_variance", low, high, **kw)
+
+    def set_likelihood_variance_constraints(self, low, high, **kw):
+        self._set_constraint("likelihood_variance", low, high, **kw)

@@ -49,6 +49,14 @@ class ModelCore:
     # SVGP q given the final hyperparameters). Applied only when
     # optimise=True (same predict-only contract as device_init).
     finalize_params: Callable = None
+    # optional objective used for the stored 'objective' diagnostic on
+    # predict-only runs (optimise=False), where uparams are the loaded
+    # params in the STANDARD parameterization. Cores whose training
+    # objective reinterprets a param slot (e.g. the profiled GPR carries
+    # tau in the likelihood_variance slot) must set this to the standard
+    # objective or the predict-only diagnostic silently reports a value
+    # at the wrong parameters. Defaults to `objective`.
+    report_objective: Callable = None
     # which batched runner fits this core: 'lbfgs' (deterministic
     # objectives) or 'adam' (stochastic, e.g. SVGP)
     optimizer: str = "lbfgs"
@@ -182,4 +190,8 @@ def _make_profiled_gpr_core(kernel, bijectors, jitter, mean_function) -> ModelCo
         default_fixed_params=("kernel_variance",),
         device_init=device_init,
         finalize_params=finalize_params,
+        # predict-only runs load standard (kv, lv) params; evaluate the
+        # joint neg-LML there, NOT the profiled objective (which would
+        # read the lv slot as tau and ignore kv)
+        report_objective=base.objective,
     )

@@ -124,9 +124,15 @@ def neg_lml_profiled(uparams: dict, data: dict, *, kernel: str, bijectors: dict,
     Am = LA.mask_gram(A, m)
     L = LA.cholesky(Am)
     v = LA.tri_solve(L, (data["y"] * m)[:, None])
-    sig2 = jnp.sum(v * v) / n
+    # all-masked lanes (batch padding): finite 0 objective, not 0/0
+    empty = n == 0
+    sig2 = jnp.where(empty, one, jnp.sum(v * v) / jnp.maximum(n, one))
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
-    lml = -0.5 * n * (1.0 + jnp.log(sig2)) - 0.5 * logdet - 0.5 * n * jnp.log(2.0 * jnp.pi)
+    lml = jnp.where(
+        empty,
+        jnp.zeros_like(sig2),
+        -0.5 * n * (1.0 + jnp.log(sig2)) - 0.5 * logdet - 0.5 * n * jnp.log(2.0 * jnp.pi),
+    )
     return -lml
 
 
@@ -436,33 +442,5 @@ class GPRModel(BaseGPRModel):
     def set_likelihood_variance(self, likelihood_variance):
         self._params["likelihood_variance"] = np.asarray(np.ravel(likelihood_variance)[0], dtype=float)
 
-    # ----- constraints (sigmoid reparam; ref gpflow_models.py:416-494) -----
-    def _set_constraint(self, name, low, high, move_within_tol=True, tol=1e-8, scale=False, scale_magnitude=None):
-        cur = np.atleast_1d(np.asarray(self._params[name], dtype=float))
-        low = np.broadcast_to(np.atleast_1d(np.asarray(low, dtype=float)), cur.shape).copy()
-        high = np.broadcast_to(np.atleast_1d(np.asarray(high, dtype=float)), cur.shape).copy()
-        assert np.all(low <= high), "all high-constraint values must be >= low"
-        if scale:
-            if scale_magnitude is None:
-                low = low / self.coords_scale[0, :]
-                high = high / self.coords_scale[0, :]
-            else:
-                low = low / scale_magnitude
-                high = high / scale_magnitude
-        if move_within_tol:
-            cur = T.move_within_tol(cur, low, high, tol=tol)
-        if np.asarray(self._params[name]).ndim == 0:
-            self._params[name] = np.asarray(cur[0])
-            self._bijectors[name] = T.interval(low[0], high[0])
-        else:
-            self._params[name] = cur
-            self._bijectors[name] = T.interval(low, high)
-
-    def set_lengthscales_constraints(self, low, high, **kw):
-        self._set_constraint("lengthscales", low, high, **kw)
-
-    def set_kernel_variance_constraints(self, low, high, **kw):
-        self._set_constraint("kernel_variance", low, high, **kw)
-
-    def set_likelihood_variance_constraints(self, low, high, **kw):
-        self._set_constraint("likelihood_variance", low, high, **kw)
+    # constraints: sigmoid reparam via BaseGPRModel._set_constraint
+    # (ref gpflow_models.py:416-494)

@@ -315,7 +315,9 @@ def multivariate_gaussian_log_density(x, mu, cov):
     cov_b = jnp.broadcast_to(cov, mu.shape + (P,))
     sol = jnp.linalg.solve(cov_b, diff)
     _, logdet = jnp.linalg.slogdet(cov)
-    quad = jnp.squeeze(jnp.swapaxes(diff, -1, -2) @ sol, (-1, -2))
+    quad = jnp.squeeze(
+        jnp.matmul(jnp.swapaxes(diff, -1, -2), sol, precision=jax.lax.Precision.HIGHEST),
+        (-1, -2))
     return -(P / 2) * jnp.log(2 * jnp.pi) - 0.5 * logdet - 0.5 * quad
 
 
@@ -346,19 +348,22 @@ def multioutput_conditional(Kmn, Kmm, Knn, f, H, R, *, full_cov: bool = False):
     f, H, R = jnp.asarray(f), jnp.asarray(H), jnp.asarray(R)
     M, L, N, _ = Kmn.shape
     P = H.shape[0]
+    hi = jax.lax.Precision.HIGHEST  # bf16 matmul default breaks the
+    # Cholesky conditioning of ks on TPU (see CLAUDE.md / ops.kernels)
+    mm = lambda a, b: jnp.matmul(a, b, precision=hi)
     Kmm_d = Kmm.reshape(M * L, M * L)
     Kmn_d = Kmn.reshape(M * L, N * L)
     Hb = jnp.kron(jnp.eye(M), H)                      # [M P, M L]
-    ks = Hb @ Kmm_d @ Hb.T + jnp.kron(jnp.eye(M), R)  # [M P, M P]
+    ks = mm(mm(Hb, Kmm_d), Hb.T) + jnp.kron(jnp.eye(M), R)  # [M P, M P]
     Lm = jnp.linalg.cholesky(ks)
-    A = jax.scipy.linalg.solve_triangular(Lm, Hb @ Kmn_d, lower=True)  # [MP, NL]
+    A = jax.scipy.linalg.solve_triangular(Lm, mm(Hb, Kmn_d), lower=True)  # [MP, NL]
     if full_cov:
-        fvar = (Knn.reshape(N * L, N * L) - A.T @ A).reshape(N, L, N, L)
+        fvar = (Knn.reshape(N * L, N * L) - mm(A.T, A)).reshape(N, L, N, L)
     else:
-        AtA = jnp.einsum("ka,kb->ab", A, A).reshape(N, L, N, L)
+        AtA = jnp.einsum("ka,kb->ab", A, A, precision=hi).reshape(N, L, N, L)
         fvar = Knn - jnp.diagonal(AtA, axis1=0, axis2=2).transpose(2, 0, 1)
     A2 = jax.scipy.linalg.solve_triangular(Lm.T, A, lower=False)
-    fmean = (A2.T @ f.reshape(M * P, 1)).reshape(N, L)
+    fmean = mm(A2.T, f.reshape(M * P, 1)).reshape(N, L)
     return fmean, fvar
 
 
@@ -396,7 +401,9 @@ class LinearForwardModel(ForwardModel):
         return self._forward(None, Fmu)
 
     def propagate_cov(self, Fcov):
-        return self.tensor @ jnp.asarray(Fcov) @ self.tensor.T
+        hi = jax.lax.Precision.HIGHEST
+        return jnp.matmul(jnp.matmul(self.tensor, jnp.asarray(Fcov), precision=hi),
+                          self.tensor.T, precision=hi)
 
 
 class ForwardModelLikelihood:

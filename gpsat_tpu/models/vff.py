@@ -415,30 +415,7 @@ class VFFModel(BaseGPRModel):
     def set_likelihood_variance(self, likelihood_variance):
         self._params["likelihood_variance"] = np.asarray(np.ravel(likelihood_variance)[0], dtype=float)
 
-    def _set_constraint(self, name, low, high, move_within_tol=True, tol=1e-8, scale=False, scale_magnitude=None):
-        cur = np.atleast_1d(np.asarray(self._params[name], dtype=float))
-        low = np.broadcast_to(np.atleast_1d(np.asarray(low, dtype=float)), cur.shape).copy()
-        high = np.broadcast_to(np.atleast_1d(np.asarray(high, dtype=float)), cur.shape).copy()
-        if scale:
-            mag = self.coords_scale[0, :] if scale_magnitude is None else scale_magnitude
-            low, high = low / mag, high / mag
-        if move_within_tol:
-            cur = T.move_within_tol(cur, low, high, tol=tol)
-        if np.asarray(self._params[name]).ndim == 0:
-            self._params[name] = np.asarray(cur[0])
-            self._bijectors[name] = T.interval(low[0], high[0])
-        else:
-            self._params[name] = cur
-            self._bijectors[name] = T.interval(low, high)
-
-    def set_lengthscales_constraints(self, low, high, **kw):
-        self._set_constraint("lengthscales", low, high, **kw)
-
-    def set_kernel_variance_constraints(self, low, high, **kw):
-        self._set_constraint("kernel_variance", low, high, **kw)
-
-    def set_likelihood_variance_constraints(self, low, high, **kw):
-        self._set_constraint("likelihood_variance", low, high, **kw)
+    # constraints: sigmoid reparam via BaseGPRModel._set_constraint
 
 
 # --------------------------------------------------------------------------

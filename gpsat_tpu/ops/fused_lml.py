@@ -178,7 +178,10 @@ def masked_gpr_lml_profiled(kernel, X, y, mask, lengthscales, tau, jitter):
 
 
 def profiled_sigma2(kernel, X, y, mask, lengthscales, tau, jitter):
-    """Closed-form sigma2_hat = y^T A^-1 y / n at (lengthscales, tau)."""
+    """Closed-form sigma2_hat = y^T A^-1 y / n at (lengthscales, tau).
+
+    All-masked (zero-observation) tiles — the engine's batch-padding
+    lanes — return 1.0 instead of 0/0."""
     m = mask.astype(X.dtype)
     n = jnp.sum(m)
     one = jnp.asarray(1.0, dtype=X.dtype)
@@ -187,10 +190,16 @@ def profiled_sigma2(kernel, X, y, mask, lengthscales, tau, jitter):
     Am = LA.mask_gram(A, m)
     L = LA.cholesky(Am)
     v = LA.tri_solve(L, (y * m)[:, None])
-    return jnp.sum(v * v) / n
+    return jnp.where(n > 0, jnp.sum(v * v) / jnp.maximum(n, one), one)
 
 
 def _profiled_fwd_impl(kernel, X, y, mask, lengthscales, tau, jitter):
+    # Limitation: always uses the plain blocked Cholesky — the opt-in
+    # stacked-panel (Pallas) branch of masked_gpr_lml_fused is NOT wired
+    # here, so enabling GPSAT_PANEL_CHOL + GPSAT_PROFILE together silently
+    # runs the non-panel factorization. The panel path is a documented
+    # measured-loser kept opt-in (docs/architecture.md), so the profiled
+    # path deliberately stays on the default route.
     m = mask.astype(X.dtype)
     n = jnp.sum(m)
     one = jnp.asarray(1.0, dtype=X.dtype)
@@ -202,9 +211,18 @@ def _profiled_fwd_impl(kernel, X, y, mask, lengthscales, tau, jitter):
     v = LA.tri_solve(L, ym)
     quad = jnp.sum(v * v)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
-    sig2 = quad / n
+    # all-masked (zero-observation) lanes — the engine's batch padding —
+    # must give a finite value (0, like the joint path) and zero grads,
+    # not 0/0: sig2 is forced to 1 there (log sig2 = 0, and the backward's
+    # alpha/sig2 terms are already zero through the mask)
+    empty = n == 0
+    sig2 = jnp.where(empty, one, quad / jnp.maximum(n, one))
     # joint lml at (ls, sig2, tau*sig2): -(n/2)(1 + log sig2) - logdet/2 - (n/2)log 2pi
-    lml = -0.5 * n * (1.0 + jnp.log(sig2)) - 0.5 * logdet - 0.5 * n * jnp.log(2.0 * jnp.pi)
+    lml = jnp.where(
+        empty,
+        jnp.zeros_like(quad),
+        -0.5 * n * (1.0 + jnp.log(sig2)) - 0.5 * logdet - 0.5 * n * jnp.log(2.0 * jnp.pi),
+    )
     W = LA.tri_inv_blocked(L)
     Ainv = jnp.matmul(W.T, W, precision=jax.lax.Precision.HIGHEST)
     alpha = jnp.matmul(Ainv, ym, precision=jax.lax.Precision.HIGHEST)

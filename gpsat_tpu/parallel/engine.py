@@ -76,7 +76,7 @@ def _fit_predict_one(
         u_opt = uparams0
         converged = jnp.asarray(True)
         num_iter = jnp.asarray(0)
-        final_obj = core.objective(uparams0, data)
+        final_obj = (core.report_objective or core.objective)(uparams0, data)
 
     cparams = core.forward(u_opt)
     if optimise and core.finalize_params is not None:
@@ -247,7 +247,7 @@ def _adam_fit_predict_one(
         num_iter = it
     else:
         u_opt = uparams0
-        final_obj = core.objective(uparams0, data)
+        final_obj = (core.report_objective or core.objective)(uparams0, data)
         converged = jnp.asarray(True)
         num_iter = jnp.asarray(0)
 

@@ -140,6 +140,48 @@ class TestProfiledCore:
                 },
             )
 
+    def test_all_masked_lane_finite(self):
+        """Batch-padding lanes (mask all zero, engine.py pad_batch_to) must
+        give a finite 0 objective and finite (zero) gradients — not the
+        0/0 NaN of sig2 = quad/n (regression: round-3 review finding)."""
+        from gpsat_tpu.ops.fused_lml import masked_gpr_lml_profiled, profiled_sigma2
+
+        N, D = 16, 2
+        X = jnp.zeros((N, D))
+        y = jnp.zeros(N)
+        mask = jnp.zeros(N)
+        z = jnp.asarray(0.0)
+
+        # fused custom-vjp path
+        def fused(ls, tau):
+            return masked_gpr_lml_profiled("Matern32", X, y, mask, ls, tau, z)
+
+        v, g = jax.value_and_grad(fused, argnums=(0, 1))(jnp.asarray([1.0, 1.0]), jnp.asarray(0.1))
+        assert float(v) == 0.0
+        assert all(np.all(np.isfinite(np.asarray(gi))) for gi in g)
+        assert float(profiled_sigma2("Matern32", X, y, mask, jnp.ones(2), jnp.asarray(0.1), z)) == 1.0
+
+        # f64 reference (autodiff) path via the core objective
+        prof = make_gpr_core(profile_variance=True)
+        u = prof.inverse({"lengthscales": np.ones(D), "kernel_variance": np.asarray(1.0),
+                          "likelihood_variance": np.asarray(0.1)})
+        data = {"X": X, "y": y, "mask": mask}
+        v2, g2 = jax.value_and_grad(lambda uu: prof.objective(uu, data))(u)
+        assert float(v2) == 0.0
+        assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree.leaves(g2))
+
+    def test_predict_only_reports_joint_objective(self):
+        """optimise=False runs load STANDARD (kv, lv) params; the stored
+        'objective' must be the joint neg-LML there, not the profiled
+        objective reading the lv slot as tau (regression: round-3 review)."""
+        batch, init = _batch(B=4, N=48, seed=5)
+        joint = make_gpr_core()
+        prof = make_gpr_core(profile_variance=True)
+        rj = run_tile_batch(batch, init, make_batched_runner(joint, optimise=False), joint)
+        rp = run_tile_batch(batch, init, make_batched_runner(prof, optimise=False), prof)
+        np.testing.assert_allclose(rp["objective"], rj["objective"], rtol=1e-12)
+        np.testing.assert_allclose(rp["f_mean"], rj["f_mean"], rtol=1e-10)
+
     def test_profiled_with_mean_function(self):
         """Profiling composes with a trainable Constant mean (the y
         cotangent carries the mean gradient through center_y)."""

@@ -106,6 +106,58 @@ class TestReadNetcdf:
         np.testing.assert_array_equal(df.index.values, np.arange(4))
         np.testing.assert_allclose(df["v"].values, [5, 6, 7, 8])
 
+    def test_multiindex_writer_preserves_dtypes(self, tmp_path):
+        """MultiIndex write_netcdf round-trips datetime levels and
+        datetime/string/int payload columns instead of coercing everything
+        to float NaN arrays (regression: round-3 review finding)."""
+        path = os.path.join(tmp_path, "mi.nc")
+        dates = pd.to_datetime(["2020-03-01", "2020-03-02"])
+        lats = np.array([70.0, 75.0])
+        idx = pd.MultiIndex.from_product([dates, lats], names=["date", "lat"])
+        df = pd.DataFrame(
+            {
+                "fb": [0.1, 0.2, 0.3, 0.4],
+                "count": np.array([3, 1, 4, 1], dtype=np.int64),
+                "src": ["A", "B", "A", "C"],
+                "t_obs": pd.to_datetime(
+                    ["2020-03-01T01", "2020-03-01T02", "2020-03-02T01", "2020-03-02T02"]
+                ),
+            },
+            index=idx,
+        )
+        write_netcdf(path, df)
+        out = read_netcdf(path)
+        assert list(out.index.names) == ["date", "lat"]
+        np.testing.assert_array_equal(
+            out.index.get_level_values("date").unique().values, dates.values
+        )
+        np.testing.assert_allclose(out["fb"].values, df["fb"].values)
+        # dense int column keeps integer dtype; strings and datetimes round-trip
+        assert np.issubdtype(out["count"].dtype, np.integer)
+        np.testing.assert_array_equal(out["count"].values, df["count"].values)
+        assert list(out["src"].values) == list(df["src"].values)
+        np.testing.assert_array_equal(out["t_obs"].values, df["t_obs"].values)
+
+    def test_multiindex_writer_sparse_cells(self, tmp_path):
+        """Missing cells of the dense dim product fill with the column
+        dtype's own null (NaN / NaT / None)."""
+        path = os.path.join(tmp_path, "sparse.nc")
+        idx = pd.MultiIndex.from_tuples(
+            [(1, 10.0), (2, 20.0)], names=["a", "b"]
+        )  # product has 4 cells, 2 filled
+        df = pd.DataFrame(
+            {"v": [1.5, 2.5], "t": pd.to_datetime(["2021-01-01", "2021-01-02"]),
+             "n": np.array([7, 9], dtype=np.int64)},
+            index=idx,
+        )
+        write_netcdf(path, df)
+        out = read_netcdf(path)
+        assert len(out) == 4
+        assert out["v"].isna().sum() == 2
+        assert out["t"].isna().sum() == 2
+        # sparse int promotes to float NaN (xarray convention)
+        assert out["n"].isna().sum() == 2
+
     def test_groups_rejected(self, tmp_path):
         import h5py
 
