@@ -84,8 +84,17 @@ def main():
     ap.add_argument("--sweep", default="1024,4096,16384,65536")
     ap.add_argument("--max-iter", type=int, default=60)
     ap.add_argument("--check", action="store_true", help="f64-CPU parity check at N=4096")
+    ap.add_argument("--precision", default="highest", choices=["highest", "high"],
+                    help="emulation passes for the conditioning-SAFE accumulation "
+                         "matmuls only (ops/precision.py): highest=6-pass (default), "
+                         "high=3-pass (~2x MXU rate). Gram/triangular-inverse matmuls "
+                         "stay HIGHEST either way — flipping those was measured to "
+                         "kill convergence outright (0/8 lanes).")
     args = ap.parse_args()
 
+    import os
+
+    os.environ["GPSAT_MM_PRECISION"] = args.precision
     import jax
 
     jax.config.update("jax_default_matmul_precision", "highest")
@@ -118,6 +127,7 @@ def main():
         tflops = flops / dt / 1e12
         print(json.dumps({
             "metric": "sgpr_large_n",
+            "precision": args.precision,
             "N": N, "B": B, "M": M_INDUCING,
             "experts_per_sec": round(B / dt, 2),
             "points_per_sec": round(B * N / dt, 0),

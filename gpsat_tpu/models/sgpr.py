@@ -106,14 +106,24 @@ def _common_terms(cparams: dict, data: dict, *, kernel: str, jitter: float, chun
         ymc = (y * m).reshape(nc, C)
         mc = m.reshape(nc, C)
 
+        # the N-contraction matmuls (2*M^2*C FLOPs each) dominate large-N
+        # cost and feed B = AAT + I (eigenvalues >= 1, conditioning-safe):
+        # they may run at the relaxed accumulation precision (ops/precision)
+        from gpsat_tpu.ops.precision import accum_precision
+
+        acc = accum_precision()
+
         def body(carry, inp):
             AAT_, Aerr_, ymsq_ = carry
             Xi, ymi, mi = inp
             Kuf_i = K.gram(kernel, Z, Xi, ls, kv) * mi[None, :]
-            A_i = solve_L(Kuf_i) / sigma
+            if LA.use_fast_inverse(X.dtype):
+                A_i = jnp.matmul(Winv, Kuf_i, precision=acc) / sigma
+            else:
+                A_i = solve_L(Kuf_i) / sigma
             return (
-                AAT_ + A_i @ A_i.T,
-                Aerr_ + A_i @ ymi[:, None],
+                AAT_ + jnp.matmul(A_i, A_i.T, precision=acc),
+                Aerr_ + jnp.matmul(A_i, ymi[:, None], precision=acc),
                 ymsq_ + jnp.sum(ymi**2),
             ), None
 
