@@ -59,8 +59,12 @@ def make_ground_truth_field(extent: float = 500_000.0, n: int = 181, seed: int =
     y = np.linspace(-extent, extent, n)
     X, Y = np.meshgrid(x, y)
     field = np.zeros_like(X)
+    # frequency content scales with the domain so any extent gives ~1
+    # oscillation per component across the field (identical to the old
+    # fixed 1/150km scale at the default 500km extent)
+    k_scale = (500_000.0 / 150_000.0) / extent
     for _ in range(6):
-        kx, ky = rng.normal(scale=1.0 / 150_000.0, size=2)
+        kx, ky = rng.normal(scale=k_scale, size=2)
         phase = rng.uniform(0, 2 * np.pi)
         amp = rng.uniform(0.05, 0.3)
         field += amp * np.sin(kx * X + ky * Y + phase)

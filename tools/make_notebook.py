@@ -227,6 +227,10 @@ def main():
     if not args.no_execute:
         from nbclient import NotebookClient
 
+        # hermetic execution: a stale shared compile cache (entries
+        # AOT-compiled on a different host) spews XLA feature-mismatch
+        # warnings into cell outputs
+        os.environ["GPSAT_NO_COMPILE_CACHE"] = "1"
         client = NotebookClient(
             nb, timeout=1800, kernel_name="python3",
             resources={"metadata": {"path": REPO}},

@@ -385,11 +385,259 @@ assert np.allclose(res["f_mean"], ref["f_mean"], atol=1e-8)"""),
 ]
 
 
+END_TO_END_DEMO = [
+    ("markdown", """\
+# End-to-end demo: raw satellite files → gridded posterior field
+
+The flagship workflow — the TPU-rebuild equivalent of the reference's
+`examples/sea_ice_freeboard/demo.ipynb` and the `notebooks/` pipeline set
+(`read_raw_data_and_store` → `bin_raw_data` → `local_experts_from_config_class`
+→ postprocess → plot). Real sea-ice data isn't shipped, so stage 0 samples
+noisy pseudo-satellite tracks from a known ground-truth field
+(ref: examples/Archive/sample_from_ground_truth.py) — which also lets the
+final panel measure recovery error against the truth.
+
+Five stages, each driven by the same config dicts the JSON CLIs take:
+
+1. **ingest** — raw per-track CSVs → one HDF5 obs table (resumable batch ledger)
+2. **bin** — obs → regular-grid cells (`scipy.binned_statistic_2d` conventions)
+3. **local-expert OI** — grid of GPR experts, radius data select, fine
+   prediction grid; on TPU this is where the batched JAX engine takes over
+4. **postprocess** — Gaussian-smooth the hyperparameter fields, re-predict
+5. **glue + plot** — weighted-average overlapping expert predictions, compare
+   to the ground truth
+
+Runs anywhere (CPU-forced, f64 reference-parity mode); the last section says
+what changes on TPU hardware."""),
+    ("code", _SETUP),
+    ("code", """\
+import tempfile, os, json, glob
+work = tempfile.mkdtemp(prefix="gpsat_demo_")
+print("working under:", work)"""),
+    ("markdown", """\
+## Stage 0 — synthetic "satellite" observations
+
+A smooth ground-truth field plus straight tracks across the domain; each
+track samples the field with i.i.d. noise. Two pseudo-satellites write
+per-track CSV files into separate directories — the shape raw altimetry
+deliveries actually arrive in."""),
+    ("code", """\
+from gpsat_tpu.synthetic import make_ground_truth_field, make_tracks, sample_from_ground_truth
+
+EXTENT, NOISE = 10.0, 0.1
+field, xg, yg = make_ground_truth_field(extent=EXTENT, n=81, seed=7)   # 0.25 spacing
+raw_dir = os.path.join(work, "raw")
+n_files = 0
+for si, sat in enumerate(["sat_a", "sat_b"]):
+    os.makedirs(os.path.join(raw_dir, sat), exist_ok=True)
+    tracks = make_tracks(extent=EXTENT, n_tracks=14, pts_per_track=260, seed=20 + si)
+    obs = sample_from_ground_truth(tracks, field, xg, yg, noise_std=NOISE, obs_col="z", seed=si)
+    obs["date"] = "2020-03-01"
+    for t, grp in obs.groupby(obs.index // 260):
+        grp.to_csv(os.path.join(raw_dir, sat, f"track_{t:03d}.csv"), index=False)
+        n_files += 1
+print(f"wrote {n_files} track files")"""),
+    ("markdown", """\
+## Stage 1 — ingest: raw files → one HDF5 obs table
+
+`read_and_store` walks the directories, concatenates matching files and
+appends them to a store table — with a **batch ledger** (`_data_batches`)
+so an interrupted or repeated run skips what's already in
+(ref: GPSat/read_and_store.py:176-315). The same call is available as
+`python -m gpsat_tpu.read_and_store config.json`."""),
+    ("code", """\
+from gpsat_tpu.data.ingest import read_and_store
+from gpsat_tpu.data.store import TableStore
+
+obs_file = os.path.join(work, "obs.h5")
+read_and_store(
+    output={"file": obs_file, "table": "data"},
+    file_dirs=raw_dir,
+    sub_dirs=["sat_a", "sat_b"],
+    file_regex=r"track_\\d+\\.csv",
+    read_engine="csv",
+)
+# resumable: a second call finds both batches in the ledger and skips them
+read_and_store(
+    output={"file": obs_file, "table": "data"},
+    file_dirs=raw_dir,
+    sub_dirs=["sat_a", "sat_b"],
+    file_regex=r"track_\\d+\\.csv",
+    read_engine="csv",
+)
+with TableStore(obs_file, mode="r") as store:
+    raw_obs = store.select("data", set_index=False)
+    ledger = store.select("_data_batches", set_index=False)
+print(ledger[["batch", "rows"]])
+assert len(raw_obs) == int(ledger["rows"].sum())   # no duplicate ingest"""),
+    ("markdown", """\
+## Stage 2 — bin onto a regular grid
+
+Per-cell means on a fixed lattice knock raw track observations down to one
+value per cell (ref: GPSat/bin_data.py:574-699; same
+`scipy.stats.binned_statistic_2d` conventions as the reference runtime).
+`by_cols=["date"]` keeps days separate — with real multi-date data this is
+the streaming `load_by` axis."""),
+    ("code", """\
+from gpsat_tpu.data.binning import BinData
+
+binned_file = os.path.join(work, "binned.h5")
+df_bin, stats = BinData().bin_data(
+    input={"source": obs_file, "table": "data"},
+    bin_config={
+        "by_cols": ["date"], "val_col": "z",
+        "x_col": "x", "y_col": "y", "grid_res": 0.5,
+        "x_range": [-EXTENT, EXTENT], "y_range": [-EXTENT, EXTENT],
+    },
+    output={"file": binned_file, "table": "data"},
+)
+print(f"{len(raw_obs)} raw obs -> {len(df_bin)} grid cells")
+df_bin.head()"""),
+    ("markdown", """\
+## Stage 3 — local-expert optimal interpolation
+
+A 4×4 grid of exact-GPR experts; each selects binned obs within a radius
+of itself, optimises its hyperparameters, and predicts on the shared fine
+grid inside `max_dist` of itself (ref: GPSat/local_experts.py:761-1279).
+The config dict below is exactly what
+`python -m gpsat_tpu.local_expert_oi config.json` takes — and on a TPU
+host the same config runs the experts **batched** through the vmap/
+shard_map engine instead of this serial CPU loop."""),
+    ("code", """\
+from gpsat_tpu.local_expert_oi import run_from_config
+from gpsat_tpu.experts import get_results_from_h5file
+
+ex = np.linspace(-7.5, 7.5, 4)
+experts = pd.DataFrame([(x, y) for x in ex for y in ex], columns=["x", "y"])
+pred_grid = pd.DataFrame(
+    np.stack(np.meshgrid(xg, yg), axis=-1).reshape(-1, 2), columns=["x", "y"]
+)
+store_path = os.path.join(work, "results.h5")
+oi_config = {
+    "locations": {"source": experts},
+    "data": {
+        "data_source": binned_file,
+        "table": "data",
+        "obs_col": "z",
+        "coords_col": ["x", "y"],
+        # multi-col entry -> euclidean-radius select (KDTree / C++ grid hash)
+        "local_select": [{"col": ["x", "y"], "comp": "<", "val": 4.5}],
+    },
+    "model": {
+        "oi_model": "GPflowGPRModel",
+        "init_params": {"noise_variance": NOISE**2},
+        "optim_kwargs": {"max_iter": 250},
+    },
+    "pred_loc": {"method": "from_dataframe", "df": pred_grid, "max_dist": 3.5},
+    "run_kwargs": {"store_path": store_path},
+}
+run_from_config(oi_config)
+
+dfs, stored_configs = get_results_from_h5file(store_path)
+rd = dfs["run_details"]
+print(rd[["num_obs", "objective_value", "num_iter", "run_time"]].describe().loc[["mean", "min", "max"]])
+assert bool(rd["optimise_success"].all())"""),
+    ("markdown", """\
+## Stage 4 — smooth hyperparameter fields, re-predict
+
+Independently-fit experts give noisy hyperparameter maps; Gaussian-kernel
+smoothing over the expert grid regularises them, then a **predict-only**
+second pass re-runs the sweep with the smoothed values loaded
+(ref: GPSat/postprocessing.py:96-380 — two-phase design, the emitted
+config has `optimise=False` + `load_params`)."""),
+    ("code", """\
+from gpsat_tpu.postprocess import SmoothingConfig, smooth_hyperparameters
+
+cfg_path = smooth_hyperparameters(
+    result_file=store_path,
+    params_to_smooth=["lengthscales", "kernel_variance"],
+    smooth_config_dict={
+        "lengthscales": SmoothingConfig(l_x=10.0, l_y=10.0),
+        "kernel_variance": SmoothingConfig(l_x=10.0, l_y=10.0),
+    },
+)
+with open(cfg_path) as f:
+    emitted = json.load(f)[-1]
+print("emitted config: optimise =", emitted["run_kwargs"]["optimise"],
+      "| load_params =", emitted["model"]["load_params"])
+
+predict_only = {
+    **oi_config,
+    "model": {**oi_config["model"], **{k: emitted["model"][k] for k in ("load_params",)}},
+    "run_kwargs": {
+        "store_path": store_path, "optimise": False, "table_suffix": "_SMOOTHED",
+        "skip_valid_checks_on": ["model", "run_kwargs"],
+    },
+}
+run_from_config(predict_only)
+dfs_sm, _ = get_results_from_h5file(store_path, table_suffix="_SMOOTHED")
+preds = dfs_sm["preds_SMOOTHED"]
+print(f"{len(preds)} expert-prediction rows on the fine grid")"""),
+    ("markdown", """\
+## Stage 5 — glue overlapping experts, compare to the truth
+
+Neighbouring experts predict the same grid cells; `glue_local_predictions`
+blends them with distance-based Gaussian weights (σ = radius/3 puts ~99%
+of the mass inside the inference radius, ref:
+GPSat/postprocessing.py:447-577). Because stage 0 kept the ground truth,
+the recovery error is measurable — the posterior mean should land well
+under the observation noise."""),
+    ("code", """\
+from gpsat_tpu.postprocess import glue_local_predictions
+
+glued = glue_local_predictions(preds, inference_radius=3.5)
+truth = pd.DataFrame({
+    "pred_loc_x": pred_grid["x"], "pred_loc_y": pred_grid["y"],
+    "truth": field.ravel(order="C"),
+})
+# field[i, j] = value at (xg[j], yg[i]) -> ravel matches meshgrid stacking
+merged = glued.merge(truth, on=["pred_loc_x", "pred_loc_y"], how="inner")
+rmse = float(np.sqrt(np.mean((merged["f*"] - merged["truth"]) ** 2)))
+print(f"glued cells: {len(merged)} | RMSE vs truth: {rmse:.4f} (obs noise {NOISE})")
+assert rmse < NOISE, "posterior mean should beat the observation noise floor"
+
+fig, axes = plt.subplots(1, 3, figsize=(15, 4.2))
+grid = merged.pivot(index="pred_loc_y", columns="pred_loc_x", values="f*")
+tgrid = merged.pivot(index="pred_loc_y", columns="pred_loc_x", values="truth")
+sgrid = np.sqrt(merged.pivot(index="pred_loc_y", columns="pred_loc_x", values="f*_var"))
+vmin, vmax = np.nanmin(tgrid.values), np.nanmax(tgrid.values)
+for ax, (g, title) in zip(axes, [(tgrid, "ground truth"), (grid, "glued posterior mean"),
+                                 (sgrid, "posterior std")]):
+    kw = dict(vmin=vmin, vmax=vmax) if title != "posterior std" else {}
+    im = ax.pcolormesh(g.columns.values, g.index.values, g.values, shading="nearest", **kw)
+    ax.plot(experts["x"], experts["y"], "k^", ms=5)
+    ax.set_title(title)
+    fig.colorbar(im, ax=ax)
+fig.tight_layout()"""),
+    ("markdown", """\
+## The same pipeline on TPU hardware
+
+Nothing above changes structurally — the configs are identical. On a TPU
+host the orchestrator:
+
+- buckets experts into padded tiles and runs them **batched** (vmap) and
+  **sharded** (shard_map over the device mesh) instead of serially —
+  hundreds of experts per device step;
+- switches to f32 production mode: fused analytic-gradient LML, blocked
+  triangular inverse, 6-pass matmul emulation for GP-grade conditioning
+  (`ops/precision.py`); an optional f64 `polish` pass recovers ~1e-6
+  agreement with the CPU gold;
+- scales past one host with `python -m gpsat_tpu.distributed config.json`
+  — experts partitioned across hosts, per-host stores, byte-identical
+  `merge_stores` (docs/multihost.md).
+
+See `examples/using_tpus.ipynb` for the engine-level view and
+`bench_pipeline.py` for the pan-Arctic-geometry benchmark of exactly this
+workflow."""),
+]
+
+
 BOOKS = {
     "gp_regression": GP_REGRESSION,
     "1d_local_expert_model_part_1": ONED_PART1,
     "1d_local_expert_model_part_2": ONED_PART2,
     "using_tpus": USING_TPUS,
+    "end_to_end_demo": END_TO_END_DEMO,
 }
 
 
@@ -419,6 +667,10 @@ def main():
         if not args.no_execute:
             from nbclient import NotebookClient
 
+            # hermetic execution: a stale shared compile cache (entries
+            # AOT-compiled on a different host) spews XLA feature-mismatch
+            # warnings into cell outputs
+            os.environ["GPSAT_NO_COMPILE_CACHE"] = "1"
             NotebookClient(
                 nb, timeout=1800, kernel_name="python3",
                 resources={"metadata": {"path": REPO}},
