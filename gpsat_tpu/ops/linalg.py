@@ -136,8 +136,9 @@ def tri_inv_blocked(L: Array, T: int = 64) -> Array:
     return jnp.concatenate(rows, axis=0)
 
 
-def chol_inv(K: Array, T: int = 128):
-    """(L, W=L^-1) of an SPD matrix — the TPU fast path's factor pair."""
+def chol_inv(K: Array, T: int = 64):
+    """(L, W=L^-1) of an SPD matrix — the TPU fast path's factor pair.
+    T default matches tri_inv_blocked's measured-best block size."""
     L = cholesky(K)
     return L, tri_inv_blocked(L, T)
 
