@@ -85,6 +85,21 @@ def _fused_fwd_impl(kernel, X, y, mask, lengthscales, kernel_variance, likelihoo
     K = LA.add_diag(k, likelihood_variance + jitter)
     Km = LA.mask_gram(K, m)
     ym = (y * m)[:, None]
+    if LA.block_path_enabled(Km):
+        # fused diag-block factor pair (Pallas kernel + XLA trailing): L and
+        # the FULL W = L^-1 in one walk. With W in hand the value solve is a
+        # matmul — note this makes value-only callers pay the full inverse
+        # (production f32 runs single_eval = always value+grad, so there are
+        # no value-only callers on this path)
+        L, W = LA.chol_winv_pair(Km)
+        v = jnp.matmul(W, ym, precision=jax.lax.Precision.HIGHEST)
+        quad = jnp.sum(v * v)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+        lml = -0.5 * quad - 0.5 * logdet - 0.5 * n * jnp.log(2.0 * jnp.pi)
+        Kinv = jnp.matmul(W.T, W, precision=jax.lax.Precision.HIGHEST)
+        alpha = jnp.matmul(Kinv, ym, precision=jax.lax.Precision.HIGHEST)
+        residuals = (X, m, lengthscales, kernel_variance, r, Kinv, alpha[:, 0])
+        return lml, residuals
     if LA.panel_path_enabled(Km):
         # stacked-panel factor pair: the pallas kernel (under the expert
         # vmap, via custom_vmap) factors all tiles' diagonal blocks

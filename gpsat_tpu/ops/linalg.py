@@ -287,6 +287,106 @@ def tri_solve_from_diag(L: Array, Wdiag: Array, b: Array, T: int = _PANEL_T) -> 
     return jnp.concatenate(vs, axis=0)
 
 
+# ---------------------------------------------------------------------------
+# Fused factor pair v3: diagonal-block Pallas kernel (chol + inverse in one
+# loop, ops/pallas/block_chol) + XLA MXU trailing updates and inverse
+# assembly. See block_chol.py's module docstring for why this layout wins
+# where the two earlier kernels lost.
+# ---------------------------------------------------------------------------
+
+_BLOCK_T = 64
+
+
+def block_path_enabled(K: Array) -> bool:
+    """Static (trace-time) gate for the fused diag-block factor path."""
+    import os
+
+    flag = os.environ.get("GPSAT_BLOCK_CHOL", "0")
+    if flag not in ("1", "force"):
+        return False
+    N = K.shape[-1]
+    if K.dtype != jnp.float32 or N % _BLOCK_T != 0 or N < 2 * _BLOCK_T:
+        return False
+    if flag == "force":  # CPU test suites run the kernel in interpret mode
+        return True
+    try:
+        import jax.extend.backend as _be
+
+        return _be.get_backend().platform not in ("cpu",)
+    except Exception:
+        return False
+
+
+def _chol_winv_batched(K: Array):
+    """Blocked Cholesky + full triangular inverse of [B, N, N] tiles.
+
+    Panel factorizations (and their block inverses) come from the fused
+    Pallas kernel; everything O(N^3) — panel scaling, trailing updates,
+    off-diagonal inverse assembly — is XLA batched MXU matmuls.
+    Returns (L, W = L^-1), both [B, N, N].
+    """
+    from gpsat_tpu.ops.pallas.block_chol import factor_blocks_auto
+
+    T = _BLOCK_T
+    hi = jax.lax.Precision.HIGHEST
+    B, N, _ = K.shape
+    Nb = N // T
+
+    A = K
+    cols = []
+    Wdiags = []
+    for p in range(Nb):
+        D = A[:, :T, :T]
+        Ld, Di = factor_blocks_auto(D)
+        Wdiags.append(Di)
+        if p < Nb - 1:
+            rest = A[:, T:, :T]  # [B, R, T]
+            Lpan = jnp.matmul(rest, jnp.swapaxes(Di, 1, 2), precision=hi)
+            A = A[:, T:, T:] - jnp.matmul(Lpan, jnp.swapaxes(Lpan, 1, 2), precision=hi)
+            col = jnp.concatenate([Ld, Lpan], axis=1)  # [B, N - p*T, T]
+        else:
+            col = Ld
+        cols.append(jnp.pad(col, ((0, 0), (p * T, 0), (0, 0))))
+    L = jnp.concatenate(cols, axis=2)
+
+    # W assembly, one block-column at a time: for column k, row-block i
+    # needs W rows k..i-1 of the same column — a single fat matmul
+    # [B, T, (i-k)T] x [B, (i-k)T, T] per (i, k) instead of (i-k) thin ones.
+    Wcols = []
+    for k in range(Nb):
+        Wcol = [jnp.zeros((B, T, T), dtype=K.dtype)] * k + [Wdiags[k]]
+        for i in range(k + 1, Nb):
+            Lrow = L[:, i * T : (i + 1) * T, k * T : i * T]  # [B, T, (i-k)T]
+            stacked = jnp.concatenate(Wcol[k:i], axis=1)  # [B, (i-k)T, T]
+            acc = jnp.matmul(Lrow, stacked, precision=hi)
+            Wcol.append(-jnp.matmul(Wdiags[i], acc, precision=hi))
+        Wcols.append(jnp.concatenate(Wcol, axis=1))  # [B, N, T]
+    W = jnp.concatenate(Wcols, axis=2)
+    return L, W
+
+
+def _chol_winv_unbatched(K: Array):
+    L = cholesky(K)
+    return L, tri_inv_blocked(L)
+
+
+@_cb.custom_vmap
+def chol_winv_pair(K: Array):
+    """(L, W = L^-1) of one SPD tile. Under the expert vmap this routes to
+    the fused diag-block Pallas driver on the whole batch; unbatched it is
+    the plain XLA path."""
+    return _chol_winv_unbatched(K)
+
+
+@chol_winv_pair.def_vmap
+def _chol_winv_pair_vmap(axis_size, in_batched, K):
+    (k_batched,) = in_batched
+    if not k_batched:
+        out = _chol_winv_unbatched(K)
+        return out, (False, False)
+    return _chol_winv_batched(K), (True, True)
+
+
 def cho_solve(L: Array, B: Array) -> Array:
     """Solve K x = B given K = L L^T."""
     return tri_solve(L, tri_solve(L, B), trans=True)

@@ -1,0 +1,92 @@
+"""Fused diag-block Cholesky+inverse kernel (ops/pallas/block_chol) —
+correctness in interpret mode, the batched blocked driver, NaN propagation
+for the safe_cholesky failure contract, and the custom_vmap-routed fused-LML
+block path vs the reference path (values and analytic gradients)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gpsat_tpu.ops import linalg as LA
+from gpsat_tpu.ops.pallas.block_chol import factor_blocks
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setenv("GPSAT_PALLAS_INTERPRET", "1")
+
+
+class TestBlockKernel:
+    def test_factor_blocks_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        B, T = 7, 64
+        A = rng.standard_normal((B, T, T)).astype(np.float32)
+        K = A @ np.swapaxes(A, 1, 2) + T * np.eye(T, dtype=np.float32)
+        L, W = factor_blocks(jnp.asarray(K), interpret=True)
+        L, W = np.asarray(L), np.asarray(W)
+        np.testing.assert_allclose(L, np.linalg.cholesky(K), rtol=0, atol=2e-4)
+        np.testing.assert_allclose(L @ W, np.broadcast_to(np.eye(T), (B, T, T)), atol=2e-5)
+        assert np.max(np.abs(np.triu(L[0], 1))) == 0.0
+        assert np.max(np.abs(np.triu(W[0], 1))) == 0.0
+
+    def test_non_spd_block_propagates_nan(self):
+        # safe_cholesky's ok-flag relies on a failed factorization producing
+        # NaNs — the kernel must not clamp the pivot
+        K = np.stack([
+            np.eye(64, dtype=np.float32),
+            -np.eye(64, dtype=np.float32),
+        ])
+        L, W = factor_blocks(jnp.asarray(K), interpret=True)
+        assert np.all(np.isfinite(np.asarray(L[0])))
+        assert np.any(np.isnan(np.asarray(L[1]))) and np.any(np.isnan(np.asarray(W[1])))
+
+    def test_batched_winv_driver(self):
+        rng = np.random.default_rng(1)
+        B, N = 3, 320  # non-power-of-two multiple of 64
+        A = rng.standard_normal((B, N, N)).astype(np.float32) / np.sqrt(N)
+        K = A @ np.swapaxes(A, 1, 2) + np.eye(N, dtype=np.float32)
+        L, W = LA._chol_winv_batched(jnp.asarray(K))
+        Lref = np.linalg.cholesky(K)
+        np.testing.assert_allclose(np.asarray(L), Lref, atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(jnp.matmul(W, L)), np.broadcast_to(np.eye(N), (B, N, N)), atol=3e-4
+        )
+        # strict upper triangle of W is zero (block assembly fills zeros)
+        assert np.max(np.abs(np.triu(np.asarray(W)[0], 1))) == 0.0
+
+    def test_fused_lml_block_path_matches_reference(self, monkeypatch):
+        from gpsat_tpu.ops.fused_lml import masked_gpr_lml_fused
+
+        rng = np.random.default_rng(2)
+        B, N, D = 3, 256, 2
+        X = jnp.asarray(rng.uniform(-3, 3, (B, N, D)).astype(np.float32))
+        y = jnp.asarray(
+            (np.sin(np.asarray(X)[..., 0]) + 0.1 * rng.standard_normal((B, N))).astype(np.float32)
+        )
+        m = np.ones((B, N), np.float32)
+        m[:, 200:] = 0
+        m = jnp.asarray(m)
+        ls = jnp.asarray(np.full((B, D), 1.3, np.float32))
+        kv = jnp.full((B,), 0.9, jnp.float32)
+        lv = jnp.full((B,), 0.05, jnp.float32)
+
+        def f(X, y, m, ls, kv, lv):
+            return masked_gpr_lml_fused("Matern32", X, y, m, ls, kv, lv, 1e-5)
+
+        vg = jax.vmap(jax.value_and_grad(f, argnums=(3, 4, 5)), in_axes=(0,) * 6)
+
+        monkeypatch.setenv("GPSAT_BLOCK_CHOL", "force")
+        jax.clear_caches()
+        val_b, grads_b = vg(X, y, m, ls, kv, lv)
+        monkeypatch.setenv("GPSAT_BLOCK_CHOL", "0")
+        jax.clear_caches()
+        val_r, grads_r = vg(X, y, m, ls, kv, lv)
+
+        np.testing.assert_allclose(np.asarray(val_b), np.asarray(val_r), rtol=1e-5, atol=1e-3)
+        for gb, gr in zip(grads_b, grads_r):
+            scale = max(float(jnp.max(jnp.abs(gr))), 1.0)
+            np.testing.assert_allclose(
+                np.asarray(gb) / scale, np.asarray(gr) / scale, atol=5e-5
+            )
