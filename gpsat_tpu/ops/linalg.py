@@ -61,9 +61,11 @@ def add_diag(K: Array, value: Array) -> Array:
 
 
 def cholesky(K: Array) -> Array:
-    """Cholesky dispatch: Pallas blocked kernel on TPU for 128-multiple
-    tile sizes (gpsat_tpu.ops.pallas.cholesky — XLA's stock op runs at
-    <1 TFLOP/s on these shapes), jnp fallback elsewhere."""
+    """Cholesky dispatch. Default: jnp.linalg.cholesky (XLA). The
+    VMEM-resident Pallas kernel (gpsat_tpu.ops.pallas.cholesky) is an
+    opt-in experiment (GPSAT_PALLAS_CHOL=1) that measured ~2x SLOWER on
+    v5e — the faster factor path is the fused diag-block pair
+    (chol_winv_pair, GPSAT_BLOCK_CHOL), which the fused LML routes to."""
     from gpsat_tpu.ops.pallas.cholesky import cholesky as _pchol
 
     return _pchol(K)
