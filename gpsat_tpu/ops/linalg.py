@@ -389,6 +389,50 @@ def _chol_winv_pair_vmap(axis_size, in_batched, K):
     return _chol_winv_batched(K), (True, True)
 
 
+@jax.custom_vjp
+def chol_winv(K: Array):
+    """Differentiable (L, W = L^-1) factor pair.
+
+    Same routing as chol_winv_pair (fused Pallas driver under the expert
+    vmap when GPSAT_BLOCK_CHOL is on) but safe to autodiff through — the
+    Pallas kernel has no JVP rule, so consumers whose gradients flow
+    through the factorization (SGPR/SVGP collapsed bounds, VFF) must use
+    this wrapper. GPR's fused LML (custom_vjp, gradients never reach the
+    factor) uses chol_winv_pair directly.
+    """
+    return chol_winv_pair(K)
+
+
+def _chol_winv_fwd(K):
+    L, W = chol_winv_pair(K)
+    return (L, W), (L, W)
+
+
+def _chol_winv_bwd(res, cot):
+    L, W = res
+    dL, dW = cot
+    hi = jax.lax.Precision.HIGHEST
+    # W = L^-1 contribution: vjp through matrix inverse, dL += -W^T dW W^T.
+    # Cotangents on W's structurally-zero upper triangle are meaningless
+    # (the primal is exactly zero there) — mask before propagating, and
+    # keep only the lower triangle of the combined dL (strict upper of L
+    # is structurally zero too).
+    dWl = jnp.tril(dW)
+    dLtot = jnp.tril(
+        dL - jnp.matmul(W.T, jnp.matmul(dWl, W.T, precision=hi), precision=hi)
+    )
+    # standard Cholesky pullback (Murray 2016): dK = symmetrize of
+    # L^-T Phi(L^T dL) L^-1 with Phi = tril, halved diagonal — W is in
+    # hand, so the two triangular solves are matmuls here
+    M = jnp.matmul(L.T, dLtot, precision=hi)
+    Phi = jnp.tril(M) - 0.5 * jnp.diagonal(M)[..., None] * jnp.eye(M.shape[-1], dtype=M.dtype)
+    dK = jnp.matmul(W.T, jnp.matmul(Phi, W, precision=hi), precision=hi)
+    return (0.5 * (dK + dK.T),)
+
+
+chol_winv.defvjp(_chol_winv_fwd, _chol_winv_bwd)
+
+
 def cho_solve(L: Array, B: Array) -> Array:
     """Solve K x = B given K = L L^T."""
     return tri_solve(L, tri_solve(L, B), trans=True)

@@ -56,6 +56,54 @@ class TestBlockKernel:
         # strict upper triangle of W is zero (block assembly fills zeros)
         assert np.max(np.abs(np.triu(np.asarray(W)[0], 1))) == 0.0
 
+    def test_chol_winv_custom_vjp_matches_autodiff(self, monkeypatch):
+        # the differentiable wrapper (for consumers whose gradients flow
+        # through the factorization: SGPR/SVGP/VFF) vs plain autodiff
+        # through cholesky + solve_triangular
+        rng = np.random.default_rng(3)
+        N = 96
+        A = rng.standard_normal((N, N))
+        K = jnp.asarray(A @ A.T + N * np.eye(N))
+
+        def f_new(K):
+            L, W = LA.chol_winv(K)
+            return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(jnp.sin(W)) + jnp.sum(W @ jnp.ones(N, K.dtype))
+
+        def f_ref(K):
+            L = jnp.linalg.cholesky(K)
+            W = jax.scipy.linalg.solve_triangular(L, jnp.eye(N, dtype=K.dtype), lower=True)
+            return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(jnp.sin(W)) + jnp.sum(W @ jnp.ones(N, K.dtype))
+
+        g_new = jax.grad(f_new)(K)
+        g_ref = jax.grad(f_ref)(K)
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), atol=1e-9)
+
+        # vmapped through the forced kernel path (f32, interpret mode)
+        monkeypatch.setenv("GPSAT_BLOCK_CHOL", "force")
+        jax.clear_caches()
+        B, N2 = 3, 128
+        A2 = rng.standard_normal((B, N2, N2)).astype(np.float32) / np.sqrt(N2)
+        K2 = jnp.asarray(A2 @ np.swapaxes(A2, 1, 2) + np.eye(N2, dtype=np.float32))
+
+        def fb(K):
+            L, W = LA.chol_winv(K)
+            return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(W * W)
+
+        gv_new = jax.vmap(jax.grad(fb))(K2)
+        monkeypatch.setenv("GPSAT_BLOCK_CHOL", "0")
+        jax.clear_caches()
+
+        def fb_ref(K):
+            L = jnp.linalg.cholesky(K)
+            W = jax.scipy.linalg.solve_triangular(L, jnp.eye(N2, dtype=K.dtype), lower=True)
+            return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(W * W)
+
+        gv_ref = jax.vmap(jax.grad(fb_ref))(K2)
+        scale = float(jnp.max(jnp.abs(gv_ref)))
+        np.testing.assert_allclose(
+            np.asarray(gv_new) / scale, np.asarray(gv_ref) / scale, atol=2e-6
+        )
+
     def test_fused_lml_block_path_matches_reference(self, monkeypatch):
         from gpsat_tpu.ops.fused_lml import masked_gpr_lml_fused
 
