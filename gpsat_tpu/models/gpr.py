@@ -162,14 +162,18 @@ def posterior_factors(cparams: dict, data: dict, *, kernel: str, jitter: float =
     Kf = K.gram(kernel, data["X"], data["X"], cparams["lengthscales"], cparams["kernel_variance"])
     Kn = LA.add_diag(Kf, cparams["likelihood_variance"] + jitter)
     Km = LA.mask_gram(Kn, m)
-    L = LA.cholesky(Km)
     ym = (data["y"] * m)[:, None]
     if LA.use_fast_inverse(Km.dtype):
-        W = LA.tri_inv_blocked(L)
+        if LA.block_path_enabled(Km):
+            L, W = LA.chol_winv_pair(Km)  # fused diag-block kernel path
+        else:
+            L = LA.cholesky(Km)
+            W = LA.tri_inv_blocked(L)
         alpha = jnp.matmul(
             W.T, jnp.matmul(W, ym, precision=jax.lax.Precision.HIGHEST), precision=jax.lax.Precision.HIGHEST
         )
     else:
+        L = LA.cholesky(Km)
         W = None
         alpha = LA.cho_solve(L, ym)
     return L, alpha, W
