@@ -75,7 +75,6 @@ def _common_terms(cparams: dict, data: dict, *, kernel: str, jitter: float, chun
 
     Kuu = K.gram(kernel, Z, Z, ls, kv)
     Kuu = LA.add_diag(Kuu, jitter)
-    L = LA.cholesky(Kuu)
     M = Z.shape[0]
     N = X.shape[0]
     C = _resolve_chunk(N, chunk_size)
@@ -83,10 +82,20 @@ def _common_terms(cparams: dict, data: dict, *, kernel: str, jitter: float, chun
     # f32 fast path: materialize W = L^-1 once (blocked, matmul-rich) so
     # every chunk's A_i = W Kuf_i is an MXU matmul instead of an M-step
     # sequential triangular solve — L is constant across chunks, so the
-    # solve work was being repeated n_chunks times
-    if LA.use_fast_inverse(X.dtype):
+    # solve work was being repeated n_chunks times. With GPSAT_BLOCK_CHOL
+    # the (L, W) pair comes from the fused diag-block Pallas walk
+    # (differentiable chol_winv — SGPR gradients flow through the factor).
+    use_block = LA.use_fast_inverse(X.dtype) and LA.block_path_enabled(Kuu, pad_ok=True)
+    if use_block:
+        L, Winv = LA.chol_winv_padded(Kuu)
+    elif LA.use_fast_inverse(X.dtype):
+        L = LA.cholesky(Kuu)
         Winv = LA.tri_inv_blocked(L)
+    else:
+        L = LA.cholesky(Kuu)
+        Winv = None
 
+    if Winv is not None:
         def solve_L(R):
             return jnp.matmul(Winv, R, precision=jax.lax.Precision.HIGHEST)
     else:
@@ -142,10 +151,15 @@ def _common_terms(cparams: dict, data: dict, *, kernel: str, jitter: float, chun
         ymsq = jnp.sum(ym**2)
 
     B = AAT + jnp.eye(M, dtype=X.dtype)
-    LB = LA.cholesky(B)
-    c = LA.tri_solve(LB, Aerr) / sigma
+    if use_block:
+        LB, WB = LA.chol_winv_padded(B)
+        c = jnp.matmul(WB, Aerr, precision=jax.lax.Precision.HIGHEST) / sigma
+    else:
+        LB, WB = LA.cholesky(B), None
+        c = LA.tri_solve(LB, Aerr) / sigma
     return dict(
-        L=L, AAT=AAT, LB=LB, c=c, n=jnp.sum(m), ymsq=ymsq, sigma2=sigma2, kv=kv
+        L=L, AAT=AAT, LB=LB, c=c, n=jnp.sum(m), ymsq=ymsq, sigma2=sigma2, kv=kv,
+        Winv=Winv, WB=WB,
     )
 
 
@@ -176,8 +190,13 @@ def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, *, kernel: str, jitter
     Kus = K.gram(kernel, Z, Xnew, cparams["lengthscales"], cparams["kernel_variance"])
     from gpsat_tpu.models import means as MF
 
-    tmp1 = LA.tri_solve(t["L"], Kus)
-    tmp2 = LA.tri_solve(t["LB"], tmp1)
+    if t["WB"] is not None:
+        hi = jax.lax.Precision.HIGHEST
+        tmp1 = jnp.matmul(t["Winv"], Kus, precision=hi)
+        tmp2 = jnp.matmul(t["WB"], tmp1, precision=hi)
+    else:
+        tmp1 = LA.tri_solve(t["L"], Kus)
+        tmp2 = LA.tri_solve(t["LB"], tmp1)
     f_mean = MF.add_mean(cparams, Xnew, (tmp2.T @ t["c"])[:, 0])
     kss = K.gram_diag(kernel, Xnew, cparams["kernel_variance"])
     f_var = kss + jnp.sum(tmp2**2, axis=0) - jnp.sum(tmp1**2, axis=0)

@@ -299,14 +299,20 @@ def tri_solve_from_diag(L: Array, Wdiag: Array, b: Array, T: int = _PANEL_T) -> 
 _BLOCK_T = 64
 
 
-def block_path_enabled(K: Array) -> bool:
-    """Static (trace-time) gate for the fused diag-block factor path."""
+def block_path_enabled(K: Array, pad_ok: bool = False) -> bool:
+    """Static (trace-time) gate for the fused diag-block factor path.
+
+    pad_ok: judge the identity-padded size (chol_winv_padded) instead of
+    requiring an exact block multiple — for e.g. M=500 inducing sets.
+    """
     import os
 
     flag = os.environ.get("GPSAT_BLOCK_CHOL", "0")
     if flag not in ("1", "force"):
         return False
     N = K.shape[-1]
+    if pad_ok:
+        N = N + (-N) % _BLOCK_T
     if K.dtype != jnp.float32 or N % _BLOCK_T != 0 or N < 2 * _BLOCK_T:
         return False
     if flag == "force":  # CPU test suites run the kernel in interpret mode
@@ -431,6 +437,24 @@ def _chol_winv_bwd(res, cot):
 
 
 chol_winv.defvjp(_chol_winv_fwd, _chol_winv_bwd)
+
+
+def chol_winv_padded(K: Array, T: int = _BLOCK_T):
+    """chol_winv with identity padding to the next block multiple.
+
+    chol([[K, 0], [0, I]]) = [[L, 0], [0, I]] and likewise for the inverse,
+    so the top-left slices are exact — keeps non-block-multiple sizes
+    (e.g. the reference's M=500 inducing sets) on the fused kernel path.
+    Differentiable: pad/slice are linear, chol_winv carries the VJP.
+    """
+    N = K.shape[-1]
+    pad = (-N) % T
+    if pad == 0:
+        return chol_winv(K)
+    P = N + pad
+    Kp = jnp.eye(P, dtype=K.dtype).at[:N, :N].set(K)
+    L, W = chol_winv(Kp)
+    return L[:N, :N], W[:N, :N]
 
 
 def cho_solve(L: Array, B: Array) -> Array:

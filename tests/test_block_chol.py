@@ -104,6 +104,61 @@ class TestBlockKernel:
             np.asarray(gv_new) / scale, np.asarray(gv_ref) / scale, atol=2e-6
         )
 
+    def test_sgpr_block_path_matches_reference(self, monkeypatch):
+        # SGPR routes its (L, Winv) Kuu factor, the B-factor + c solve, and
+        # the predict solves through the kernel path; M=100 exercises the
+        # identity padding (chol_winv_padded)
+        from gpsat_tpu.models import sgpr as S
+
+        LA.set_fast_inverse(True)
+        try:
+            rng = np.random.default_rng(4)
+            N, M, D, P = 256, 100, 2, 16
+            X = rng.uniform(-4, 4, (N, D)).astype(np.float32)
+            y = (np.sin(X[:, 0]) + 0.1 * rng.standard_normal(N)).astype(np.float32)
+            mask = np.ones(N, np.float32)
+            mask[200:] = 0
+            Z = X[rng.choice(N, M, replace=False)].copy()
+            Xnew = rng.uniform(-3, 3, (P, D)).astype(np.float32)
+            data = {"X": jnp.asarray(X), "y": jnp.asarray(y), "mask": jnp.asarray(mask)}
+            cp = {
+                "inducing_points": jnp.asarray(Z),
+                "lengthscales": jnp.full((D,), 1.2, jnp.float32),
+                "kernel_variance": jnp.asarray(0.8, jnp.float32),
+                "likelihood_variance": jnp.asarray(0.05, jnp.float32),
+            }
+
+            def run():
+                e = S.elbo(cp, data, kernel="Matern32")
+                pr = S.predict(cp, data, jnp.asarray(Xnew), kernel="Matern32")
+
+                def f(ls):
+                    c2 = dict(cp)
+                    c2["lengthscales"] = ls
+                    return S.elbo(c2, data, kernel="Matern32")
+
+                g = jax.grad(f)(cp["lengthscales"])
+                return e, pr, g
+
+            monkeypatch.setenv("GPSAT_BLOCK_CHOL", "force")
+            jax.clear_caches()
+            e_b, pr_b, g_b = run()
+            e_c = S.elbo(cp, data, kernel="Matern32", chunk_size=64)
+            monkeypatch.setenv("GPSAT_BLOCK_CHOL", "0")
+            jax.clear_caches()
+            e_r, pr_r, g_r = run()
+
+            assert abs(float(e_b - e_r)) < 1e-2
+            assert abs(float(e_c - e_r)) < 1e-2
+            for k in pr_b:
+                np.testing.assert_allclose(np.asarray(pr_b[k]), np.asarray(pr_r[k]), atol=5e-4)
+            s = max(float(jnp.max(jnp.abs(g_r))), 1.0)
+            np.testing.assert_allclose(
+                np.asarray(g_b) / s, np.asarray(g_r) / s, atol=5e-4
+            )
+        finally:
+            LA.set_fast_inverse(None)
+
     def test_fused_lml_block_path_matches_reference(self, monkeypatch):
         from gpsat_tpu.ops.fused_lml import masked_gpr_lml_fused
 
