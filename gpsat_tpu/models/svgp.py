@@ -104,14 +104,23 @@ def variational_expectations(likelihood: str, y, f_mean, f_var, lik_params: dict
 # functional core
 # --------------------------------------------------------------------------
 
-def _marginals_given_L(cparams: dict, L: jnp.ndarray, X: jnp.ndarray, *, kernel: str):
-    """q(f) marginals at X given a precomputed chol(Kuu)."""
+def _marginals_given_L(cparams: dict, LW, X: jnp.ndarray, *, kernel: str):
+    """q(f) marginals at X given a precomputed Kuu factor.
+
+    LW is (L, W): W = L^-1 on the fused-factor path (whitening solves
+    become matmuls), None otherwise (triangular solve). A bare L array is
+    also accepted for backward compatibility.
+    """
+    L, W = LW if isinstance(LW, tuple) else (LW, None)
     Z = cparams["inducing_points"]
     ls, kv = cparams["lengthscales"], cparams["kernel_variance"]
     q_mu = cparams["inducing_mean"]
     q_sqrt = jnp.tril(cparams["inducing_chol"])
     Kus = K.gram(kernel, Z, X, ls, kv)
-    A = LA.tri_solve(L, Kus)  # [M, N]
+    if W is not None:
+        A = jnp.matmul(W, Kus, precision=jax.lax.Precision.HIGHEST)  # [M, N]
+    else:
+        A = LA.tri_solve(L, Kus)  # [M, N]
     f_mean = A.T @ q_mu
     SA = q_sqrt.T @ A  # [M, N]
     kss = K.gram_diag(kernel, X, kv)
@@ -119,16 +128,19 @@ def _marginals_given_L(cparams: dict, L: jnp.ndarray, X: jnp.ndarray, *, kernel:
     return f_mean, jnp.maximum(f_var, 1e-30)
 
 
-def _chol_Kuu(cparams: dict, *, kernel: str, jitter: float) -> jnp.ndarray:
+def _chol_Kuu(cparams: dict, *, kernel: str, jitter: float):
+    """(L, W) Kuu factor pair; W is None off the fused-factor path."""
     Z = cparams["inducing_points"]
     Kuu = LA.add_diag(K.gram(kernel, Z, Z, cparams["lengthscales"], cparams["kernel_variance"]), jitter)
-    return LA.cholesky(Kuu)
+    if LA.use_fast_inverse(Kuu.dtype) and LA.block_path_enabled(Kuu, pad_ok=True):
+        return LA.chol_winv_padded(Kuu)
+    return LA.cholesky(Kuu), None
 
 
 def _whitened_marginals(cparams: dict, X: jnp.ndarray, *, kernel: str, jitter: float):
     """q(f) marginals at X given whitened q(v)."""
-    L = _chol_Kuu(cparams, kernel=kernel, jitter=jitter)
-    return _marginals_given_L(cparams, L, X, kernel=kernel)
+    LW = _chol_Kuu(cparams, kernel=kernel, jitter=jitter)
+    return _marginals_given_L(cparams, LW, X, kernel=kernel)
 
 
 def kl_whitened(q_mu: jnp.ndarray, q_sqrt: jnp.ndarray):
@@ -171,7 +183,7 @@ def elbo(
 
     C = _resolve_chunk(X.shape[0], chunk_size) if batch_idx is None else 0
     if C and X.shape[0] > C:
-        L = _chol_Kuu(cparams, kernel=kernel, jitter=jitter)
+        LW = _chol_Kuu(cparams, kernel=kernel, jitter=jitter)
         pad = (-X.shape[0]) % C
         if pad:
             X = jnp.pad(X, ((0, pad), (0, 0)))
@@ -184,7 +196,7 @@ def elbo(
 
         def body(acc, inp):
             Xi, yi, mi = inp
-            fm, fv = _marginals_given_L(cparams, L, Xi, kernel=kernel)
+            fm, fv = _marginals_given_L(cparams, LW, Xi, kernel=kernel)
             ve_i = variational_expectations(likelihood, yi, fm, fv, lik_params)
             return acc + jnp.sum(ve_i * mi), None
 

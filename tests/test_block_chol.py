@@ -159,6 +159,53 @@ class TestBlockKernel:
         finally:
             LA.set_fast_inverse(None)
 
+    def test_svgp_block_path_matches_reference(self, monkeypatch):
+        # whitened-ELBO marginals route A = L^-1 Kus through the
+        # materialized W on the kernel path (full and chunked)
+        from gpsat_tpu.models import svgp as V
+
+        LA.set_fast_inverse(True)
+        try:
+            rng = np.random.default_rng(5)
+            N, M, D = 192, 100, 2
+            X = rng.uniform(-4, 4, (N, D)).astype(np.float32)
+            y = (np.sin(X[:, 0]) + 0.1 * rng.standard_normal(N)).astype(np.float32)
+            Z = X[rng.choice(N, M, replace=False)].copy()
+            cp = {
+                "inducing_points": jnp.asarray(Z),
+                "lengthscales": jnp.full((D,), 1.2, jnp.float32),
+                "kernel_variance": jnp.asarray(0.8, jnp.float32),
+                "likelihood_variance": jnp.asarray(0.05, jnp.float32),
+                "inducing_mean": jnp.asarray(0.1 * rng.standard_normal(M).astype(np.float32)),
+                "inducing_chol": jnp.asarray(np.eye(M, dtype=np.float32) * 0.5),
+            }
+            data = {"X": jnp.asarray(X), "y": jnp.asarray(y), "mask": jnp.ones(N, jnp.float32)}
+
+            def run():
+                e = V.elbo(cp, data, kernel="Matern32")
+                ec = V.elbo(cp, data, kernel="Matern32", chunk_size=64)
+
+                def f(ls):
+                    c2 = dict(cp)
+                    c2["lengthscales"] = ls
+                    return V.elbo(c2, data, kernel="Matern32")
+
+                return e, ec, jax.grad(f)(cp["lengthscales"])
+
+            monkeypatch.setenv("GPSAT_BLOCK_CHOL", "force")
+            jax.clear_caches()
+            e_b, ec_b, g_b = run()
+            monkeypatch.setenv("GPSAT_BLOCK_CHOL", "0")
+            jax.clear_caches()
+            e_r, ec_r, g_r = run()
+
+            assert abs(float(e_b - e_r)) < 1e-2
+            assert abs(float(ec_b - ec_r)) < 1e-2
+            s = max(float(jnp.max(jnp.abs(g_r))), 1.0)
+            np.testing.assert_allclose(np.asarray(g_b) / s, np.asarray(g_r) / s, atol=5e-4)
+        finally:
+            LA.set_fast_inverse(None)
+
     def test_fused_lml_block_path_matches_reference(self, monkeypatch):
         from gpsat_tpu.ops.fused_lml import masked_gpr_lml_fused
 
