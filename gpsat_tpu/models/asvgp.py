@@ -283,9 +283,13 @@ def _factors(cparams: dict, data: dict, knots_list, *, D: int, kernel: str = "Ma
     KufY = Kuf @ ym[:, None]
     KufKfu = Kuf @ Kuf.T
     P = KufKfu / s2 + Kuu
-    L = jnp.linalg.cholesky(P)
-    c = LA.tri_solve(L, KufY) / s2
-    return dict(L=L, c=c, Kuu_inv=Kuu_inv, Kuu_logdet=Kuu_logdet, KufKfu=KufKfu, ym=ym, m=m, s2=s2)
+    if LA.use_fast_inverse(P.dtype) and LA.block_path_enabled(P, pad_ok=True):
+        L, WP = LA.chol_winv_padded(P)  # fused diag-block kernel path
+        c = jnp.matmul(WP, KufY, precision=jax.lax.Precision.HIGHEST) / s2
+    else:
+        L, WP = jnp.linalg.cholesky(P), None
+        c = LA.tri_solve(L, KufY) / s2
+    return dict(L=L, WP=WP, c=c, Kuu_inv=Kuu_inv, Kuu_logdet=Kuu_logdet, KufKfu=KufKfu, ym=ym, m=m, s2=s2)
 
 
 def elbo(cparams: dict, data: dict, knots_list, kernel: str = "Matern12"):
@@ -310,7 +314,10 @@ def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, knots_list, kernel: st
     basis_eval, _ = _SPLINE_PAIRS[kernel]
     Kus_dims = [basis_eval(Xnew[:, i], jnp.asarray(knots_list[i])) for i in range(D)]
     Kus = make_kvs(Kus_dims)
-    tmp = LA.tri_solve(t["L"], Kus)
+    if t["WP"] is not None:
+        tmp = jnp.matmul(t["WP"], Kus, precision=jax.lax.Precision.HIGHEST)
+    else:
+        tmp = LA.tri_solve(t["L"], Kus)
     from gpsat_tpu.models import means as MF
 
     f_mean = MF.add_mean(cparams, Xnew, (tmp.T @ t["c"])[:, 0])

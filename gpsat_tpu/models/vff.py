@@ -187,12 +187,14 @@ def vff_common(cparams: dict, data: dict, *, kernel: str, a, b, M: int):
     P = KufKfu / s2 + Kuu
     from gpsat_tpu.ops import linalg as LA
 
-    L = LA.cholesky(P)
-    from gpsat_tpu.ops import linalg as LA
-
-    c = LA.tri_solve(L, KufY) / s2
+    if LA.use_fast_inverse(P.dtype) and LA.block_path_enabled(P, pad_ok=True):
+        L, WP = LA.chol_winv_padded(P)  # fused diag-block kernel path
+        c = jnp.matmul(WP, KufY, precision=jax.lax.Precision.HIGHEST) / s2
+    else:
+        L, WP = LA.cholesky(P), None
+        c = LA.tri_solve(L, KufY) / s2
     return dict(
-        L=L, c=c, Kuu=Kuu, Kuu_inv=Kuu_inv, Kuu_logdet=Kuu_logdet, KufKfu=KufKfu,
+        L=L, WP=WP, c=c, Kuu=Kuu, Kuu_inv=Kuu_inv, Kuu_logdet=Kuu_logdet, KufKfu=KufKfu,
         ym=ym, m=m, s2=s2, ls=ls, var_d=var_d, D=D,
     )
 
@@ -219,7 +221,10 @@ def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, *, kernel: str, a, b, 
     D = t["D"]
     Kus_dims = [make_kuf(kernel, t["ls"][i], Xnew[:, i], a[i], b[i], M) for i in range(D)]
     Kus = make_kvs(Kus_dims)
-    tmp = LA.tri_solve(t["L"], Kus)
+    if t["WP"] is not None:
+        tmp = jnp.matmul(t["WP"], Kus, precision=jax.lax.Precision.HIGHEST)
+    else:
+        tmp = LA.tri_solve(t["L"], Kus)
     from gpsat_tpu.models import means as MF
 
     f_mean = MF.add_mean(cparams, Xnew, (tmp.T @ t["c"])[:, 0])

@@ -206,6 +206,56 @@ class TestBlockKernel:
         finally:
             LA.set_fast_inverse(None)
 
+    @pytest.mark.parametrize("family", ["vff", "asvgp"])
+    def test_spectral_models_block_path_matches_reference(self, monkeypatch, family):
+        # VFF/ASVGP factor P = KufKfu/s2 + Kuu through the kernel path:
+        # elbo value, lengthscale gradient, and predictions
+        from gpsat_tpu.models import asvgp as AS
+        from gpsat_tpu.models import vff as VF
+
+        LA.set_fast_inverse(True)
+        try:
+            rng = np.random.default_rng(6)
+            N, D = 200, 2
+            X = rng.uniform(-2, 2, (N, D)).astype(np.float32)
+            y = (np.sin(X[:, 0]) + 0.1 * rng.standard_normal(N)).astype(np.float32)
+            data = {"X": jnp.asarray(X), "y": jnp.asarray(y), "mask": jnp.ones(N, jnp.float32)}
+            Xnew = jnp.asarray(rng.uniform(-1.5, 1.5, (12, D)).astype(np.float32))
+            cp = {
+                "lengthscales": jnp.full((D,), 0.9, jnp.float32),
+                "kernel_variance": jnp.asarray(0.7, jnp.float32),
+                "likelihood_variance": jnp.asarray(0.05, jnp.float32),
+            }
+            if family == "vff":
+                kw = dict(kernel="Matern32", a=[-3.0, -3.0], b=[3.0, 3.0], M=5)
+                ef = lambda c: VF.elbo(c, data, **kw)  # noqa: E731
+                pf = lambda c: VF.predict(c, data, Xnew, **kw)  # noqa: E731
+            else:
+                knots = [np.linspace(-3, 3, 13), np.linspace(-3, 3, 13)]
+                ef = lambda c: AS.elbo(c, data, knots, kernel="Matern32")  # noqa: E731
+                pf = lambda c: AS.predict(c, data, Xnew, knots, kernel="Matern32")  # noqa: E731
+
+            def run():
+                e = ef(cp)
+                pr = pf(cp)
+                g = jax.grad(lambda ls: ef({**cp, "lengthscales": ls}))(cp["lengthscales"])
+                return e, pr, g
+
+            monkeypatch.setenv("GPSAT_BLOCK_CHOL", "force")
+            jax.clear_caches()
+            e_b, pr_b, g_b = run()
+            monkeypatch.setenv("GPSAT_BLOCK_CHOL", "0")
+            jax.clear_caches()
+            e_r, pr_r, g_r = run()
+
+            assert abs(float(e_b - e_r)) < 5e-2
+            for k in pr_b:
+                np.testing.assert_allclose(np.asarray(pr_b[k]), np.asarray(pr_r[k]), atol=2e-3)
+            s = max(float(jnp.max(jnp.abs(g_r))), 1.0)
+            np.testing.assert_allclose(np.asarray(g_b) / s, np.asarray(g_r) / s, atol=5e-4)
+        finally:
+            LA.set_fast_inverse(None)
+
     def test_fused_lml_block_path_matches_reference(self, monkeypatch):
         from gpsat_tpu.ops.fused_lml import masked_gpr_lml_fused
 
