@@ -511,6 +511,13 @@ class LocalExpertOI:
                     mesh=mesh,
                 )
             else:
+                for k in ("learning_rate", "check_every", "persistence"):
+                    if optim_kwargs.get(k) is not None:
+                        warnings.warn(
+                            f"{k} only applies to Adam-optimized cores; ignored "
+                            f"for {core.name} (set init_params solver='adam' to "
+                            f"force the Adam path)"
+                        )
                 runner = make_batched_runner(
                     core,
                     fixed_params=fixed,
