@@ -71,6 +71,22 @@ def build(model, on_tpu):
         M = 64
         core = make_svgp_core(jitter=jitter, num_inducing_points=M, natural_gradients=True, gamma=0.5)
         return core, dict(max_iter=2000, learning_rate=1e-2, check_every=10, persistence=100), {}, f"M={M}, adam+natgrad g=0.5"
+    if model == "svgp_bernoulli":
+        from gpsat_tpu.models.svgp import make_svgp_core
+
+        M = 64
+        # non-Gaussian auto default: joint L-BFGS over hypers + whitened q
+        core = make_svgp_core(jitter=jitter, num_inducing_points=M, likelihood="Bernoulli")
+        return core, dict(max_iter=1000), {"smart_init": True}, f"M={M}, joint lbfgs"
+    if model == "svgp_bernoulli_adam":
+        from gpsat_tpu.models.svgp import make_svgp_core
+
+        M = 64
+        core = make_svgp_core(
+            jitter=jitter, num_inducing_points=M, likelihood="Bernoulli",
+            solver="adam", q_init=None,
+        )
+        return core, dict(max_iter=2000, learning_rate=1e-2, check_every=10, persistence=100), {}, f"M={M}, adam (reference parity)"
     if model == "vff":
         from gpsat_tpu.models.vff import make_vff_core
 
