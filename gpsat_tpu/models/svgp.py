@@ -48,11 +48,13 @@ DEFAULT_JITTER = 1e-6
 # likelihood variational expectations
 # --------------------------------------------------------------------------
 
-def _gh_nodes(n: int = 20):
+def _gh_nodes(n: int = 20, dtype=None):
     # probabilists' Hermite: E_{N(0,1)}[f] ~= sum_i w_i f(x_i) with
-    # weights normalized by sqrt(2 pi)
+    # weights normalized by sqrt(2 pi). Nodes are cast to the computation
+    # dtype: the raw f64 constants would otherwise promote an all-f32
+    # quadrature to f64 under jax_enable_x64 (f32-tile + x64-host mixes).
     x, w = np.polynomial.hermite_e.hermegauss(n)
-    return jnp.asarray(x), jnp.asarray(w / np.sqrt(2 * np.pi))
+    return jnp.asarray(x, dtype=dtype), jnp.asarray(w / np.sqrt(2 * np.pi), dtype=dtype)
 
 
 def variational_expectations(likelihood: str, y, f_mean, f_var, lik_params: dict):
@@ -68,7 +70,7 @@ def variational_expectations(likelihood: str, y, f_mean, f_var, lik_params: dict
         scale = jnp.sqrt(s2)
         # 50 nodes: ~4e-4 quadrature error even for peaky heavy-tailed
         # integrands (gpflow's default 20 leaves ~5e-3)
-        x, w = _gh_nodes(50)
+        x, w = _gh_nodes(50, dtype=f_mean.dtype)
         f = f_mean[:, None] + jnp.sqrt(jnp.maximum(f_var, 1e-30))[:, None] * x[None, :]
         z = (y[:, None] - f) / scale
         logp = (
@@ -85,7 +87,7 @@ def variational_expectations(likelihood: str, y, f_mean, f_var, lik_params: dict
         import jax.scipy.stats as jss
 
         ys = jnp.where(y > 0, 1.0, -1.0)
-        x, w = _gh_nodes(50)
+        x, w = _gh_nodes(50, dtype=f_mean.dtype)
         f = f_mean[:, None] + jnp.sqrt(jnp.maximum(f_var, 1e-30))[:, None] * x[None, :]
         logp = jss.norm.logcdf(ys[:, None] * f)
         return logp @ w

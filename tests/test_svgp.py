@@ -457,6 +457,37 @@ def test_predict_only_honors_loaded_q():
     np.testing.assert_allclose(res["inducing_chol"], q_sqrt, rtol=1e-12)
 
 
+def test_elbo_dtype_stable_under_x64():
+    """f32 tiles must stay f32 even with jax_enable_x64 on (the CPU test /
+    polish environment): the Gauss-Hermite quadrature nodes used to leak
+    f64 into the StudentT/Bernoulli ELBOs, which broke the f32 L-BFGS
+    while_loop carry (step f32 -> f64 promotion)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpsat_tpu.models import svgp
+
+    M, N, D = 8, 32, 2
+    rng = np.random.default_rng(0)
+    cp = {
+        "lengthscales": jnp.ones(D, jnp.float32),
+        "kernel_variance": jnp.asarray(1.0, jnp.float32),
+        "likelihood_variance": jnp.asarray(0.5, jnp.float32),
+        "inducing_points": jnp.asarray(rng.uniform(-2, 2, (M, D)).astype(np.float32)),
+        "inducing_mean": jnp.zeros(M, jnp.float32),
+        "inducing_chol": jnp.eye(M, dtype=jnp.float32),
+    }
+    data = {
+        "X": jnp.asarray(rng.uniform(-2, 2, (N, D)).astype(np.float32)),
+        "y": jnp.asarray(rng.normal(size=N).astype(np.float32)),
+        "mask": jnp.ones(N, jnp.float32),
+    }
+    for lik in ("Gaussian", "StudentT", "Bernoulli", "Poisson"):
+        e = svgp.elbo(cp, data, kernel="Matern32", likelihood=lik, jitter=1e-5)
+        assert e.dtype == jnp.float32, (lik, e.dtype)
+        assert np.isfinite(float(e))
+
+
 def test_host_collapsed_solver():
     """Host SVGPModel optimise_parameters(solver='collapsed'): reaches an
     ELBO >= the Adam run in far fewer iterations, and the stored q is the
