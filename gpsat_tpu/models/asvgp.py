@@ -66,7 +66,7 @@ def matern12_spline_kuu(knots, lengthscale, variance) -> jnp.ndarray:
     Mm = tridiag(main_mass, off_mass)
     Sm = tridiag(main_stiff, off_stiff)
     # boundary terms: phi_0(a)=1, phi_{M-1}(b)=1
-    Bm = jnp.zeros((M, M)).at[0, 0].set(1.0).at[-1, -1].set(1.0)
+    Bm = jnp.zeros((M, M), dtype=knots.dtype).at[0, 0].set(1.0).at[-1, -1].set(1.0)
     return (Mm / lengthscale + lengthscale * Sm + Bm) / (2.0 * variance)
 
 
@@ -82,7 +82,7 @@ def b2_basis(x: jnp.ndarray, knots: jnp.ndarray, deriv: int = 0) -> jnp.ndarray:
     h = knots[1] - knots[0]
     n_int = len(knots) - 1
     M = n_int + 2
-    i = jnp.arange(M)
+    i = jnp.arange(M, dtype=x.dtype)
     t = (x[None, :] - a) / h - (i[:, None] - 2.0)  # [M, N] in knot units
     in0 = (t >= 0) & (t < 1)
     in1 = (t >= 1) & (t < 2)
@@ -129,8 +129,8 @@ def matern32_spline_kuu(knots: np.ndarray, lengthscale, variance) -> jnp.ndarray
     # 3-point GL nodes/weights on [0, 1]
     gl_x = np.array([0.5 - np.sqrt(15) / 10, 0.5, 0.5 + np.sqrt(15) / 10])
     gl_w = np.array([5.0 / 18, 8.0 / 18, 5.0 / 18])
-    xq = (knots[:-1][:, None] + h * gl_x[None, :]).reshape(-1)  # [3 n_int]
-    wq = jnp.tile(jnp.asarray(gl_w), n_int) * h
+    xq = (knots[:-1][:, None] + jnp.asarray(gl_x, dtype=knots.dtype)[None, :] * h).reshape(-1)  # [3 n_int]
+    wq = jnp.tile(jnp.asarray(gl_w, dtype=knots.dtype), n_int) * h
 
     F = b2_basis(xq, knots, 0)
     Fp = b2_basis(xq, knots, 1)
@@ -163,7 +163,7 @@ def b3_basis(x: jnp.ndarray, knots: jnp.ndarray, deriv: int = 0) -> jnp.ndarray:
     h = knots[1] - knots[0]
     n_int = len(knots) - 1
     M = n_int + 3
-    i = jnp.arange(M)
+    i = jnp.arange(M, dtype=x.dtype)
     t = (x[None, :] - a) / h - (i[:, None] - 3.0)
     seg = [(t >= 0) & (t < 1), (t >= 1) & (t < 2), (t >= 2) & (t < 3), (t >= 3) & (t <= 4)]
     if deriv == 0:
@@ -217,8 +217,8 @@ def matern52_spline_kuu(knots: np.ndarray, lengthscale, variance) -> jnp.ndarray
     w1 = (18.0 + np.sqrt(30.0)) / 72.0
     w2 = (18.0 - np.sqrt(30.0)) / 72.0
     gl_w = np.array([w2, w1, w1, w2])
-    xq = (knots[:-1][:, None] + h * gl_x[None, :]).reshape(-1)
-    wq = jnp.tile(jnp.asarray(gl_w), n_int) * h
+    xq = (knots[:-1][:, None] + jnp.asarray(gl_x, dtype=knots.dtype)[None, :] * h).reshape(-1)
+    wq = jnp.tile(jnp.asarray(gl_w, dtype=knots.dtype), n_int) * h
 
     F = b3_basis(xq, knots, 0)
     Fp = b3_basis(xq, knots, 1)
@@ -269,9 +269,9 @@ def _factors(cparams: dict, data: dict, knots_list, *, D: int, kernel: str = "Ma
     ls, var_d = _per_dim(cparams, D)
     s2 = cparams["likelihood_variance"]
     basis_eval, kuu_fn = _SPLINE_PAIRS[kernel]
-    Kuf_dims = [basis_eval(X[:, i], jnp.asarray(knots_list[i])) for i in range(D)]
+    Kuf_dims = [basis_eval(X[:, i], jnp.asarray(knots_list[i], dtype=X.dtype)) for i in range(D)]
     Kuf = make_kvs(Kuf_dims) * m[None, :]
-    Kuu_dims = [kuu_fn(knots_list[i], ls[i], var_d) for i in range(D)]
+    Kuu_dims = [kuu_fn(jnp.asarray(knots_list[i], dtype=X.dtype), ls[i], var_d) for i in range(D)]
     Kuu = kron(Kuu_dims)
     Kuu_inv = kron([jnp.linalg.inv(Kd) for Kd in Kuu_dims])
     Mtot = Kuu.shape[0]
@@ -312,7 +312,7 @@ def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, knots_list, kernel: st
     D = data["X"].shape[1]
     t = _factors(cparams, data, knots_list, D=D, kernel=kernel)
     basis_eval, _ = _SPLINE_PAIRS[kernel]
-    Kus_dims = [basis_eval(Xnew[:, i], jnp.asarray(knots_list[i])) for i in range(D)]
+    Kus_dims = [basis_eval(Xnew[:, i], jnp.asarray(knots_list[i], dtype=Xnew.dtype)) for i in range(D)]
     Kus = make_kvs(Kus_dims)
     if t["WP"] is not None:
         tmp = jnp.matmul(t["WP"], Kus, precision=jax.lax.Precision.HIGHEST)
@@ -323,7 +323,7 @@ def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, knots_list, kernel: st
     f_mean = MF.add_mean(cparams, Xnew, (tmp.T @ t["c"])[:, 0])
     KiKus = t["Kuu_inv"] @ Kus
     kv = cparams["kernel_variance"]
-    var = kv * jnp.ones(Xnew.shape[0]) + jnp.sum(tmp**2, axis=0) - jnp.sum(KiKus * Kus, axis=0)
+    var = kv * jnp.ones(Xnew.shape[0], dtype=Kus.dtype) + jnp.sum(tmp**2, axis=0) - jnp.sum(KiKus * Kus, axis=0)
     return {"f_mean": f_mean, "f_var": var, "y_var": var + t["s2"]}
 
 

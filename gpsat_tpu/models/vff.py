@@ -49,8 +49,13 @@ SUPPORTED_KERNELS = ("Matern12", "Matern32", "Matern52")
 # --------------------------------------------------------------------------
 
 def make_kuu_dense(kernel: str, lengthscale, variance, a: float, b: float, M: int):
-    """Dense Kuu [2M-1, 2M-1] for one dimension; cos block then sin block."""
-    ms = jnp.arange(M)
+    """Dense Kuu [2M-1, 2M-1] for one dimension; cos block then sin block.
+
+    Computed in the parameter dtype: the integer frequency index would
+    otherwise promote through the weak-float omegas to f64 under
+    jax_enable_x64 (f32-tile + x64-host mixes)."""
+    dt = jnp.result_type(lengthscale, variance)
+    ms = jnp.arange(M, dtype=dt)
     omegas = 2.0 * jnp.pi * ms / (b - a)
     var = variance
 
@@ -88,14 +93,15 @@ def make_kuu_dense(kernel: str, lengthscale, variance, a: float, b: float, M: in
     else:
         raise NotImplementedError(f"VFF supports {SUPPORTED_KERNELS}, got: {kernel}")
 
-    Z = jnp.zeros((cos_block.shape[0], sin_block.shape[0]))
-    return jnp.block([[cos_block, Z], [Z.T, sin_block]])
+    Z = jnp.zeros((cos_block.shape[0], sin_block.shape[0]), dtype=dt)
+    return jnp.block([[cos_block, Z], [Z.T, sin_block]]).astype(dt)
 
 
 def make_kuf(kernel: str, lengthscale, X1d, a: float, b: float, M: int):
     """Kuf [2M-1, N] for one dimension with edge corrections outside [a,b]
     (vff.py:457-523). X1d: [N] (already scaled coordinates)."""
-    ms = jnp.arange(M)
+    dt = jnp.result_type(lengthscale, X1d)
+    ms = jnp.arange(M, dtype=dt)
     omegas = 2.0 * jnp.pi * ms / (b - a)
     x = X1d.reshape(-1)
     Kuf_cos = jnp.cos(omegas[:, None] * (x[None, :] - a))
@@ -129,7 +135,7 @@ def make_kuf(kernel: str, lengthscale, X1d, a: float, b: float, M: int):
         pass
     else:
         raise NotImplementedError(f"VFF supports {SUPPORTED_KERNELS}, got: {kernel}")
-    return jnp.concatenate([Kuf_cos, Kuf_sin], axis=0)
+    return jnp.concatenate([Kuf_cos, Kuf_sin], axis=0).astype(dt)
 
 
 def make_kvs(mats: List[jnp.ndarray]) -> jnp.ndarray:
@@ -230,7 +236,7 @@ def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, *, kernel: str, a, b, 
     f_mean = MF.add_mean(cparams, Xnew, (tmp.T @ t["c"])[:, 0])
     KiKus = t["Kuu_inv"] @ Kus
     kv = cparams["kernel_variance"]
-    var = kv * jnp.ones(Xnew.shape[0])
+    var = kv * jnp.ones(Xnew.shape[0], dtype=Kus.dtype)
     var += jnp.sum(tmp**2, axis=0)
     var -= jnp.sum(KiKus * Kus, axis=0)
     return {"f_mean": f_mean, "f_var": var, "y_var": var + t["s2"]}
