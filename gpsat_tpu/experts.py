@@ -513,10 +513,14 @@ class LocalExpertOI:
             else:
                 for k in ("learning_rate", "check_every", "persistence"):
                     if optim_kwargs.get(k) is not None:
+                        # only SVGP cores have an Adam path to point at
+                        hint = (
+                            " (set init_params solver='adam' to force the Adam path)"
+                            if core.name.startswith("SVGP") else ""
+                        )
                         warnings.warn(
                             f"{k} only applies to Adam-optimized cores; ignored "
-                            f"for {core.name} (set init_params solver='adam' to "
-                            f"force the Adam path)"
+                            f"for {core.name}{hint}"
                         )
                 runner = make_batched_runner(
                     core,
@@ -1449,7 +1453,7 @@ def make_core_for_model(model_cls, kernel: str, bijectors, init_params) -> Model
             natural_gradients=init_params.get("natural_gradients", False),
             gamma=float(init_params.get("gamma", 0.1)),
             chunk_size=init_params.get("chunk_size", "auto"),
-            q_init=init_params.get("q_init", "collapsed"),
+            q_init=init_params.get("q_init", "auto"),
             # "auto" = collapsed L-BFGS for Gaussian likelihood (exact
             # optimum, ~60x fewer iterations); "adam" = reference parity
             solver=init_params.get("solver", "auto"),

@@ -406,6 +406,7 @@ class SVGPModel(GPRModel):
         verbose: bool = False,
         seed: int = 42,
         solver: str = "adam",
+        q_init: Optional[str] = "auto",
     ):
         """solver='adam' (default): the reference's minibatch Adam(+NatGrad)
         loop. solver='collapsed' (Gaussian, full-batch): L-BFGS on the
@@ -421,9 +422,13 @@ class SVGPModel(GPRModel):
                 fixed_params=fixed_params, max_iter=max_iter,
             )
         if solver == "lbfgs":
+            assert not natural_gradients, (
+                "natural_gradients only applies to solver='adam' (the joint "
+                "L-BFGS solver optimizes q directly)"
+            )
             return self._optimise_lbfgs(
                 train_inducing_points=train_inducing_points,
-                fixed_params=fixed_params, max_iter=max_iter,
+                fixed_params=fixed_params, max_iter=max_iter, q_init=q_init,
             )
         import optax
 
@@ -550,15 +555,17 @@ class SVGPModel(GPRModel):
         return bool(np.asarray(res.converged))
 
     def _optimise_lbfgs(
-        self, train_inducing_points=False, fixed_params=None, max_iter=10_000, q_init="collapsed"
+        self, train_inducing_points=False, fixed_params=None, max_iter=10_000, q_init="auto"
     ):
         """Joint full-batch L-BFGS over hyperparameters + whitened q.
 
         Works for ANY likelihood (the collapsed solver is Gaussian-only).
         q warm-starts at the closed-form collapsed optimum (a Gaussian-
         likelihood approximation for non-Gaussian y — measured to cut the
-        iteration count ~35% at an identical final ELBO); q_init=None
-        keeps the current (q_mu, q_sqrt).
+        iteration count ~35% at an identical final ELBO). q_init="auto"
+        (default) skips the warm start when q was explicitly set
+        (set_inducing_mean/chol, load_params); "collapsed" always
+        replaces; None keeps the current (q_mu, q_sqrt).
         """
         from gpsat_tpu.optim.lbfgs import minimize_lbfgs
 
@@ -569,7 +576,12 @@ class SVGPModel(GPRModel):
         bij = self._bijectors
         kernel, likelihood, jitter, chunk = self.kernel, self.likelihood, self.jitter, self.chunk_size
 
-        if q_init == "collapsed":
+        M = np.shape(self._params["inducing_mean"])[0]
+        q_is_default = (
+            not np.any(self._params["inducing_mean"])
+            and np.array_equal(self._params["inducing_chol"], np.eye(M))
+        )
+        if q_init == "collapsed" or (q_init == "auto" and q_is_default):
             q_mu, q_sqrt = collapsed_q(
                 self._cparams(), data, kernel=kernel, jitter=jitter, chunk_size=chunk
             )
@@ -645,7 +657,7 @@ def make_svgp_core(
     natural_gradients=False,
     gamma: float = 0.1,
     chunk_size="auto",
-    q_init="collapsed",
+    q_init="auto",
     solver="auto",
     mean_function=None,
 ):
@@ -668,11 +680,15 @@ def make_svgp_core(
     parametrization is safe). solver="adam" forces the reference's
     optimizer (ref: gpflow_models.py:1186-1245) for parity studies.
 
-    q_init="collapsed" (Gaussian + adam solver): initialize
-    (inducing_mean, inducing_chol) at the closed-form optimum given the
-    initial hyperparameters, inside the jitted program (device_init
-    hook). Set q_init=None for the reference's zero-mean identity-chol
-    init (ref: gpflow_models.py:1247-1310).
+    q_init: warm-start (inducing_mean, inducing_chol) at the closed-form
+    collapsed optimum given the initial hyperparameters, inside the
+    jitted program (device_init hook). Applies to the Gaussian adam
+    solver (exact optimum) and the joint-lbfgs solver (Gaussian-
+    approximation for non-Gaussian likelihoods — measured-better start).
+    "auto" (default) honors an explicitly provided q (e.g. load_params
+    warm starts) and only replaces the untouched default init;
+    "collapsed" always replaces; None keeps the reference's zero-mean
+    identity-chol init (ref: gpflow_models.py:1247-1310).
 
     natural_gradients=True (adam solver) switches (inducing_mean,
     inducing_chol) to per-iteration natural-gradient updates (Salimbeni
@@ -770,10 +786,25 @@ def make_svgp_core(
     # likelihood_variance as the Gaussian noise) — still a measured-better
     # starting point than the identity init for the joint L-BFGS solver
     # (Bernoulli: 1240 -> 801 iterations to the same optimum).
-    use_collapsed_init = q_init == "collapsed" and likelihood == "Gaussian"
+    # q_init="auto" (default) honors an explicitly provided q (load_params
+    # warm starts): the collapsed init only replaces the untouched default
+    # (zero mean, identity chol), decided in-graph per lane.
+    use_collapsed_init = q_init in ("auto", "collapsed") and likelihood == "Gaussian"
 
     def device_init(uparams0, data):
-        return {**uparams0, **exact_q_update(uparams0, data)}
+        q = exact_q_update(uparams0, data)
+        if q_init == "collapsed":
+            return {**uparams0, **q}
+        eye = jnp.eye(num_inducing_points, dtype=uparams0["inducing_chol"].dtype)
+        is_default = jnp.logical_and(
+            jnp.all(uparams0["inducing_mean"] == 0),
+            jnp.all(uparams0["inducing_chol"] == eye),
+        )
+        return {
+            **uparams0,
+            "inducing_mean": jnp.where(is_default, q["inducing_mean"], uparams0["inducing_mean"]),
+            "inducing_chol": jnp.where(is_default, q["inducing_chol"], uparams0["inducing_chol"]),
+        }
 
     if natural_gradients == "exact":
         assert likelihood == "Gaussian", "natural_gradients='exact' requires the Gaussian likelihood"
@@ -841,7 +872,7 @@ def make_svgp_core(
         # joint L-BFGS over hypers + whitened q on the full-tile ELBO (the
         # non-Gaussian fast path; the Gaussian case has the strictly better
         # collapsed solver above). q warm-starts at the Gaussian-approx
-        # collapsed optimum unless q_init=None.
+        # collapsed optimum per the q_init policy above.
         return ModelCore(
             name=f"SVGP[{kernel},M={num_inducing_points},lbfgs]",
             objective=objective,
@@ -859,7 +890,7 @@ def make_svgp_core(
             ) + mean_names,
             default_fixed_params=() if train_inducing_points else ("inducing_points",),
             prepare_batch_init=prepare_batch_init,
-            device_init=device_init if q_init == "collapsed" else None,
+            device_init=device_init if q_init in ("auto", "collapsed") else None,
             optimizer="lbfgs",
         )
 

@@ -457,6 +457,49 @@ def test_predict_only_honors_loaded_q():
     np.testing.assert_allclose(res["inducing_chol"], q_sqrt, rtol=1e-12)
 
 
+def test_device_init_honors_loaded_q():
+    """q_init='auto' (default): the in-graph collapsed warm start must NOT
+    clobber an explicitly provided q (load_params warm starts) — it only
+    replaces the untouched default (zero mean, identity chol)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpsat_tpu.models.svgp import make_svgp_core
+
+    M, N, D = 8, 64, 2
+    rng = np.random.default_rng(0)
+    core = make_svgp_core(num_inducing_points=M, likelihood="Bernoulli")
+    assert core.device_init is not None
+    data = {
+        "X": jnp.asarray(rng.uniform(-2, 2, (N, D))),
+        "y": jnp.asarray(np.sign(rng.normal(size=N))),
+        "mask": jnp.ones(N),
+    }
+    cp = core.init_cparams(D)
+    cp["inducing_points"] = np.asarray(data["X"][:M])
+    u_default = {k: jnp.asarray(v) for k, v in core.inverse({k: jnp.asarray(v) for k, v in cp.items()}).items()}
+
+    # default q -> replaced by the collapsed warm start
+    out = core.device_init(u_default, data)
+    assert float(jnp.abs(out["inducing_mean"]).max()) > 1e-6
+
+    # explicit q -> preserved bit-for-bit
+    q_mu = jnp.asarray(rng.normal(size=M))
+    q_sqrt = jnp.asarray(np.tril(rng.normal(size=(M, M)) * 0.1 + np.eye(M)))
+    u_loaded = {**u_default, "inducing_mean": q_mu, "inducing_chol": q_sqrt}
+    out = core.device_init(u_loaded, data)
+    np.testing.assert_array_equal(np.asarray(out["inducing_mean"]), np.asarray(q_mu))
+    np.testing.assert_array_equal(np.asarray(out["inducing_chol"]), np.asarray(q_sqrt))
+
+    # q_init='collapsed' forces the replacement even for a loaded q
+    core_f = make_svgp_core(num_inducing_points=M, likelihood="Bernoulli", q_init="collapsed")
+    out = core_f.device_init(u_loaded, data)
+    assert float(jnp.abs(np.asarray(out["inducing_mean"]) - np.asarray(q_mu)).max()) > 1e-8
+
+    # q_init=None disables the hook entirely
+    assert make_svgp_core(num_inducing_points=M, likelihood="Bernoulli", q_init=None).device_init is None
+
+
 def test_elbo_dtype_stable_under_x64():
     """f32 tiles must stay f32 even with jax_enable_x64 on (the CPU test /
     polish environment): the Gauss-Hermite quadrature nodes used to leak
