@@ -525,34 +525,22 @@ class SVGPModel(GPRModel):
     def _optimise_collapsed(self, train_inducing_points=False, fixed_params=None, max_iter=10_000):
         assert self.likelihood == "Gaussian", "solver='collapsed' requires the Gaussian likelihood"
         from gpsat_tpu.models import sgpr as _sgpr
-        from gpsat_tpu.optim.lbfgs import minimize_lbfgs
-
         fixed_params = list(fixed_params or []) + ["inducing_mean", "inducing_chol"]
         if not train_inducing_points and "inducing_points" not in fixed_params:
             fixed_params.append("inducing_points")
         data = self._data_dict()
-        bij = self._bijectors
         kernel, jitter, chunk = self.kernel, self.jitter, self.chunk_size
 
-        u_all = {k: jnp.asarray(bij[k].inverse(jnp.asarray(v))) for k, v in self._params.items()}
-        u_free = {k: v for k, v in u_all.items() if k not in fixed_params}
-        u_fixed = {k: v for k, v in u_all.items() if k in fixed_params}
-
-        def objective(u_free_):
-            c = {k: bij[k].forward(v) for k, v in {**u_free_, **u_fixed}.items()}
-            return -_sgpr.elbo(c, data, kernel=kernel, jitter=jitter, chunk_size=chunk)
-
-        res = minimize_lbfgs(objective, u_free, max_iter=max_iter)
-        u_opt = {**res.params, **u_fixed}
-        self._params = {k: np.asarray(bij[k].forward(jnp.asarray(v))) for k, v in u_opt.items()}
+        ok = self._run_host_lbfgs(
+            lambda c: -_sgpr.elbo(c, data, kernel=kernel, jitter=jitter, chunk_size=chunk),
+            fixed_params, max_iter,
+        )
         q_mu, q_sqrt = collapsed_q(
             self._cparams(), data, kernel=kernel, jitter=jitter, chunk_size=chunk
         )
         self._params["inducing_mean"] = np.asarray(q_mu)
         self._params["inducing_chol"] = np.asarray(q_sqrt)
-        self._last_opt_result = res
-        self._last_num_iter = int(np.asarray(res.num_iter))
-        return bool(np.asarray(res.converged))
+        return ok
 
     def _optimise_lbfgs(
         self, train_inducing_points=False, fixed_params=None, max_iter=10_000, q_init="auto"
@@ -567,13 +555,10 @@ class SVGPModel(GPRModel):
         (set_inducing_mean/chol, load_params); "collapsed" always
         replaces; None keeps the current (q_mu, q_sqrt).
         """
-        from gpsat_tpu.optim.lbfgs import minimize_lbfgs
-
         fixed_params = list(fixed_params or [])
         if not train_inducing_points and "inducing_points" not in fixed_params:
             fixed_params.append("inducing_points")
         data = self._data_dict()
-        bij = self._bijectors
         kernel, likelihood, jitter, chunk = self.kernel, self.likelihood, self.jitter, self.chunk_size
 
         M = np.shape(self._params["inducing_mean"])[0]
@@ -588,18 +573,31 @@ class SVGPModel(GPRModel):
             self._params["inducing_mean"] = np.asarray(q_mu)
             self._params["inducing_chol"] = np.asarray(q_sqrt)
 
+        ok = self._run_host_lbfgs(
+            lambda c: -elbo(c, data, kernel=kernel, likelihood=likelihood, jitter=jitter, chunk_size=chunk),
+            fixed_params, max_iter,
+        )
+        self._params["inducing_chol"] = np.tril(self._params["inducing_chol"])
+        return ok
+
+    def _run_host_lbfgs(self, neg_obj_fn, fixed_params, max_iter):
+        """Shared host L-BFGS scaffold: bijector-inverse free/fixed split,
+        minimize, forward store-back, telemetry. neg_obj_fn takes the
+        CONSTRAINED param dict."""
+        from gpsat_tpu.optim.lbfgs import minimize_lbfgs
+
+        bij = self._bijectors
         u_all = {k: jnp.asarray(bij[k].inverse(jnp.asarray(v))) for k, v in self._params.items()}
         u_free = {k: v for k, v in u_all.items() if k not in fixed_params}
         u_fixed = {k: v for k, v in u_all.items() if k in fixed_params}
 
         def objective(u_free_):
             c = {k: bij[k].forward(v) for k, v in {**u_free_, **u_fixed}.items()}
-            return -elbo(c, data, kernel=kernel, likelihood=likelihood, jitter=jitter, chunk_size=chunk)
+            return neg_obj_fn(c)
 
         res = minimize_lbfgs(objective, u_free, max_iter=max_iter)
         u_opt = {**res.params, **u_fixed}
         self._params = {k: np.asarray(bij[k].forward(jnp.asarray(v))) for k, v in u_opt.items()}
-        self._params["inducing_chol"] = np.tril(self._params["inducing_chol"])
         self._last_opt_result = res
         self._last_num_iter = int(np.asarray(res.num_iter))
         return bool(np.asarray(res.converged))
