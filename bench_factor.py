@@ -117,6 +117,11 @@ def main():
 
     for name, env in [("vg_default", "0"), ("vg_block", "1")]:
         os.environ["GPSAT_BLOCK_CHOL"] = env
+        if env == "1" and not LA.block_path_enabled(Kd[0]):
+            # a disabled gate would silently re-time the default path
+            # under the block label — refuse to emit a mislabeled number
+            print(json.dumps({"metric": f"factor_{name}", "error": "block path gate disabled on this backend"}), flush=True)
+            continue
         jax.clear_caches()
         best, med, out = _time(make_vg(), X, reps)
         print(json.dumps({

@@ -110,10 +110,9 @@ def _marginals_given_L(cparams: dict, LW, X: jnp.ndarray, *, kernel: str):
     """q(f) marginals at X given a precomputed Kuu factor.
 
     LW is (L, W): W = L^-1 on the fused-factor path (whitening solves
-    become matmuls), None otherwise (triangular solve). A bare L array is
-    also accepted for backward compatibility.
+    become matmuls), None otherwise (triangular solve).
     """
-    L, W = LW if isinstance(LW, tuple) else (LW, None)
+    L, W = LW
     Z = cparams["inducing_points"]
     ls, kv = cparams["lengthscales"], cparams["kernel_variance"]
     q_mu = cparams["inducing_mean"]

@@ -157,33 +157,57 @@ def chol_inv(K: Array, T: int = 64):
 # ---------------------------------------------------------------------------
 
 _PANEL_T = 128
+_GATE_WARNED = set()
 
 
-def panel_path_enabled(K: Array) -> bool:
-    """Static (trace-time) gate for the stacked-panel factor path."""
+def _pallas_gate(env_var: str, K: Array, block: int, pad_ok: bool = False) -> bool:
+    """Shared trace-time gate for the opt-in Pallas factor paths.
+
+    '1' = on for non-CPU backends; 'force' = on anywhere (CPU test suites
+    run the kernels in interpret mode). pad_ok judges the identity-padded
+    size instead of requiring an exact block multiple.
+    """
     import os
+    import warnings
 
-    # default OFF: measured 2.6x SLOWER than the XLA path on v5e — VMEM
-    # caps the per-grid-step block count at 8, so the kernel serializes
-    # 16 grid repeats x 128 steps x 4 panels = 8192 sequential steps where
-    # XLA's batched Cholesky pays only N=512 fat ones. On a single
-    # TensorCore, Cholesky is latency-bound by sequential-step count and
-    # XLA already minimizes it; kept as an opt-in experiment + the
-    # correctness harness for future multi-core / larger-VMEM parts.
-    flag = os.environ.get("GPSAT_PALLAS_PANEL", "0")
+    flag = os.environ.get(env_var, "0")
     if flag not in ("1", "force"):
         return False
     N = K.shape[-1]
-    if K.dtype != jnp.float32 or N % _PANEL_T != 0 or N < 2 * _PANEL_T:
+    if pad_ok:
+        N = N + (-N) % block
+    if K.dtype != jnp.float32 or N % block != 0 or N < 2 * block:
         return False
-    if flag == "force":  # CPU test suites run the kernel in interpret mode
+    if flag == "force":
         return True
     try:
         import jax.extend.backend as _be
 
         return _be.get_backend().platform not in ("cpu",)
-    except Exception:
+    except Exception as e:  # noqa: BLE001 — probe failure must not crash tracing
+        # a silent False here would quietly disable an explicitly requested
+        # perf path (e.g. after a JAX API move) — say so, once per flag
+        if env_var not in _GATE_WARNED:
+            _GATE_WARNED.add(env_var)
+            warnings.warn(
+                f"{env_var}={flag} requested but the backend probe failed "
+                f"({e!r}); falling back to the default factor path"
+            )
         return False
+
+
+def panel_path_enabled(K: Array) -> bool:
+    """Static (trace-time) gate for the stacked-panel factor path.
+
+    Default OFF: measured 2.6x SLOWER than the XLA path on v5e — VMEM
+    caps the per-grid-step block count at 8, so the kernel serializes
+    16 grid repeats x 128 steps x 4 panels = 8192 sequential steps where
+    XLA's batched Cholesky pays only N=512 fat ones. On a single
+    TensorCore, Cholesky is latency-bound by sequential-step count and
+    XLA already minimizes it; kept as an opt-in experiment + the
+    correctness harness for future multi-core / larger-VMEM parts.
+    """
+    return _pallas_gate("GPSAT_PALLAS_PANEL", K, _PANEL_T)
 
 
 def _diag_blocks(L: Array, T: int) -> Array:
@@ -305,24 +329,7 @@ def block_path_enabled(K: Array, pad_ok: bool = False) -> bool:
     pad_ok: judge the identity-padded size (chol_winv_padded) instead of
     requiring an exact block multiple — for e.g. M=500 inducing sets.
     """
-    import os
-
-    flag = os.environ.get("GPSAT_BLOCK_CHOL", "0")
-    if flag not in ("1", "force"):
-        return False
-    N = K.shape[-1]
-    if pad_ok:
-        N = N + (-N) % _BLOCK_T
-    if K.dtype != jnp.float32 or N % _BLOCK_T != 0 or N < 2 * _BLOCK_T:
-        return False
-    if flag == "force":  # CPU test suites run the kernel in interpret mode
-        return True
-    try:
-        import jax.extend.backend as _be
-
-        return _be.get_backend().platform not in ("cpu",)
-    except Exception:
-        return False
+    return _pallas_gate("GPSAT_BLOCK_CHOL", K, _BLOCK_T, pad_ok=pad_ok)
 
 
 def _chol_winv_batched(K: Array):
@@ -338,6 +345,9 @@ def _chol_winv_batched(K: Array):
     T = _BLOCK_T
     hi = jax.lax.Precision.HIGHEST
     B, N, _ = K.shape
+    # non-multiples must come through chol_winv_padded; silently flooring
+    # Nb would drop trailing rows/cols
+    assert N % T == 0, f"N={N} not a multiple of T={T}; use chol_winv_padded"
     Nb = N // T
 
     A = K

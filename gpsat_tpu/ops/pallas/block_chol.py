@@ -90,12 +90,11 @@ def _pick_bc(B: int, T: int) -> int:
     """Blocks per grid step. Live set per [Bc, T, T] array is Bc*T*T*4
     bytes; the loop carries 2 (M, W), pallas double-buffers in/out (3x2),
     and the step body holds a few temporaries — budget ~12 arrays inside
-    a 12 MB share of VMEM."""
+    a 12 MB share of VMEM. Non-multiple B is identity-padded by the
+    caller (factor_blocks) — never shrink Bc toward 1 chasing
+    divisibility, that serializes the grid up to 64x."""
     budget = 12 * 1024 * 1024
-    bc = max(1, budget // (12 * T * T * 4))
-    while bc > 1 and B % bc != 0:
-        bc -= 1
-    return int(bc)
+    return int(max(1, budget // (12 * T * T * 4)))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -103,7 +102,7 @@ def factor_blocks(Kd: jnp.ndarray, interpret: bool = False):
     """[B, T, T] stacked SPD blocks -> (L, W = L^-1), both [B, T, T]."""
     B, T, t = Kd.shape
     assert t == T, Kd.shape
-    Bc = _pick_bc(B, T)
+    Bc = min(_pick_bc(B, T), B)
     pad = (-B) % Bc
     if pad:
         eye = jnp.broadcast_to(jnp.eye(T, dtype=Kd.dtype), (pad, T, T))

@@ -132,21 +132,22 @@ class TestBlockKernel:
                 e = S.elbo(cp, data, kernel="Matern32")
                 pr = S.predict(cp, data, jnp.asarray(Xnew), kernel="Matern32")
 
-                def f(ls):
+                def f(ls, chunk):
                     c2 = dict(cp)
                     c2["lengthscales"] = ls
-                    return S.elbo(c2, data, kernel="Matern32")
+                    return S.elbo(c2, data, kernel="Matern32", chunk_size=chunk)
 
-                g = jax.grad(f)(cp["lengthscales"])
-                return e, pr, g
+                g = jax.grad(f)(cp["lengthscales"], None)
+                gc = jax.grad(f)(cp["lengthscales"], 64)  # remat-scan backward
+                return e, pr, g, gc
 
             monkeypatch.setenv("GPSAT_BLOCK_CHOL", "force")
             jax.clear_caches()
-            e_b, pr_b, g_b = run()
+            e_b, pr_b, g_b, gc_b = run()
             e_c = S.elbo(cp, data, kernel="Matern32", chunk_size=64)
             monkeypatch.setenv("GPSAT_BLOCK_CHOL", "0")
             jax.clear_caches()
-            e_r, pr_r, g_r = run()
+            e_r, pr_r, g_r, gc_r = run()
 
             assert abs(float(e_b - e_r)) < 1e-2
             assert abs(float(e_c - e_r)) < 1e-2
@@ -156,6 +157,53 @@ class TestBlockKernel:
             np.testing.assert_allclose(
                 np.asarray(g_b) / s, np.asarray(g_r) / s, atol=5e-4
             )
+            np.testing.assert_allclose(np.asarray(gc_b) / s, np.asarray(gc_r) / s, atol=5e-4)
+            np.testing.assert_allclose(np.asarray(gc_r) / s, np.asarray(g_r) / s, atol=5e-4)
+        finally:
+            LA.set_fast_inverse(None)
+
+    def test_gpr_posterior_block_path_matches_reference(self, monkeypatch):
+        # production GPR predictions ride posterior_factors' chol_winv_pair
+        # route; vmap over tiles so the batched (Pallas) rule is the one
+        # under test, and compare mean/var/cov vs the default path
+        from gpsat_tpu.models import gpr as G
+
+        LA.set_fast_inverse(True)
+        try:
+            rng = np.random.default_rng(6)
+            B, N, D, P = 3, 128, 2, 8
+            X = rng.uniform(-4, 4, (B, N, D)).astype(np.float32)
+            y = (np.sin(X[..., 0]) + 0.1 * rng.standard_normal((B, N))).astype(np.float32)
+            mask = np.ones((B, N), np.float32)
+            mask[:, 100:] = 0
+            Xnew = rng.uniform(-3, 3, (B, P, D)).astype(np.float32)
+            cp = {
+                "lengthscales": jnp.full((D,), 1.1, jnp.float32),
+                "kernel_variance": jnp.asarray(0.9, jnp.float32),
+                "likelihood_variance": jnp.asarray(0.05, jnp.float32),
+            }
+
+            def one(Xi, yi, mi, Xn):
+                return G.predict(
+                    cp, {"X": Xi, "y": yi, "mask": mi}, Xn,
+                    kernel="Matern32", jitter=1e-5, full_cov=True,
+                )
+
+            def run():
+                return jax.vmap(one)(
+                    jnp.asarray(X), jnp.asarray(y), jnp.asarray(mask), jnp.asarray(Xnew)
+                )
+
+            monkeypatch.setenv("GPSAT_BLOCK_CHOL", "force")
+            jax.clear_caches()
+            pr_b = run()
+            monkeypatch.setenv("GPSAT_BLOCK_CHOL", "0")
+            jax.clear_caches()
+            pr_r = run()
+            for k in pr_r:
+                np.testing.assert_allclose(
+                    np.asarray(pr_b[k]), np.asarray(pr_r[k]), atol=5e-4, err_msg=k
+                )
         finally:
             LA.set_fast_inverse(None)
 
@@ -185,24 +233,28 @@ class TestBlockKernel:
                 e = V.elbo(cp, data, kernel="Matern32")
                 ec = V.elbo(cp, data, kernel="Matern32", chunk_size=64)
 
-                def f(ls):
+                def f(ls, chunk):
                     c2 = dict(cp)
                     c2["lengthscales"] = ls
-                    return V.elbo(c2, data, kernel="Matern32")
+                    return V.elbo(c2, data, kernel="Matern32", chunk_size=chunk)
 
-                return e, ec, jax.grad(f)(cp["lengthscales"])
+                g = jax.grad(f)(cp["lengthscales"], None)
+                gc = jax.grad(f)(cp["lengthscales"], 64)  # remat-scan backward
+                return e, ec, g, gc
 
             monkeypatch.setenv("GPSAT_BLOCK_CHOL", "force")
             jax.clear_caches()
-            e_b, ec_b, g_b = run()
+            e_b, ec_b, g_b, gc_b = run()
             monkeypatch.setenv("GPSAT_BLOCK_CHOL", "0")
             jax.clear_caches()
-            e_r, ec_r, g_r = run()
+            e_r, ec_r, g_r, gc_r = run()
 
             assert abs(float(e_b - e_r)) < 1e-2
             assert abs(float(ec_b - ec_r)) < 1e-2
             s = max(float(jnp.max(jnp.abs(g_r))), 1.0)
             np.testing.assert_allclose(np.asarray(g_b) / s, np.asarray(g_r) / s, atol=5e-4)
+            np.testing.assert_allclose(np.asarray(gc_b) / s, np.asarray(gc_r) / s, atol=5e-4)
+            np.testing.assert_allclose(np.asarray(gc_r) / s, np.asarray(g_r) / s, atol=5e-4)
         finally:
             LA.set_fast_inverse(None)
 
