@@ -116,17 +116,28 @@ def _fused_fwd_impl(kernel, X, y, mask, lengthscales, kernel_variance, likelihoo
         residuals = (X, m, lengthscales, kernel_variance, r, Kinv, alpha[:, 0])
         return lml, residuals
     L = LA.cholesky(Km)
-    # value via one triangular solve — value-only callers (linesearch
-    # probes) never touch the residuals below, so XLA dead-code-eliminates
-    # the O(N^3) inverse work for them
-    v = LA.tri_solve(L, ym)
-    quad = jnp.sum(v * v)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    if LA.use_fast_inverse(Km.dtype):
+        # f32 production runs single_eval — every call consumes the
+        # gradient residuals, so the inverse is always materialized and the
+        # quadratic form can reuse alpha (quad = y^T K^-1 y = ym . alpha),
+        # dropping the narrow N-step sequential triangular solve from every
+        # iteration. (Value-only callers — non-default backtracking probes —
+        # pay the full inverse here; the f64 branch below keeps their DCE.)
+        W = LA.tri_inv_blocked(L)
+        Kinv = jnp.matmul(W.T, W, precision=jax.lax.Precision.HIGHEST)
+        alpha = jnp.matmul(Kinv, ym, precision=jax.lax.Precision.HIGHEST)
+        quad = jnp.sum(ym * alpha)
+    else:
+        # value via one triangular solve — value-only callers (zoom
+        # linesearch probes) never touch the residuals below, so XLA
+        # dead-code-eliminates the O(N^3) inverse work for them
+        v = LA.tri_solve(L, ym)
+        quad = jnp.sum(v * v)
+        W = LA.tri_inv_blocked(L)
+        Kinv = jnp.matmul(W.T, W, precision=jax.lax.Precision.HIGHEST)
+        alpha = jnp.matmul(Kinv, ym, precision=jax.lax.Precision.HIGHEST)
     lml = -0.5 * quad - 0.5 * logdet - 0.5 * n * jnp.log(2.0 * jnp.pi)
-    # gradient residuals (only materialized when the vjp is consumed)
-    W = LA.tri_inv_blocked(L)
-    Kinv = jnp.matmul(W.T, W, precision=jax.lax.Precision.HIGHEST)
-    alpha = jnp.matmul(Kinv, ym, precision=jax.lax.Precision.HIGHEST)
     residuals = (X, m, lengthscales, kernel_variance, r, Kinv, alpha[:, 0])
     return lml, residuals
 
