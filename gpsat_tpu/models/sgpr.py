@@ -154,6 +154,14 @@ def _common_terms(cparams: dict, data: dict, *, kernel: str, jitter: float, chun
     if use_block:
         LB, WB = LA.chol_winv_padded(B)
         c = jnp.matmul(WB, Aerr, precision=jax.lax.Precision.HIGHEST) / sigma
+    elif LA.use_fast_inverse(X.dtype):
+        # f32 fast path (block kernel off): materialize WB = LB^-1 blocked
+        # so the per-iteration c-solve (and its autodiff backward) and the
+        # predict solves are matmuls instead of M-step sequential walks —
+        # the same trade tri_inv_blocked makes for the Kuu factor above
+        LB = LA.cholesky(B)
+        WB = LA.tri_inv_blocked(LB)
+        c = jnp.matmul(WB, Aerr, precision=jax.lax.Precision.HIGHEST) / sigma
     else:
         LB, WB = LA.cholesky(B), None
         c = LA.tri_solve(LB, Aerr) / sigma
