@@ -286,6 +286,12 @@ def _factors(cparams: dict, data: dict, knots_list, *, D: int, kernel: str = "Ma
     if LA.use_fast_inverse(P.dtype) and LA.block_path_enabled(P, pad_ok=True):
         L, WP = LA.chol_winv_padded(P)  # fused diag-block kernel path
         c = jnp.matmul(WP, KufY, precision=jax.lax.Precision.HIGHEST) / s2
+    elif LA.use_fast_inverse(P.dtype):
+        # f32 fast path: blocked P-factor inverse puts the c-solve (and its
+        # autodiff backward) and the predict solves on the matmul path
+        L = jnp.linalg.cholesky(P)
+        WP = LA.tri_inv_blocked(L)
+        c = jnp.matmul(WP, KufY, precision=jax.lax.Precision.HIGHEST) / s2
     else:
         L, WP = jnp.linalg.cholesky(P), None
         c = LA.tri_solve(L, KufY) / s2

@@ -196,6 +196,12 @@ def vff_common(cparams: dict, data: dict, *, kernel: str, a, b, M: int):
     if LA.use_fast_inverse(P.dtype) and LA.block_path_enabled(P, pad_ok=True):
         L, WP = LA.chol_winv_padded(P)  # fused diag-block kernel path
         c = jnp.matmul(WP, KufY, precision=jax.lax.Precision.HIGHEST) / s2
+    elif LA.use_fast_inverse(P.dtype):
+        # f32 fast path: blocked P-factor inverse puts the c-solve (and its
+        # autodiff backward) and the predict solves on the matmul path
+        L = LA.cholesky(P)
+        WP = LA.tri_inv_blocked(L)
+        c = jnp.matmul(WP, KufY, precision=jax.lax.Precision.HIGHEST) / s2
     else:
         L, WP = LA.cholesky(P), None
         c = LA.tri_solve(L, KufY) / s2
