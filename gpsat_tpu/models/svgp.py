@@ -130,11 +130,16 @@ def _marginals_given_L(cparams: dict, LW, X: jnp.ndarray, *, kernel: str):
 
 
 def _chol_Kuu(cparams: dict, *, kernel: str, jitter: float):
-    """(L, W) Kuu factor pair; W is None off the fused-factor path."""
+    """(L, W) Kuu factor pair; W is None on the f64 (exact-solve) path."""
     Z = cparams["inducing_points"]
     Kuu = LA.add_diag(K.gram(kernel, Z, Z, cparams["lengthscales"], cparams["kernel_variance"]), jitter)
-    if LA.use_fast_inverse(Kuu.dtype) and LA.block_path_enabled(Kuu, pad_ok=True):
-        return LA.chol_winv_padded(Kuu)
+    if LA.use_fast_inverse(Kuu.dtype):
+        if LA.block_path_enabled(Kuu, pad_ok=True):
+            return LA.chol_winv_padded(Kuu)
+        # f32 fast path: materialized W makes every whitening solve a
+        # matmul — reused across all chunks of the chunked ELBO
+        L = LA.cholesky(Kuu)
+        return L, LA.tri_inv_blocked(L)
     return LA.cholesky(Kuu), None
 
 
