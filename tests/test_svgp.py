@@ -500,6 +500,39 @@ def test_device_init_honors_loaded_q():
     assert make_svgp_core(num_inducing_points=M, likelihood="Bernoulli", q_init=None).device_init is None
 
 
+def test_host_lbfgs_q_init_auto():
+    """Host q_init='auto': warm start only when q is at its default."""
+    import numpy as np
+
+    from gpsat_tpu.models.svgp import SVGPModel
+
+    rng = np.random.default_rng(5)
+    X = rng.uniform(-3, 3, (120, 2))
+    y = np.sign(np.sin(X[:, 0]))
+    M = 12
+
+    def fresh():
+        return SVGPModel(coords=X, obs=y, num_inducing_points=M, likelihood="Bernoulli")
+
+    # default q + auto -> collapsed warm start applied (max_iter=0 freezes)
+    m = fresh()
+    m._optimise_lbfgs(max_iter=0)
+    assert np.abs(m.get_inducing_mean()).max() > 1e-8
+
+    # explicit q + auto -> preserved
+    m = fresh()
+    q_mu = rng.normal(size=M)
+    m.set_inducing_mean(q_mu)
+    m._optimise_lbfgs(max_iter=0)
+    np.testing.assert_array_equal(m.get_inducing_mean()[:, 0], q_mu)
+
+    # explicit q + forced collapsed -> replaced
+    m = fresh()
+    m.set_inducing_mean(q_mu)
+    m._optimise_lbfgs(max_iter=0, q_init="collapsed")
+    assert np.abs(m.get_inducing_mean()[:, 0] - q_mu).max() > 1e-8
+
+
 def test_elbo_dtype_stable_under_x64():
     """f32 tiles must stay f32 even with jax_enable_x64 on (the CPU test /
     polish environment): the Gauss-Hermite quadrature nodes used to leak
