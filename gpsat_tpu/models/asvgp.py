@@ -314,7 +314,9 @@ def elbo(cparams: dict, data: dict, knots_list, kernel: str = "Matern12"):
     return out
 
 
-def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, knots_list, kernel: str = "Matern12"):
+def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, knots_list, kernel: str = "Matern12", full_cov: bool = False):
+    """Posterior at Xnew; full_cov=True adds ``f_cov`` (separable product
+    prior, like VFF — ref: GPSat/models/gpflow_models.py:230-260)."""
     D = data["X"].shape[1]
     t = _factors(cparams, data, knots_list, D=D, kernel=kernel)
     basis_eval, _ = _SPLINE_PAIRS[kernel]
@@ -330,7 +332,14 @@ def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, knots_list, kernel: st
     KiKus = t["Kuu_inv"] @ Kus
     kv = cparams["kernel_variance"]
     var = kv * jnp.ones(Xnew.shape[0], dtype=Kus.dtype) + jnp.sum(tmp**2, axis=0) - jnp.sum(KiKus * Kus, axis=0)
-    return {"f_mean": f_mean, "f_var": var, "y_var": var + t["s2"]}
+    out = {"f_mean": f_mean, "f_var": var, "y_var": var + t["s2"]}
+    if full_cov:
+        from gpsat_tpu.models.vff import product_prior_gram
+
+        ls, _ = _per_dim(cparams, D)
+        Kss = product_prior_gram(kernel, Xnew, Xnew, ls, kv)
+        out["f_cov"] = Kss + tmp.T @ tmp - Kus.T @ KiKus
+    return out
 
 
 class ASVGPModel(BaseGPRModel):
@@ -436,12 +445,14 @@ class ASVGPModel(BaseGPRModel):
         if apply_scale:
             coords = coords / self.coords_scale
         c = {k: jnp.asarray(v) for k, v in self._params.items()}
-        pred = predict(c, self._data_dict(), jnp.asarray(coords), self.knots_list, self.kernel)
+        pred = predict(c, self._data_dict(), jnp.asarray(coords), self.knots_list, self.kernel, full_cov=full_cov)
         out = {
             "f*": np.asarray(pred["f_mean"]),
             "f*_var": np.asarray(pred["f_var"]),
             "y_var": np.asarray(pred["y_var"]),
         }
+        if full_cov:
+            self._attach_full_cov(out, pred["f_cov"], self._params["likelihood_variance"])
         f_bar = self.obs_mean[:, 0]
         out["f_bar"] = np.repeat(f_bar, len(out["f*"])) if len(f_bar) != len(out["f*"]) else f_bar
         return out

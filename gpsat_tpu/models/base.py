@@ -160,6 +160,21 @@ class BaseGPRModel(ABC):
             return {a: getattr(self, f"get_{a}")() for a in args}
         return [getattr(self, f"get_{a}")() for a in args]
 
+
+    @staticmethod
+    def _attach_full_cov(out: dict, f_cov, likelihood_variance: float) -> dict:
+        """Reference full_cov output schema: f*_cov plus y_cov = f_cov with
+        the likelihood variance added to the diagonal
+        (ref: GPSat/models/gpflow_models.py:244-260)."""
+        import numpy as np
+
+        f_cov = np.asarray(f_cov)
+        out["f*_cov"] = f_cov
+        y_cov = f_cov.copy()
+        np.fill_diagonal(y_cov, np.diag(y_cov) + float(likelihood_variance))
+        out["y_cov"] = y_cov
+        return out
+
     def set_parameters(self, **kwargs):
         for k, v in kwargs.items():
             assert k in self.param_names, f"cannot set parameter: {k}; not in {self.param_names}"

@@ -191,8 +191,20 @@ def neg_elbo(uparams: dict, data: dict, *, kernel: str, bijectors: dict, jitter:
     return -elbo(p, data, kernel=kernel, jitter=jitter, chunk_size=chunk_size)
 
 
-def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, *, kernel: str, jitter: float = DEFAULT_JITTER, chunk_size=None):
-    """SGPR posterior mean/variance at Xnew (gpflow predict_f equations)."""
+def predict(
+    cparams: dict,
+    data: dict,
+    Xnew: jnp.ndarray,
+    *,
+    kernel: str,
+    jitter: float = DEFAULT_JITTER,
+    chunk_size=None,
+    full_cov: bool = False,
+):
+    """SGPR posterior mean/variance at Xnew (gpflow predict_f equations).
+
+    full_cov=True additionally returns the posterior covariance ``f_cov``
+    (ref: GPSat/models/gpflow_models.py:230-260 via gpflow predict_f)."""
     t = _common_terms(cparams, data, kernel=kernel, jitter=jitter, chunk_size=chunk_size)
     Z = cparams["inducing_points"]
     Kus = K.gram(kernel, Z, Xnew, cparams["lengthscales"], cparams["kernel_variance"])
@@ -208,7 +220,11 @@ def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, *, kernel: str, jitter
     f_mean = MF.add_mean(cparams, Xnew, (tmp2.T @ t["c"])[:, 0])
     kss = K.gram_diag(kernel, Xnew, cparams["kernel_variance"])
     f_var = kss + jnp.sum(tmp2**2, axis=0) - jnp.sum(tmp1**2, axis=0)
-    return {"f_mean": f_mean, "f_var": f_var, "y_var": f_var + cparams["likelihood_variance"]}
+    out = {"f_mean": f_mean, "f_var": f_var, "y_var": f_var + cparams["likelihood_variance"]}
+    if full_cov:
+        Kss = K.gram(kernel, Xnew, Xnew, cparams["lengthscales"], cparams["kernel_variance"])
+        out["f_cov"] = Kss + tmp2.T @ tmp2 - tmp1.T @ tmp1
+    return out
 
 
 def pad_inducing_points(Z: np.ndarray, M: int, data_span: float = 1.0) -> np.ndarray:
@@ -341,13 +357,15 @@ class SGPRModel(GPRModel):
         cparams = {k: jnp.asarray(v) for k, v in self._params.items()}
         pred = predict(
             cparams, self._data_dict(), jnp.asarray(coords), kernel=self.kernel,
-            jitter=self.jitter, chunk_size=self.chunk_size,
+            jitter=self.jitter, chunk_size=self.chunk_size, full_cov=full_cov,
         )
         out = {
             "f*": np.asarray(pred["f_mean"]),
             "f*_var": np.asarray(pred["f_var"]),
             "y_var": np.asarray(pred["y_var"]),
         }
+        if full_cov:
+            self._attach_full_cov(out, pred["f_cov"], self._params["likelihood_variance"])
         f_bar = self.obs_mean[:, 0]
         out["f_bar"] = np.repeat(f_bar, len(out["f*"])) if len(f_bar) != len(out["f*"]) else f_bar
         return out

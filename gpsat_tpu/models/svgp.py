@@ -218,12 +218,27 @@ def elbo(
     return lik_term - kl_whitened(cparams["inducing_mean"], cparams["inducing_chol"])
 
 
-def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, *, kernel: str, jitter: float = DEFAULT_JITTER):
+def predict(
+    cparams: dict, data: dict, Xnew: jnp.ndarray, *, kernel: str,
+    jitter: float = DEFAULT_JITTER, full_cov: bool = False,
+):
+    """q(f) marginals at Xnew; full_cov=True adds the posterior covariance
+    ``f_cov`` (ref: GPSat/models/gpflow_models.py:230-260 via predict_f)."""
     from gpsat_tpu.models import means as MF
 
     f_mean, f_var = _whitened_marginals(cparams, Xnew, kernel=kernel, jitter=jitter)
     f_mean = MF.add_mean(cparams, Xnew, f_mean)
-    return {"f_mean": f_mean, "f_var": f_var, "y_var": f_var + cparams["likelihood_variance"]}
+    out = {"f_mean": f_mean, "f_var": f_var, "y_var": f_var + cparams["likelihood_variance"]}
+    if full_cov:
+        L, W = _chol_Kuu(cparams, kernel=kernel, jitter=jitter)
+        Z = cparams["inducing_points"]
+        ls, kv = cparams["lengthscales"], cparams["kernel_variance"]
+        Kus = K.gram(kernel, Z, Xnew, ls, kv)
+        A = jnp.matmul(W, Kus, precision=jax.lax.Precision.HIGHEST) if W is not None else LA.tri_solve(L, Kus)
+        SA = jnp.tril(cparams["inducing_chol"]).T @ A
+        Kss = K.gram(kernel, Xnew, Xnew, ls, kv)
+        out["f_cov"] = Kss - A.T @ A + SA.T @ SA
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -616,12 +631,17 @@ class SVGPModel(GPRModel):
             coords = coords[None, :]
         if apply_scale:
             coords = coords / self.coords_scale
-        pred = predict(self._cparams(), self._data_dict(), jnp.asarray(coords), kernel=self.kernel, jitter=self.jitter)
+        pred = predict(
+            self._cparams(), self._data_dict(), jnp.asarray(coords),
+            kernel=self.kernel, jitter=self.jitter, full_cov=full_cov,
+        )
         out = {
             "f*": np.asarray(pred["f_mean"]),
             "f*_var": np.asarray(pred["f_var"]),
             "y_var": np.asarray(pred["y_var"]),
         }
+        if full_cov:
+            self._attach_full_cov(out, pred["f_cov"], self._params["likelihood_variance"])
         f_bar = self.obs_mean[:, 0]
         out["f_bar"] = np.repeat(f_bar, len(out["f*"])) if len(f_bar) != len(out["f*"]) else f_bar
         return out

@@ -226,7 +226,25 @@ def elbo(cparams: dict, data: dict, *, kernel: str, a, b, M: int):
     return out
 
 
-def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, *, kernel: str, a, b, M: int):
+def product_prior_gram(kernel: str, X1: jnp.ndarray, X2: jnp.ndarray, ls, kv):
+    """Separable product-kernel prior gram: kv * prod_d k1d(x_d, x'_d; l_d).
+
+    VFF's (and ASVGP's) prior is the PRODUCT of 1-d Materns per dimension
+    (ref: vff_model.py:227-240), not the ARD Matern over the joint radius."""
+    from gpsat_tpu.ops import kernels as KK
+
+    D = X1.shape[1]
+    one = jnp.asarray(1.0, dtype=X1.dtype)
+    G = kv * jnp.ones((X1.shape[0], X2.shape[0]), dtype=X1.dtype)
+    for d in range(D):
+        G = G * KK.gram(kernel, X1[:, d : d + 1], X2[:, d : d + 1], ls[d : d + 1], one)
+    return G
+
+
+def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, *, kernel: str, a, b, M: int, full_cov: bool = False):
+    """Posterior at Xnew; full_cov=True adds ``f_cov`` (the reference's
+    shared predict honors full_cov via gpflow predict_f,
+    ref: GPSat/models/gpflow_models.py:230-260)."""
     from gpsat_tpu.ops import linalg as LA
 
     t = vff_common(cparams, data, kernel=kernel, a=a, b=b, M=M)
@@ -245,7 +263,11 @@ def predict(cparams: dict, data: dict, Xnew: jnp.ndarray, *, kernel: str, a, b, 
     var = kv * jnp.ones(Xnew.shape[0], dtype=Kus.dtype)
     var += jnp.sum(tmp**2, axis=0)
     var -= jnp.sum(KiKus * Kus, axis=0)
-    return {"f_mean": f_mean, "f_var": var, "y_var": var + t["s2"]}
+    out = {"f_mean": f_mean, "f_var": var, "y_var": var + t["s2"]}
+    if full_cov:
+        Kss = product_prior_gram(kernel, Xnew, Xnew, t["ls"], kv)
+        out["f_cov"] = Kss + tmp.T @ tmp - Kus.T @ KiKus
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -400,12 +422,14 @@ class VFFModel(BaseGPRModel):
                     f"[a, b] = [{self.a}, {self.b}]; grow domain_size to cover them"
                 )
         c = {k: jnp.asarray(v) for k, v in self._params.items()}
-        pred = predict(c, self._data_dict(), jnp.asarray(coords), kernel=self.kernel, a=self.a, b=self.b, M=self.M)
+        pred = predict(c, self._data_dict(), jnp.asarray(coords), kernel=self.kernel, a=self.a, b=self.b, M=self.M, full_cov=full_cov)
         out = {
             "f*": np.asarray(pred["f_mean"]),
             "f*_var": np.asarray(pred["f_var"]),
             "y_var": np.asarray(pred["y_var"]),
         }
+        if full_cov:
+            self._attach_full_cov(out, pred["f_cov"], self._params["likelihood_variance"])
         f_bar = self.obs_mean[:, 0]
         out["f_bar"] = np.repeat(f_bar, len(out["f*"])) if len(f_bar) != len(out["f*"]) else f_bar
         return out
