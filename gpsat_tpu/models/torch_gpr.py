@@ -175,11 +175,16 @@ class TorchGPRModel(BaseGPRModel):
             v = t.linalg.solve_triangular(L, Ks, upper=False)
             f_var = self._prior_var(Xs) - (v * v).sum(0)
             y_var = f_var + self._val("raw_nv")
+            f_cov = self._gram(Xs, Xs) - v.T @ v if full_cov else None
         out = {
             "f*": f_mean.numpy().astype(float),
             "f*_var": f_var.numpy().astype(float),
             "y_var": y_var.numpy().astype(float),
         }
+        if full_cov:
+            # ref gpytorch_models.py:169-177: f*_cov + y_cov (f_cov plus the
+            # likelihood variance on the diagonal)
+            self._attach_full_cov(out, f_cov.numpy().astype(float), float(self._val("raw_nv")))
         f_bar = self.obs_mean[:, 0]
         out["f_bar"] = np.repeat(f_bar, len(out["f*"])) if len(f_bar) != len(out["f*"]) else f_bar
         return out

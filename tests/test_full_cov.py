@@ -23,6 +23,7 @@ def _fit_data():
     ("GPflowVFFModel", {"num_inducing_features": 8}),
     ("GPflowASVGPModel", {"num_inducing_features": 12}),
     ("sklearnGPRModel", {}),
+    ("GPyTorchGPRModel", {}),
 ])
 def test_full_cov_schema_and_consistency(name, kwargs):
     from gpsat_tpu.models import get_model
