@@ -289,7 +289,7 @@ def _factors(cparams: dict, data: dict, knots_list, *, D: int, kernel: str = "Ma
     elif LA.use_fast_inverse(P.dtype):
         # f32 fast path: blocked P-factor inverse puts the c-solve (and its
         # autodiff backward) and the predict solves on the matmul path
-        L = jnp.linalg.cholesky(P)
+        L = LA.cholesky(P)
         WP = LA.tri_inv_blocked(L)
         c = jnp.matmul(WP, KufY, precision=jax.lax.Precision.HIGHEST) / s2
     else:

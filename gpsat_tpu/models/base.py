@@ -166,8 +166,6 @@ class BaseGPRModel(ABC):
         """Reference full_cov output schema: f*_cov plus y_cov = f_cov with
         the likelihood variance added to the diagonal
         (ref: GPSat/models/gpflow_models.py:244-260)."""
-        import numpy as np
-
         f_cov = np.asarray(f_cov)
         out["f*_cov"] = f_cov
         y_cov = f_cov.copy()

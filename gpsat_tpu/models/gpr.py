@@ -414,11 +414,7 @@ class GPRModel(BaseGPRModel):
             "y_var": np.asarray(pred["y_var"]),
         }
         if full_cov:
-            f_cov = np.asarray(pred["f_cov"])
-            out["f*_cov"] = f_cov
-            y_cov = f_cov.copy()
-            np.fill_diagonal(y_cov, np.diag(y_cov) + float(self._params["likelihood_variance"]))
-            out["y_cov"] = y_cov
+            self._attach_full_cov(out, pred["f_cov"], self._params["likelihood_variance"])
 
         f_bar = self.obs_mean[:, 0]
         out["f_bar"] = np.repeat(f_bar, len(out["f*"])) if len(f_bar) != len(out["f*"]) else f_bar

@@ -106,11 +106,13 @@ def variational_expectations(likelihood: str, y, f_mean, f_var, lik_params: dict
 # functional core
 # --------------------------------------------------------------------------
 
-def _marginals_given_L(cparams: dict, LW, X: jnp.ndarray, *, kernel: str):
+def _marginals_given_L(cparams: dict, LW, X: jnp.ndarray, *, kernel: str, return_factors: bool = False):
     """q(f) marginals at X given a precomputed Kuu factor.
 
     LW is (L, W): W = L^-1 on the fused-factor path (whitening solves
-    become matmuls), None otherwise (triangular solve).
+    become matmuls), None otherwise (triangular solve). return_factors
+    additionally yields (A, SA) so full-covariance consumers reuse the
+    whitening work instead of re-deriving the factor pair.
     """
     L, W = LW
     Z = cparams["inducing_points"]
@@ -126,7 +128,10 @@ def _marginals_given_L(cparams: dict, LW, X: jnp.ndarray, *, kernel: str):
     SA = q_sqrt.T @ A  # [M, N]
     kss = K.gram_diag(kernel, X, kv)
     f_var = kss - jnp.sum(A * A, axis=0) + jnp.sum(SA * SA, axis=0)
-    return f_mean, jnp.maximum(f_var, 1e-30)
+    f_var = jnp.maximum(f_var, 1e-30)
+    if return_factors:
+        return f_mean, f_var, A, SA
+    return f_mean, f_var
 
 
 def _chol_Kuu(cparams: dict, *, kernel: str, jitter: float):
@@ -223,19 +228,21 @@ def predict(
     jitter: float = DEFAULT_JITTER, full_cov: bool = False,
 ):
     """q(f) marginals at Xnew; full_cov=True adds the posterior covariance
-    ``f_cov`` (ref: GPSat/models/gpflow_models.py:230-260 via predict_f)."""
+    ``f_cov`` (ref: GPSat/models/gpflow_models.py:230-260 via predict_f),
+    reusing the same Kuu factor pair and whitening solve as the marginals."""
     from gpsat_tpu.models import means as MF
 
-    f_mean, f_var = _whitened_marginals(cparams, Xnew, kernel=kernel, jitter=jitter)
+    LW = _chol_Kuu(cparams, kernel=kernel, jitter=jitter)
+    if full_cov:
+        f_mean, f_var, A, SA = _marginals_given_L(
+            cparams, LW, Xnew, kernel=kernel, return_factors=True
+        )
+    else:
+        f_mean, f_var = _marginals_given_L(cparams, LW, Xnew, kernel=kernel)
     f_mean = MF.add_mean(cparams, Xnew, f_mean)
     out = {"f_mean": f_mean, "f_var": f_var, "y_var": f_var + cparams["likelihood_variance"]}
     if full_cov:
-        L, W = _chol_Kuu(cparams, kernel=kernel, jitter=jitter)
-        Z = cparams["inducing_points"]
         ls, kv = cparams["lengthscales"], cparams["kernel_variance"]
-        Kus = K.gram(kernel, Z, Xnew, ls, kv)
-        A = jnp.matmul(W, Kus, precision=jax.lax.Precision.HIGHEST) if W is not None else LA.tri_solve(L, Kus)
-        SA = jnp.tril(cparams["inducing_chol"]).T @ A
         Kss = K.gram(kernel, Xnew, Xnew, ls, kv)
         out["f_cov"] = Kss - A.T @ A + SA.T @ SA
     return out

@@ -129,9 +129,9 @@ def _fused_fwd_impl(kernel, X, y, mask, lengthscales, kernel_variance, likelihoo
         alpha = jnp.matmul(Kinv, ym, precision=jax.lax.Precision.HIGHEST)
         quad = jnp.sum(ym * alpha)
     else:
-        # value via one triangular solve — value-only callers (zoom
-        # linesearch probes) never touch the residuals below, so XLA
-        # dead-code-eliminates the O(N^3) inverse work for them
+        # value via one triangular solve — value-only callers (backtracking
+        # linesearch probes, which skip the slope) never touch the residuals
+        # below, so XLA dead-code-eliminates the O(N^3) inverse work for them
         v = LA.tri_solve(L, ym)
         quad = jnp.sum(v * v)
         W = LA.tri_inv_blocked(L)
