@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gpsat_tpu.models.base import BaseGPRModel
 from gpsat_tpu.models.gpr import GPRModel
 from gpsat_tpu.ops import kernels as K
 from gpsat_tpu.ops import linalg as LA

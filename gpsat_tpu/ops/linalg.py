@@ -17,7 +17,6 @@ shard_map over the expert axis.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
