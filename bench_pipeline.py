@@ -86,10 +86,15 @@ def main():
             # GPSAT_TWO_STAGE=<K> switches on unconverged-lane compaction
             # (this workload's iteration profile is mean 21 / max 76 — a
             # long tail that otherwise bills the full 1664-expert width)
+            # GPSAT_CARRY=<K> switches on state-carrying compaction instead
+            # (bit-exact restart that keeps L-BFGS history; kernel-bench
+            # slower, pipeline profile untested — this knob is the A/B)
             "optim_kwargs": {
                 "max_iter": 100,
                 **({"two_stage_iters": int(os.environ["GPSAT_TWO_STAGE"])}
                    if os.environ.get("GPSAT_TWO_STAGE") else {}),
+                **({"carry_iters": int(os.environ["GPSAT_CARRY"])}
+                   if os.environ.get("GPSAT_CARRY") else {}),
             },
         },
         "pred_loc": {"method": "from_dataframe", "df": pred_df, "max_dist": 200_000.0},

@@ -739,7 +739,8 @@ class LocalExpertOI:
                             from gpsat_tpu.parallel.engine import run_tile_batch_two_stage
 
                             res = run_tile_batch_two_stage(
-                                b, per_expert_init, lane_head, lane_runner, lane_core, mesh=mesh
+                                b, per_expert_init, lane_head, lane_runner, lane_core,
+                                mesh=mesh, pad_multiple=pad_multiple,
                             )
                         if optimise and self.optim_kwargs.get("polish") in ("f64", True):
                             from gpsat_tpu.parallel.engine import polish_tile_batch

@@ -606,6 +606,7 @@ def run_tile_batch_two_stage(
     core: ModelCore,
     *,
     mesh: Optional[Mesh] = None,
+    pad_multiple: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Unconverged-lane compaction: under vmap every iteration costs the
     FULL batch even after most lanes have converged, so the slowest lane
@@ -620,7 +621,9 @@ def run_tile_batch_two_stage(
     """
     from gpsat_tpu.parallel.batching import take_batch
 
-    res1 = run_tile_batch(batch, init_cparams, runner_head, core, mesh=mesh)
+    res1 = run_tile_batch(
+        batch, init_cparams, runner_head, core, mesh=mesh, pad_multiple=pad_multiple
+    )
     # rows align with the (unpadded) batch rows in order
     unconv = np.flatnonzero(~np.asarray(res1["converged"]))
     if len(unconv) == 0:
@@ -628,7 +631,9 @@ def run_tile_batch_two_stage(
 
     sub_batch = take_batch(batch, unconv)
     sub_init = {k: np.asarray(res1[k])[unconv] for k in core.param_names}
-    res2 = run_tile_batch(sub_batch, sub_init, runner_tail, core, mesh=mesh)
+    res2 = run_tile_batch(
+        sub_batch, sub_init, runner_tail, core, mesh=mesh, pad_multiple=pad_multiple
+    )
 
     out = {k: np.asarray(v).copy() for k, v in res1.items()}
     head_iters = out["num_iter"][unconv]
