@@ -531,6 +531,8 @@ class LocalExpertOI:
                     # (zoom in f64 parity mode, single_eval in f32 production)
                     linesearch=optim_kwargs.get("linesearch", None),
                     max_linesearch_steps=int(optim_kwargs.get("max_linesearch_steps", 32)),
+                    # L-BFGS curvature-history length (scipy L-BFGS-B 'maxcor')
+                    memory_size=int(optim_kwargs.get("memory_size", 10)),
                     mesh=mesh,
                 )
                 # unconverged-lane compaction: optim_kwargs
@@ -540,15 +542,19 @@ class LocalExpertOI:
                 # {'two_stage_iters': K} is the legacy warm-restart variant
                 carry_k = optim_kwargs.get("carry_iters")
                 if carry_k:
+                    # head/tail must share memory_size: the carried state's
+                    # history arrays are shaped [m, ...]
                     head = make_batched_runner(
                         core, fixed_params=fixed, max_iter=int(carry_k),
                         optimise=optimise, linesearch="single_eval",
+                        memory_size=int(optim_kwargs.get("memory_size", 10)),
                         return_state=True, mesh=mesh,
                     )
                     tail = make_batched_runner(
                         core, fixed_params=fixed,
                         max_iter=int(optim_kwargs.get("max_iter", 10_000)),
                         optimise=optimise, linesearch="single_eval",
+                        memory_size=int(optim_kwargs.get("memory_size", 10)),
                         take_state=True, return_state=True, mesh=mesh,
                     )
                     return core, runner, name, (head, tail, "carry")
@@ -561,6 +567,7 @@ class LocalExpertOI:
                         optimise=optimise,
                         linesearch=optim_kwargs.get("linesearch", None),
                         max_linesearch_steps=int(optim_kwargs.get("max_linesearch_steps", 32)),
+                        memory_size=int(optim_kwargs.get("memory_size", 10)),
                         mesh=mesh,
                     )
                     return core, runner, name, head

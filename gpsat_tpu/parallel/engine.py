@@ -47,6 +47,7 @@ def _fit_predict_one(
     tol_f: float,
     linesearch: str = "zoom",
     max_linesearch_steps: int = 32,
+    memory_size: int = 10,
     init_state=None,
     return_state: bool = False,
 ):
@@ -64,6 +65,7 @@ def _fit_predict_one(
         res = minimize_lbfgs(
             objective, u_free0, max_iter=max_iter, tol_grad=tol_grad, tol_f=tol_f,
             linesearch=linesearch, max_linesearch_steps=max_linesearch_steps,
+            memory_size=memory_size,
             init_state=init_state, return_state=return_state,
         )
         if return_state:
@@ -104,6 +106,7 @@ def make_batched_runner(
     tol_f: Optional[float] = None,
     linesearch: Optional[str] = None,
     max_linesearch_steps: int = 32,
+    memory_size: int = 10,
     mesh: Optional[Mesh] = None,
     return_state: bool = False,
     take_state: bool = False,
@@ -151,6 +154,7 @@ def make_batched_runner(
                 tol_f=tf,
                 linesearch=ls,
                 max_linesearch_steps=max_linesearch_steps,
+                memory_size=memory_size,
                 init_state=st,
                 return_state=return_state,
             )

@@ -208,6 +208,44 @@ def test_pad_multiple_matches_pow2_padding(problem):
     np.testing.assert_allclose(r_pow2["lengthscales"], r_mult["lengthscales"], rtol=1e-12)
 
 
+def test_memory_size_plumbs_through(problem):
+    """optim memory_size (scipy L-BFGS-B 'maxcor' analogue): different
+    history lengths must land on the same optimum (it changes the path,
+    not the destination), and the carry state must round-trip with a
+    non-default m."""
+    from gpsat_tpu.parallel.engine import run_tile_batch_carry
+
+    batches = batching.assemble_tiles(
+        problem["coords"], problem["obs"], problem["tile_indices"][:4],
+        problem["pred_coords"][:4],
+    )
+    b = batches[0]
+    core = make_gpr_core(jitter=0.0)
+    r10 = run_tile_batch(
+        b, {"likelihood_variance": 0.1},
+        make_batched_runner(core, max_iter=400, linesearch="single_eval"), core,
+    )
+    r3 = run_tile_batch(
+        b, {"likelihood_variance": 0.1},
+        make_batched_runner(core, max_iter=400, linesearch="single_eval", memory_size=3),
+        core,
+    )
+    assert r10["converged"].all() and r3["converged"].all()
+    np.testing.assert_allclose(r10["objective"], r3["objective"], rtol=1e-8)
+    np.testing.assert_allclose(r10["lengthscales"], r3["lengthscales"], rtol=1e-4)
+
+    head = make_batched_runner(
+        core, max_iter=6, linesearch="single_eval", memory_size=3, return_state=True
+    )
+    tail = make_batched_runner(
+        core, max_iter=400, linesearch="single_eval", memory_size=3,
+        take_state=True, return_state=True,
+    )
+    carry = run_tile_batch_carry(b, {"likelihood_variance": 0.1}, head, tail, core)
+    np.testing.assert_array_equal(r3["num_iter"], carry["num_iter"])
+    np.testing.assert_allclose(r3["objective"], carry["objective"], rtol=1e-12)
+
+
 class TestCarryCompaction:
     def test_state_carry_exactly_matches_single_run(self, problem):
         """run_tile_batch_carry: head + resumed compacted tail must equal a
