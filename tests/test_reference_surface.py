@@ -1,0 +1,64 @@
+"""Mechanical reference-surface parity sweep.
+
+Walks the reference tree (when present) and asserts every public
+top-level class/function of every GPSat module resolves at the same
+module path under gpsat_tpu. Documented deliberate exceptions only:
+the VFF structured-matrix algebra classes (ref: GPSat/vff.py:14-377),
+redesigned dense for TPU (docs/divergences.md; gpsat_tpu/vff.py docstring).
+"""
+
+import ast
+import importlib
+import os
+
+import pytest
+
+REF = "/root/reference/GPSat"
+
+# dense-Kuu redesign: these classes intentionally have no analogue
+DELIBERATE_EXCEPTIONS = {
+    ("gpsat_tpu.vff", "DiagMat"),
+    ("gpsat_tpu.vff", "Rank1Mat"),
+    ("gpsat_tpu.vff", "Rank1MatNeg"),
+    ("gpsat_tpu.vff", "LowRankMat"),
+    ("gpsat_tpu.vff", "LowRankMatNeg"),
+    ("gpsat_tpu.vff", "BlockDiagMat"),
+}
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree not available")
+def test_every_reference_symbol_resolves():
+    missing = []
+    checked = 0
+    for root, dirs, files in os.walk(REF):
+        dirs[:] = [d for d in dirs if d != "__pycache__"]
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, os.path.dirname(REF)).replace(os.sep, ".")[:-3]
+            mod = rel.replace("GPSat", "gpsat_tpu", 1)
+            if mod.endswith(".__init__"):
+                mod = mod[: -len(".__init__")]
+            tree = ast.parse(open(path).read())
+            pub = [
+                n.name
+                for n in tree.body
+                if isinstance(n, (ast.FunctionDef, ast.ClassDef))
+                and not n.name.startswith("_")
+            ]
+            if not pub:
+                continue
+            try:
+                m = importlib.import_module(mod)
+            except Exception as e:  # noqa: BLE001 - report as a parity gap
+                missing.append((mod, f"<module import failed: {e}>"))
+                continue
+            for name in pub:
+                checked += 1
+                if (mod, name) in DELIBERATE_EXCEPTIONS:
+                    continue
+                if not hasattr(m, name):
+                    missing.append((mod, name))
+    assert checked > 100, f"sweep looks broken (only {checked} symbols found)"
+    assert not missing, f"reference symbols unresolved: {missing}"
