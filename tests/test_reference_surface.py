@@ -26,6 +26,24 @@ DELIBERATE_EXCEPTIONS = {
 }
 
 
+def test_gpsat_dropin_alias_package():
+    """`import GPSat` resolves to the TPU-native implementation: any
+    GPSat.<module> import aliases to gpsat_tpu.<module> (same module
+    object), so reference user scripts run unchanged."""
+    import GPSat
+    import GPSat.dataloader
+    import gpsat_tpu
+    import gpsat_tpu.dataloader
+
+    assert GPSat.dataloader is gpsat_tpu.dataloader
+    from GPSat.local_experts import LocalExpertOI  # noqa: F401
+    from GPSat.models.gpflow_models import GPflowGPRModel
+    from gpsat_tpu.models.gpr import GPRModel
+
+    assert GPflowGPRModel is GPRModel
+    assert GPSat.__version__ == gpsat_tpu.__version__
+
+
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree not available")
 def test_every_reference_symbol_resolves():
     missing = []
