@@ -15,6 +15,7 @@ packages claim the ``GPSat`` name (that is the point).
 import importlib
 import importlib.abc
 import importlib.machinery
+import importlib.util
 import sys
 
 import gpsat_tpu as _impl
@@ -28,10 +29,19 @@ class _AliasLoader(importlib.abc.Loader):
         # import the real module and register it under the alias name too
         mod = importlib.import_module(self._target)
         sys.modules[spec.name] = mod
+        # importlib overwrites module attrs (__spec__/__loader__) with the
+        # alias spec after create_module; remember the real ones so
+        # exec_module can restore them (tooling reads __spec__.name/origin)
+        self._real_spec = getattr(mod, "__spec__", None)
+        self._real_loader = getattr(mod, "__loader__", None)
         return mod
 
     def exec_module(self, module):
-        pass  # already executed under its real name
+        # already executed under its real name; undo the attr clobbering
+        if self._real_spec is not None:
+            module.__spec__ = self._real_spec
+        if self._real_loader is not None:
+            module.__loader__ = self._real_loader
 
 
 class _AliasFinder(importlib.abc.MetaPathFinder):

@@ -490,6 +490,10 @@ class LocalExpertOI:
                 return host_core, None, name
             fixed = tuple(optim_kwargs.get("fixed_params", ())) + tuple(core.default_fixed_params)
             fixed = tuple(dict.fromkeys(fixed))
+            # L-BFGS curvature-history length (scipy L-BFGS-B 'maxcor');
+            # shared by the main runner and any compaction head/tail —
+            # the carried state's history arrays are shaped [m, ...]
+            memory_size = int(optim_kwargs.get("memory_size", 10))
             if core.optimizer == "adam":
                 from gpsat_tpu.parallel.engine import make_batched_adam_runner
 
@@ -531,8 +535,7 @@ class LocalExpertOI:
                     # (zoom in f64 parity mode, single_eval in f32 production)
                     linesearch=optim_kwargs.get("linesearch", None),
                     max_linesearch_steps=int(optim_kwargs.get("max_linesearch_steps", 32)),
-                    # L-BFGS curvature-history length (scipy L-BFGS-B 'maxcor')
-                    memory_size=int(optim_kwargs.get("memory_size", 10)),
+                    memory_size=memory_size,
                     mesh=mesh,
                 )
                 # unconverged-lane compaction: optim_kwargs
@@ -547,14 +550,14 @@ class LocalExpertOI:
                     head = make_batched_runner(
                         core, fixed_params=fixed, max_iter=int(carry_k),
                         optimise=optimise, linesearch="single_eval",
-                        memory_size=int(optim_kwargs.get("memory_size", 10)),
+                        memory_size=memory_size,
                         return_state=True, mesh=mesh,
                     )
                     tail = make_batched_runner(
                         core, fixed_params=fixed,
                         max_iter=int(optim_kwargs.get("max_iter", 10_000)),
                         optimise=optimise, linesearch="single_eval",
-                        memory_size=int(optim_kwargs.get("memory_size", 10)),
+                        memory_size=memory_size,
                         take_state=True, return_state=True, mesh=mesh,
                     )
                     return core, runner, name, (head, tail, "carry")
@@ -567,7 +570,7 @@ class LocalExpertOI:
                         optimise=optimise,
                         linesearch=optim_kwargs.get("linesearch", None),
                         max_linesearch_steps=int(optim_kwargs.get("max_linesearch_steps", 32)),
-                        memory_size=int(optim_kwargs.get("memory_size", 10)),
+                        memory_size=memory_size,
                         mesh=mesh,
                     )
                     return core, runner, name, head

@@ -29,7 +29,7 @@ class ExactGPR:
         self.likelihood = likelihood
         self.covar_module = kernel
         self.mean_module = mean if mean is not None else (
-            lambda x: torch.zeros(x.shape[0], dtype=x.dtype)
+            lambda x: torch.zeros(x.shape[0], dtype=x.dtype, device=x.device)
         )
 
     def forward(self, x):

@@ -15,10 +15,18 @@ frequencies are counted rather than passed as an index vector):
 
   make_Kuu(kernel, lengthscale, variance, a, b, M) -> dense [2M+1, 2M+1]
   make_Kuf(kernel, lengthscale, X1d, a, b, M)      -> [2M+1, N]
-  kron / kron_two, make_kvs / make_kvs_two          -> dense Kronecker ops
+  kron / kron_two                                   -> dense Kronecker
+  make_kvs / make_kvs_two                           -> ROW-wise Khatri-Rao
+                                                       (the tf convention)
+  make_kvs_np / make_kvs_two_np                     -> COLUMN-wise twins
+                                                       (the np convention)
   GPR_kron                                          -> VFFModel (collapsed
                                                        ELBO + posterior)
 """
+
+from functools import reduce
+
+import jax.numpy as jnp
 
 from gpsat_tpu.models.vff import (  # noqa: F401
     VFFModel,
@@ -28,7 +36,7 @@ from gpsat_tpu.models.vff import (  # noqa: F401
     make_kuf as make_Kuf,
     make_kuf as make_Kuf_np,
     make_kuu_dense as make_Kuu,
-    make_kvs,
+    make_kvs as _make_kvs_cols,
     predict,
     product_prior_gram,
     vff_common,
@@ -41,14 +49,28 @@ def kron_two(A, B):
 
 
 def make_kvs_two(A, B):
-    """Row-wise Khatri-Rao product of two matrices (ref: vff.py:540-546)."""
-    return make_kvs([A, B])
+    """ROW-wise Khatri-Rao ('Kronecker-vector stack'), the reference's tf
+    convention (ref: vff.py:540-546): [N, Ma] x [N, Mb] -> [N, Ma*Mb]."""
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    return (A[:, :, None] * B[:, None, :]).reshape(A.shape[0], A.shape[1] * B.shape[1])
 
 
-# the reference exposes numpy twins of the tf ops (vff.py:553-561); the
-# JAX implementations accept numpy arrays directly
-make_kvs_two_np = make_kvs_two
-make_kvs_np = make_kvs
+def make_kvs(k):
+    """Row-wise Khatri-Rao of a list of matrices (ref: vff.py:548-550)."""
+    return reduce(make_kvs_two, k)
+
+
+def make_kvs_two_np(A, B):
+    """COLUMN-wise Khatri-Rao, the reference's numpy twin (ref:
+    vff.py:553-556): [Ma, N] x [Mb, N] -> [Ma*Mb, N]."""
+    return _make_kvs_cols([A, B])
+
+
+def make_kvs_np(A_list):
+    """Column-wise Khatri-Rao of a list of matrices (ref: vff.py:558-559)."""
+    return _make_kvs_cols(A_list)
+
 
 __all__ = [
     "GPR_kron",

@@ -10,6 +10,7 @@ redesigned dense for TPU (docs/divergences.md; gpsat_tpu/vff.py docstring).
 import ast
 import importlib
 import os
+import pathlib
 
 import pytest
 
@@ -44,6 +45,36 @@ def test_gpsat_dropin_alias_package():
     assert GPSat.__version__ == gpsat_tpu.__version__
 
 
+def test_vff_khatri_rao_conventions():
+    """The reference's tf make_kvs is ROW-wise ([N,Ma]x[N,Mb]->[N,Ma*Mb],
+    ref vff.py:540-550) while its numpy twins are COLUMN-wise
+    (ref vff.py:553-559); the legacy shim must honor both."""
+    import numpy as np
+
+    from gpsat_tpu.vff import make_kvs, make_kvs_np, make_kvs_two, make_kvs_two_np
+
+    A = np.arange(6.0).reshape(2, 3)
+    B = np.arange(8.0).reshape(2, 4)
+    rowwise = np.stack([np.kron(A[i], B[i]) for i in range(2)])
+    np.testing.assert_allclose(np.asarray(make_kvs_two(A, B)), rowwise)
+    np.testing.assert_allclose(np.asarray(make_kvs([A, B])), rowwise)
+
+    Ac, Bc = A.T.copy(), B.T.copy()
+    colwise = np.repeat(Ac, Bc.shape[0], axis=0) * np.tile(Bc, (Ac.shape[0], 1))
+    np.testing.assert_allclose(np.asarray(make_kvs_two_np(Ac, Bc)), colwise)
+    np.testing.assert_allclose(np.asarray(make_kvs_np([Ac, Bc])), colwise)
+
+
+def test_alias_import_preserves_real_spec():
+    """Aliased imports must not clobber the real module's __spec__ —
+    coverage/reload tooling reads __spec__.name off gpsat_tpu modules."""
+    import GPSat.plot_utils
+    import gpsat_tpu.plot_utils
+
+    assert GPSat.plot_utils is gpsat_tpu.plot_utils
+    assert gpsat_tpu.plot_utils.__spec__.name == "gpsat_tpu.plot_utils"
+
+
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree not available")
 def test_every_reference_symbol_resolves():
     missing = []
@@ -58,11 +89,11 @@ def test_every_reference_symbol_resolves():
             mod = rel.replace("GPSat", "gpsat_tpu", 1)
             if mod.endswith(".__init__"):
                 mod = mod[: -len(".__init__")]
-            tree = ast.parse(open(path).read())
+            tree = ast.parse(pathlib.Path(path).read_text())
             pub = [
                 n.name
                 for n in tree.body
-                if isinstance(n, (ast.FunctionDef, ast.ClassDef))
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef))
                 and not n.name.startswith("_")
             ]
             if not pub:
