@@ -257,7 +257,9 @@ def plot_pcolormesh_from_results_data(
         from gpsat_tpu.utils.tables import dataframe_to_2d_array
 
         val2d, x_grid, y_grid = dataframe_to_2d_array(df, x_col=x_col, y_col=y_col, val_col=val_col)
-        lon_grid, lat_grid = EASE2toWGS84(x_grid, y_grid, lat_0=lat_0, lon_0=lon_0)
+        # the axes come back 1-d; the projection needs the full (y, x) lattice
+        x_2d, y_2d = np.meshgrid(x_grid, y_grid)
+        lon_grid, lat_grid = EASE2toWGS84(x_2d, y_2d, lat_0=lat_0, lon_0=lon_0)
         return plot_pcolormesh(ax, lon_grid, lat_grid, val2d, fig=fig, **plot_kwargs)
 
     assert lon_col is not None and lat_col is not None, (

@@ -110,3 +110,21 @@ def test_results_plots_respect_load_kwargs_and_weights(dfs):
         ax, {"preds": dfp}, "preds", "f*", x_col="x", y_col="y", fig=fig,
     )
     plt.close(fig)
+
+
+def test_gridded_pcolormesh_non_square_grid():
+    """Regression: the gridded (scatter=False) path must meshgrid the 1-d
+    axes from dataframe_to_2d_array before projecting — a non-square grid
+    used to crash on shape mismatch inside EASE2toWGS84."""
+    nx, ny = 7, 5  # deliberately non-square
+    xs = np.linspace(-1e6, 1e6, nx)
+    ys = np.linspace(-5e5, 5e5, ny)
+    x2d, y2d = np.meshgrid(xs, ys)
+    df = pd.DataFrame(
+        {"x": x2d.ravel(), "y": y2d.ravel(), "f*": rng.normal(size=nx * ny)}
+    )
+    fig, ax = plt.subplots()
+    PU.plot_pcolormesh_from_results_data(
+        ax, {"preds": df}, "preds", "f*", x_col="x", y_col="y", fig=fig,
+    )
+    plt.close(fig)
