@@ -83,7 +83,13 @@ def main():
         ("pair_xla", pair_xla, flops_pair),
         ("pair_block", pair_block, flops_pair),
     ]:
-        best, med, out = _time(fn, Kd, reps)
+        # a variant that fails to compile (e.g. a Mosaic regression in the
+        # opt-in Pallas path) must not kill the remaining measurements
+        try:
+            best, med, out = _time(fn, Kd, reps)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"metric": f"factor_{name}", "error": repr(e)[:300]}), flush=True)
+            continue
         results[name] = (best, med)
         print(json.dumps({
             "metric": f"factor_{name}", "B": B, "N": N,
@@ -123,7 +129,11 @@ def main():
             print(json.dumps({"metric": f"factor_{name}", "error": "block path gate disabled on this backend"}), flush=True)
             continue
         jax.clear_caches()
-        best, med, out = _time(make_vg(), X, reps)
+        try:
+            best, med, out = _time(make_vg(), X, reps)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"metric": f"factor_{name}", "error": repr(e)[:300]}), flush=True)
+            continue
         print(json.dumps({
             "metric": f"factor_{name}", "B": B, "N": N,
             "best_ms": round(best * 1e3, 2), "median_ms": round(med * 1e3, 2),

@@ -61,7 +61,12 @@ def _cholinv_kernel(a_ref, l_ref, w_ref, *, Bc: int, T: int):
     def step(j, carry):
         M, W = carry
         # --- Cholesky column j (right-looking rank-1 form) ---
-        diag_jj = jnp.sum(jnp.where((rows == j) & (cols == j), M, 0.0), axis=(1, 2), keepdims=True)
+        # two chained single-axis reductions, NOT axis=(1, 2): the fused
+        # form lowers through a rank-1 [Bc] intermediate whose reshape to
+        # [Bc, 1, 1] hard-crashes Mosaic layout inference on libtpu
+        # 2026-08 ("Check failed: arr.size() >= layout_rank(implicit_dim)")
+        diag_jj = jnp.sum(jnp.where((rows == j) & (cols == j), M, 0.0), axis=2, keepdims=True)
+        diag_jj = jnp.sum(diag_jj, axis=1, keepdims=True)
         d = jax.lax.rsqrt(diag_jj)  # [Bc, 1, 1] = 1 / L[j, j]
         col_j = jnp.sum(jnp.where(cols == j, M, 0.0), axis=2, keepdims=True)  # [Bc, T, 1]
         colj = jnp.where(rows[:, :, :1] >= j, col_j * d, 0.0)  # final column j of L
