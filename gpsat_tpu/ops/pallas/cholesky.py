@@ -46,9 +46,11 @@ def _unblocked_chol_block(A, T):
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, T, T), 2)
 
     def step(j, M):
-        # all intermediates kept >=3-d: Mosaic's layout inference CHECK-
-        # fails on 1-d values inside TC kernels
-        diag_jj = jnp.sum(jnp.where((rows == j) & (cols == j), M, 0.0), axis=(1, 2), keepdims=True)
+        # all intermediates kept >=3-d, and reductions go one axis at a
+        # time: axis=(1, 2) keepdims lowers through a rank-1 [Bc]
+        # intermediate whose reshape CHECK-fails Mosaic layout inference
+        diag_jj = jnp.sum(jnp.where((rows == j) & (cols == j), M, 0.0), axis=2, keepdims=True)
+        diag_jj = jnp.sum(diag_jj, axis=1, keepdims=True)
         d = jax.lax.rsqrt(diag_jj)  # [Bc,1,1]
         col_j = jnp.sum(jnp.where(cols == j, M, 0.0), axis=2, keepdims=True)  # [Bc,T,1]
         # column j: diag -> sqrt (= M[j,j]*d), below-diag scaled by d
@@ -76,7 +78,8 @@ def _tri_inv_block(L, T):
         acc = jax.lax.dot_general(
             li, W, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # [Bc,1,T]
-        lii = jnp.sum(jnp.where((rows == i) & (cols == i), L, 0.0), axis=(1, 2), keepdims=True)
+        lii = jnp.sum(jnp.where((rows == i) & (cols == i), L, 0.0), axis=2, keepdims=True)
+        lii = jnp.sum(lii, axis=1, keepdims=True)
         ei = (cols[:, :1, :] == i).astype(L.dtype)  # [1,1,T]
         wi = (ei - acc) / lii  # [Bc,1,T]
         return jnp.where(rows == i, wi, W)
