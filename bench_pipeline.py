@@ -29,6 +29,10 @@ def main():
 
     jax.config.update("jax_default_matmul_precision", "highest")
 
+    from gpsat_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from gpsat_tpu.local_expert_oi import run_from_config
     from gpsat_tpu.data.store import TableStore
     from gpsat_tpu.utils import grid_2d_flatten

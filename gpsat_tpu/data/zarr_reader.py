@@ -55,10 +55,17 @@ def _decompress(buf: bytes, compressor: Optional[dict]) -> bytes:
         # grows its output to the actual size instead of preallocating a
         # max_output_size bound (a one-shot decompress() would need one)
         return dctx.decompressobj().decompress(buf)
+    if cid == "blosc":
+        # zarr's DEFAULT compressor (Blosc cname='lz4' shuffle=SHUFFLE) —
+        # what reference-era stores actually carry. Frame parser in
+        # data/blosc.py; lz4/unshuffle inner loops in the C++ native lib.
+        from gpsat_tpu.data.blosc import blosc_decode
+
+        return blosc_decode(buf)
     raise NotImplementedError(
         f"zarr compressor '{cid}' not supported by the built-in reader "
-        "(supported: null, zlib, gzip, zstd); re-write the store with "
-        "compressor=zarr.Zlib() or uncompressed"
+        "(supported: null, zlib, gzip, zstd, blosc); re-write the store "
+        "with compressor=zarr.Zlib() or uncompressed"
     )
 
 
@@ -206,19 +213,27 @@ def read_zarr(path: str, variables: Optional[Sequence[str]] = None, decode_cf: b
 # --------------------------------------------------------------------------
 
 def write_zarr_array(array_dir: str, values: np.ndarray, dims: Sequence[str], chunks=None, compress=True, attrs: Optional[dict] = None):
-    """compress: False/None, True/"zlib", or "zstd"."""
+    """compress: False/None, True/"zlib", "zstd", or "blosc" (zarr's
+    default layout: lz4 + byte-shuffle frames via data/blosc.py)."""
     values = np.ascontiguousarray(values)
     codec = {True: "zlib", False: None, None: None}.get(compress, compress)
-    assert codec in (None, "zlib", "zstd"), f"unsupported codec: {codec}"
+    assert codec in (None, "zlib", "zstd", "blosc"), f"unsupported codec: {codec}"
     os.makedirs(array_dir, exist_ok=True)
     if chunks is None:
         chunks = tuple(min(s, 1 << 16) for s in values.shape) or ()
+    if codec == "blosc":
+        comp_meta = {"id": "blosc", "cname": "lz4", "clevel": 5,
+                     "shuffle": 1, "blocksize": 0}
+    elif codec:
+        comp_meta = {"id": codec, "level": 1}
+    else:
+        comp_meta = None
     meta = {
         "zarr_format": 2,
         "shape": list(values.shape),
         "chunks": list(chunks),
         "dtype": values.dtype.str,
-        "compressor": {"id": codec, "level": 1} if codec else None,
+        "compressor": comp_meta,
         "fill_value": None,
         "order": "C",
         "filters": None,
@@ -244,6 +259,10 @@ def write_zarr_array(array_dir: str, values: np.ndarray, dims: Sequence[str], ch
                 import zstandard
 
                 raw = zstandard.ZstdCompressor(level=1).compress(raw)
+            elif codec == "blosc":
+                from gpsat_tpu.data.blosc import blosc_encode
+
+                raw = blosc_encode(raw, typesize=values.dtype.itemsize)
             with open(os.path.join(array_dir, ".".join(str(i) for i in idx)), "wb") as f:
                 f.write(raw)
 

@@ -26,10 +26,11 @@ _LIB_PATHS = [
 # ABI contract with native/src/gpsat_native.cpp (gpsat_abi_version). The
 # .so is gitignored and built out-of-band, so a stale binary is a real
 # possibility; calling it with these argtypes would pass shifted pointer
-# arguments (v1 -> v2 added `inclusive` to gpsat_grid_index_query).
-# Mismatch or missing symbol => treat the library as absent and use the
-# numpy/scipy fallbacks, with a rebuild hint.
-_ABI_VERSION = 2
+# arguments (v1 -> v2 added `inclusive` to gpsat_grid_index_query; v3
+# added the lz4/unshuffle codec kernels). Mismatch or missing symbol =>
+# treat the library as absent and use the numpy/scipy fallbacks, with a
+# rebuild hint.
+_ABI_VERSION = 3
 
 
 def _load_checked(paths):
@@ -72,6 +73,9 @@ if _lib is not None:
     _lib.gpsat_grid_index_build.argtypes = [_d, _d, ctypes.c_int64, ctypes.c_double]
     _lib.gpsat_grid_index_query.argtypes = [_d, _d, ctypes.c_int64, ctypes.c_double, ctypes.c_int, ctypes.c_int, _i64, _i64]
     _lib.gpsat_grid_index_free.argtypes = []
+    _lib.gpsat_lz4_decompress.argtypes = [_u8, ctypes.c_int64, _u8, ctypes.c_int64]
+    _lib.gpsat_lz4_decompress.restype = ctypes.c_int64
+    _lib.gpsat_byte_unshuffle.argtypes = [_u8, ctypes.c_int64, ctypes.c_int64, _u8]
 
 
 def _dp(a):
@@ -186,3 +190,46 @@ def radius_query_all(
     )
     _lib.gpsat_grid_index_free()
     return [flat[offsets[e] : offsets[e] + counts[e]] for e in range(E)]
+
+
+def lz4_decompress(buf: bytes, dst_len: int) -> bytes:
+    """LZ4 block decode (native C++; pure-Python fallback).
+
+    The hot loop of the blosc frame decoder (data/blosc.py): zarr's
+    default compressor is Blosc(cname='lz4'), so every chunk of a
+    reference-era zarr store flows through here
+    (ref: GPSat/dataloader.py:60-66).
+    """
+    if _lib is None:
+        from gpsat_tpu.data.blosc import _lz4_decompress_py
+
+        return _lz4_decompress_py(buf, dst_len)
+    src = np.frombuffer(buf, dtype=np.uint8)
+    dst = np.empty(dst_len, dtype=np.uint8)
+    n = _lib.gpsat_lz4_decompress(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(src),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), dst_len,
+    )
+    if n != dst_len:
+        raise ValueError(f"corrupt lz4 block: decoded {n} of {dst_len} bytes")
+    return dst.tobytes()
+
+
+def byte_unshuffle(buf: bytes, typesize: int) -> bytes:
+    """Inverse of blosc's byte-shuffle filter (native C++; numpy fallback)."""
+    if typesize <= 1:
+        return buf
+    src = np.frombuffer(buf, dtype=np.uint8)
+    if _lib is None:
+        n = len(src) // typesize
+        m = n * typesize
+        out = np.empty_like(src)
+        out[:m] = src[:m].reshape(typesize, n).T.reshape(-1)
+        out[m:] = src[m:]
+        return out.tobytes()
+    dst = np.empty(len(src), dtype=np.uint8)
+    _lib.gpsat_byte_unshuffle(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(src), typesize,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return dst.tobytes()

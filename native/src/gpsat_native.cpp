@@ -51,10 +51,11 @@ extern "C" {
 
 // ABI version, checked by the ctypes loader (gpsat_tpu/native.py) before
 // any argtypes are trusted. Bump whenever an exported signature changes
-// (e.g. v2 added the `inclusive` argument to gpsat_grid_index_query);
-// a stale prebuilt .so then falls back to the numpy/scipy paths instead
-// of being called with shifted pointer arguments.
-int64_t gpsat_abi_version() { return 2; }
+// (e.g. v2 added the `inclusive` argument to gpsat_grid_index_query;
+// v3 added the lz4/unshuffle codec kernels); a stale prebuilt .so then
+// falls back to the numpy/scipy paths instead of being called with
+// shifted pointer arguments.
+int64_t gpsat_abi_version() { return 3; }
 
 // Euclidean-ball mask: out[i] = ||locs[i,:] - ref||_2 < max_dist.
 // Per-dimension prefilter then full norm, matching the numba kernel's
@@ -219,6 +220,79 @@ void gpsat_grid_index_query(const double* ex, const double* ey, int64_t n_expert
 void gpsat_grid_index_free() {
   delete g_index;
   g_index = nullptr;
+}
+
+// --------------------------------------------------------------------
+// zarr/blosc codec kernels. The reference's zarr engine (xarray ->
+// zarr-python, ref: GPSat/dataloader.py:60-66,1294-1414) writes stores
+// with the zarr default compressor Blosc(cname='lz4', shuffle=SHUFFLE).
+// Frame parsing (irregular, tiny) stays in Python
+// (gpsat_tpu/data/blosc.py); the byte-crunching inner loops live here.
+// --------------------------------------------------------------------
+
+// LZ4 *block* decompression (https://lz4.org block format: sequences of
+// [token | literal-len ext | literals | 2B LE offset | match-len ext]).
+// Returns bytes written to dst, or -1 on malformed/overflowing input.
+// Bounds-checked throughout: never reads past src+src_len or writes past
+// dst+dst_len, so a corrupt chunk fails cleanly instead of scribbling.
+int64_t gpsat_lz4_decompress(const uint8_t* src, int64_t src_len,
+                             uint8_t* dst, int64_t dst_len) {
+  const uint8_t* ip = src;
+  const uint8_t* const iend = src + src_len;
+  uint8_t* op = dst;
+  uint8_t* const oend = dst + dst_len;
+  while (ip < iend) {
+    const uint8_t token = *ip++;
+    int64_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t b;
+      do {
+        if (ip >= iend) return -1;
+        b = *ip++;
+        lit += b;
+      } while (b == 255);
+    }
+    if (lit > iend - ip || lit > oend - op) return -1;
+    std::memcpy(op, ip, lit);
+    ip += lit;
+    op += lit;
+    if (ip >= iend) break;  // final sequence carries literals only
+    if (iend - ip < 2) return -1;
+    const int64_t offset = ip[0] | ((int64_t)ip[1] << 8);
+    ip += 2;
+    if (offset == 0 || offset > op - dst) return -1;
+    int64_t mlen = (token & 0xF) + 4;
+    if ((token & 0xF) == 15) {
+      uint8_t b;
+      do {
+        if (ip >= iend) return -1;
+        b = *ip++;
+        mlen += b;
+      } while (b == 255);
+    }
+    if (mlen > oend - op) return -1;
+    const uint8_t* match = op - offset;
+    // byte-by-byte: offset < mlen (overlapping match / RLE) is legal
+    for (int64_t i = 0; i < mlen; ++i) op[i] = match[i];
+    op += mlen;
+  }
+  return op - dst;
+}
+
+// Inverse of blosc's byte-shuffle filter over one block: src holds
+// `typesize` sub-streams, stream j being byte j of each of the n
+// elements; trailing len % typesize bytes pass through unchanged
+// (matching c-blosc's shuffle() leftover rule).
+void gpsat_byte_unshuffle(const uint8_t* src, int64_t len, int64_t typesize,
+                          uint8_t* dst) {
+  const int64_t n = len / typesize;
+  const int64_t m = n * typesize;
+  for (int64_t j = 0; j < typesize; ++j) {
+    const uint8_t* s = src + j * n;
+    uint8_t* d = dst + j;
+    for (int64_t i = 0; i < n; ++i) d[i * typesize] = s[i];
+  }
+  std::memcpy(dst + m, src + m, len - m);
 }
 
 }  // extern "C"
