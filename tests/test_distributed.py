@@ -149,6 +149,67 @@ def test_two_process_run_matches_single(experiment):
                 assert a[c].tolist() == b[c].tolist(), f"{table}.{c} differs"
 
 
+@pytest.mark.slow
+def test_four_process_uneven_partition_matches_single(experiment):
+    """4 OS processes, 10 experts -> 3/3/2/2 partition (uneven), merged
+    result vs single-process run. Shard shapes differ between the runs
+    (B=10 single vs 3/3/2/2 padded per host), so equality is to f64
+    roundoff rather than bit-exact (same tolerance class as the 3-process
+    validation in ROUND3_NOTES)."""
+    tmp, cfg = experiment
+    # 10 experts: not a multiple of 4 processes
+    experts = pd.DataFrame(
+        {
+            "x": [2.0, 2.0, 4.0, 4.0, 6.0, 6.0, 8.0, 8.0, 3.0, 7.0],
+            "y": [3.0, 7.0, 3.0, 7.0, 3.0, 7.0, 3.0, 7.0, 5.0, 5.0],
+        }
+    )
+    experts_csv = str(tmp / "experts10.csv")
+    experts.to_csv(experts_csv, index=False)
+    cfg = json.loads(json.dumps(cfg))
+    cfg["locations"] = {"source": experts_csv}
+
+    single_store = str(tmp / "single10.h5")
+    multi_store = str(tmp / "multi10.h5")
+
+    p = _run_cli(cfg, single_store, [], tmp, "single10", devices=2)
+    out, _ = p.communicate(timeout=600)
+    assert p.returncode == 0, f"single-process run failed:\n{out}"
+
+    port = _free_port()
+    procs = []
+    for pid in range(4):
+        args = [
+            "--coordinator", f"localhost:{port}",
+            "--num-processes", "4", "--process-id", str(pid),
+        ] + (["--merge"] if pid == 0 else [])
+        procs.append(_run_cli(cfg, multi_store, args, tmp, f"q{pid}", devices=1))
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+
+    # per-host ledgers carry the deterministic row%P partition: 3/3/2/2
+    for h, n_expected in enumerate((3, 3, 2, 2)):
+        with TableStore(str(tmp / f"multi10.h{h}.h5"), mode="r") as store:
+            assert len(store.select("run_details")) == n_expected, f"host {h}"
+
+    volatile = ("run_time", "device", "datetime")
+    for table in ("run_details", "preds", "lengthscales",
+                  "kernel_variance", "likelihood_variance"):
+        a = _sorted_table(single_store, table, drop=volatile)
+        b = _sorted_table(multi_store, table, drop=volatile)
+        assert list(a.columns) == list(b.columns), table
+        assert len(a) == len(b) == (len(a))
+        for c in a.columns:
+            if a[c].dtype.kind == "f" and c not in ("num_iter",):
+                np.testing.assert_allclose(
+                    a[c].values, b[c].values, rtol=1e-7, atol=1e-9,
+                    err_msg=f"{table}.{c} differs",
+                )
+            elif c not in ("num_iter",):
+                assert a[c].tolist() == b[c].tolist(), f"{table}.{c} differs"
+
+
 def test_partition_and_paths():
     from gpsat_tpu.distributed import host_store_path, partition_expert_locs
 
