@@ -77,11 +77,17 @@ def main():
         L, W = LA._chol_winv_batched(K)
         return jnp.sum(L) + jnp.sum(W)
 
+    @jax.jit
+    def pair_recursive(K):
+        L, W = jax.vmap(LA.chol_winv_recursive)(K)
+        return jnp.sum(L) + jnp.sum(W)
+
     results = {}
     for name, fn, fl in [
         ("chol_xla", chol_xla, flops_chol),
         ("pair_xla", pair_xla, flops_pair),
         ("pair_block", pair_block, flops_pair),
+        ("pair_recursive", pair_recursive, flops_pair),
     ]:
         # a variant that fails to compile (e.g. a Mosaic regression in the
         # opt-in Pallas path) must not kill the remaining measurements
@@ -121,8 +127,16 @@ def main():
 
         return run
 
-    for name, env in [("vg_default", "0"), ("vg_block", "1")]:
-        os.environ["GPSAT_BLOCK_CHOL"] = env
+    for name, env in [("vg_default", "0"), ("vg_block", "1"), ("vg_recursive", "rec")]:
+        if env == "rec":
+            os.environ["GPSAT_BLOCK_CHOL"] = "0"
+            os.environ["GPSAT_RECURSIVE_CHOL"] = "1"
+            if not LA.recursive_path_enabled(Kd[0]):
+                print(json.dumps({"metric": f"factor_{name}", "error": "recursive path gate disabled on this backend"}), flush=True)
+                continue
+        else:
+            os.environ["GPSAT_RECURSIVE_CHOL"] = "0"
+            os.environ["GPSAT_BLOCK_CHOL"] = env
         if env == "1" and not LA.block_path_enabled(Kd[0]):
             # a disabled gate would silently re-time the default path
             # under the block label — refuse to emit a mislabeled number

@@ -85,6 +85,18 @@ def _fused_fwd_impl(kernel, X, y, mask, lengthscales, kernel_variance, likelihoo
     K = LA.add_diag(k, likelihood_variance + jitter)
     Km = LA.mask_gram(K, m)
     ym = (y * m)[:, None]
+    if LA.recursive_path_enabled(Km):
+        # statically-unrolled recursive factor pair: L and the FULL
+        # W = L^-1 in one pass of fused base-block chains + MXU matmuls
+        # (no XLA While/dynamic-update-slice expansion at all)
+        L, W = LA.chol_winv_recursive(Km)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+        Kinv = jnp.matmul(W.T, W, precision=jax.lax.Precision.HIGHEST)
+        alpha = jnp.matmul(Kinv, ym, precision=jax.lax.Precision.HIGHEST)
+        quad = jnp.sum(ym * alpha)
+        lml = -0.5 * quad - 0.5 * logdet - 0.5 * n * jnp.log(2.0 * jnp.pi)
+        residuals = (X, m, lengthscales, kernel_variance, r, Kinv, alpha[:, 0])
+        return lml, residuals
     if LA.block_path_enabled(Km):
         # fused diag-block factor pair (Pallas kernel + XLA trailing): L and
         # the FULL W = L^-1 in one walk. With W in hand the value solve is a

@@ -137,6 +137,36 @@ def tri_inv_blocked(L: Array, T: int = 64) -> Array:
     return jnp.concatenate(rows, axis=0)
 
 
+def chol_winv_recursive(K: Array, base: int = 32):
+    """(L, W = L^-1) via the statically-unrolled recursive factor pair
+    (ops/recursive_chol.py): no While loops, no triangular solves — the
+    base-block rank-1 chains fuse and everything else is MXU matmuls."""
+    from gpsat_tpu.ops.recursive_chol import chol_winv_recursive as _rec
+
+    return _rec(K, base=base)
+
+
+def recursive_path_enabled(K: Array) -> bool:
+    """Trace-time gate for the recursive factor pair in the fused LML.
+
+    GPSAT_RECURSIVE_CHOL: '1' = on for non-CPU backends, 'force' = on
+    anywhere, '0' = off. Any N and dtype are legal (the recursion splits
+    at n//2; ragged sizes land in the base case)."""
+    import os
+
+    flag = os.environ.get("GPSAT_RECURSIVE_CHOL", "0")
+    if flag not in ("1", "force"):
+        return False
+    if flag == "force":
+        return True
+    try:
+        import jax.extend.backend as _be
+
+        return _be.get_backend().platform not in ("cpu",)
+    except Exception:  # noqa: BLE001 — probe failure must not crash tracing
+        return False
+
+
 def chol_inv(K: Array, T: int = 64):
     """(L, W=L^-1) of an SPD matrix — the TPU fast path's factor pair.
     T default matches tri_inv_blocked's measured-best block size."""
