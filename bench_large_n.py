@@ -7,10 +7,15 @@ N = 1k..64k points, M=500 inducing points, chunk-accumulated [M, N]
 factors (models/sgpr.py chunk_size='auto') so the working set stays
 O(B M (M + C)) regardless of N.
 
-Usage: python bench_large_n.py [--sweep 1024,4096,16384,65536] [--check]
+Usage: python bench_large_n.py [--sweep 1024,4096,16384,65536,131072]
+                               [--check] [--mixed] [--svgp-bernoulli]
 Prints one JSON line per N; --check additionally reruns the N=4096 point
 on the CPU backend in f64 and reports parameter/objective deltas (the
-f32-vs-f64 parity evidence for the large-N path).
+f32-vs-f64 parity evidence for the large-N path). --mixed pushes a
+ragged batch spanning two shape buckets through the real bucketizer and
+runs both. --svgp-bernoulli adds a NON-Gaussian large-N lane (SVGP,
+chunked ELBO, joint L-BFGS) — the minibatch/chunk scheme for likelihoods
+with no collapsed solver (ref: GPSat/models/gpflow_models.py:1071-1107).
 """
 
 import argparse
@@ -81,9 +86,16 @@ def run_point(N, B, max_iter, dtype, device=None, chunk_size="auto"):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sweep", default="1024,4096,16384,65536")
-    ap.add_argument("--max-iter", type=int, default=60)
+    ap.add_argument("--sweep", default="1024,4096,16384,65536,131072")
+    # 300: every lane of the r3 sweep converges well under this (r3's cap
+    # of 60 left 28/32, 7/8, 1/2 lanes AT the cap — soft throughput);
+    # converged must equal B for the published number to be honest
+    ap.add_argument("--max-iter", type=int, default=300)
     ap.add_argument("--check", action="store_true", help="f64-CPU parity check at N=4096")
+    ap.add_argument("--mixed", action="store_true",
+                    help="mixed-bucket leg: ragged batch through the real bucketizer")
+    ap.add_argument("--svgp-bernoulli", action="store_true",
+                    help="non-Gaussian large-N lane: SVGP Bernoulli, chunked ELBO")
     ap.add_argument("--precision", default="highest", choices=["highest", "high"],
                     help="emulation passes for the conditioning-SAFE accumulation "
                          "matmuls only (ops/precision.py): highest=6-pass (default), "
@@ -116,7 +128,7 @@ def main():
     # B scales down with N so the tile arrays + chunk working set stay
     # comfortably inside one chip's HBM (memory-aware bucket sizing; the
     # orchestrator's max_batch_size plays the same role in production)
-    b_for = {1024: 64, 4096: 32, 8192: 16, 16384: 8, 32768: 4, 65536: 2}
+    b_for = {1024: 64, 4096: 32, 8192: 16, 16384: 8, 32768: 4, 65536: 2, 131072: 1}
 
     for N in (int(s) for s in args.sweep.split(",")):
         B = b_for.get(N, max(1, 2 ** 21 // N))
@@ -135,6 +147,91 @@ def main():
             "pct_of_f32_matmul_ceiling": round(100.0 * tflops / V5E_F32_HIGHEST_TFLOPS, 1),
             "converged": f"{int(res['converged'].sum())}/{B}",
             "iters_mean_max": [round(it_mean), it_max],
+            "seconds": round(dt, 2), "first_call_s": round(first, 1),
+        }), flush=True)
+
+    if args.mixed:
+        # mixed shape buckets through the REAL bucketizer: raw tile sizes
+        # spanning the 4096 and 16384 power-of-two buckets; each bucket
+        # runs as its own sharded program (exactly what the orchestrator
+        # does at pan-Arctic geometry with heterogeneous data density)
+        from gpsat_tpu.experts import bijectors_from
+        from gpsat_tpu.models.sgpr import make_sgpr_core
+        from gpsat_tpu.parallel import batching
+        from gpsat_tpu.parallel.engine import make_batched_runner, run_tile_batch
+
+        rng = np.random.default_rng(3)
+        sizes = [3000, 3500, 4000, 3800, 12000, 14000, 16000, 15000]
+        Ntot = 40_000
+        coords = rng.uniform(-6, 6, size=(Ntot, 2))
+        obs = np.sin(coords[:, 0]) * np.cos(coords[:, 1]) + 0.1 * rng.normal(size=Ntot)
+        tile_ix = [rng.choice(Ntot, s, replace=False) for s in sizes]
+        pred = [rng.uniform(-4, 4, size=(16, 2)) for _ in sizes]
+        tiles = batching.assemble_tiles(
+            coords, obs, tile_ix, pred, dtype=dtype,
+        )
+        core = make_sgpr_core(
+            kernel="Matern32", bijectors=bijectors_from(None),
+            num_inducing_points=M_INDUCING, chunk_size="auto",
+        )
+        f32 = dtype == np.float32
+        tols = dict(tol_grad=1e-3, tol_f=1e-6) if f32 else dict(tol_grad=1e-6, tol_f=1e-11)
+        runner = make_batched_runner(
+            core, fixed_params=("inducing_points",), max_iter=args.max_iter,
+            linesearch="single_eval" if f32 else "zoom", **tols,
+        )
+        t0 = time.perf_counter()
+        results = [run_tile_batch(b, {"smart_init": True}, runner, core) for b in tiles]
+        dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        results = [run_tile_batch(b, {"smart_init": True}, runner, core) for b in tiles]
+        dt = time.perf_counter() - t0
+        conv = sum(int(r["converged"].sum()) for r in results)
+        print(json.dumps({
+            "metric": "sgpr_mixed_buckets",
+            "buckets": [list(b.X.shape) for b in tiles],
+            "raw_sizes": sizes,
+            "experts_per_sec": round(len(sizes) / dt, 2),
+            "points_per_sec": round(sum(sizes) / dt, 0),
+            "converged": f"{conv}/{len(sizes)}",
+            "seconds": round(dt, 2),
+        }), flush=True)
+
+    if args.svgp_bernoulli:
+        # non-Gaussian large-N: no collapsed solver exists, so the engine
+        # runs joint L-BFGS over hyperparameters + whitened q on the
+        # chunk-accumulated ELBO (models/svgp.elbo lax.scan+remat path)
+        from gpsat_tpu.experts import bijectors_from
+        from gpsat_tpu.models.svgp import make_svgp_core
+        from gpsat_tpu.parallel.engine import make_batched_runner, run_tile_batch
+
+        N, B, M = 32768, 2, 128
+        batch = make_large_tiles(B, N, 32, 2, dtype, seed=5)
+        batch.y[:] = (batch.y > 0).astype(dtype)  # {0,1} classes
+        core = make_svgp_core(
+            kernel="Matern32", bijectors=bijectors_from(None),
+            num_inducing_points=M, likelihood="Bernoulli", chunk_size="auto",
+        )
+        f32 = dtype == np.float32
+        tols = dict(tol_grad=1e-3, tol_f=1e-6) if f32 else dict(tol_grad=1e-6, tol_f=1e-11)
+        runner = make_batched_runner(
+            core, fixed_params=("inducing_points",), max_iter=args.max_iter,
+            linesearch="single_eval" if f32 else "zoom", **tols,
+        )
+        t0 = time.perf_counter()
+        res = run_tile_batch(batch, {"smart_init": True}, runner, core)
+        first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = run_tile_batch(batch, {"smart_init": True}, runner, core)
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "svgp_bernoulli_large_n",
+            "N": N, "B": B, "M": M,
+            "experts_per_sec": round(B / dt, 2),
+            "points_per_sec": round(B * N / dt, 0),
+            "converged": f"{int(res['converged'].sum())}/{B}",
+            "iters_mean_max": [round(float(res["num_iter"].mean())), int(res["num_iter"].max())],
+            "elbo": [round(float(v), 1) for v in np.asarray(res["objective"])],
             "seconds": round(dt, 2), "first_call_s": round(first, 1),
         }), flush=True)
 
