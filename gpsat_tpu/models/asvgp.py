@@ -283,7 +283,9 @@ def _factors(cparams: dict, data: dict, knots_list, *, D: int, kernel: str = "Ma
     KufY = Kuf @ ym[:, None]
     KufKfu = Kuf @ Kuf.T
     P = KufKfu / s2 + Kuu
-    if LA.use_fast_inverse(P.dtype) and LA.block_path_enabled(P, pad_ok=True):
+    if LA.use_fast_inverse(P.dtype) and (
+        LA.block_path_enabled(P, pad_ok=True) or LA.recursive_pair_enabled(P)
+    ):
         L, WP = LA.chol_winv_padded(P)  # fused diag-block kernel path
         c = jnp.matmul(WP, KufY, precision=jax.lax.Precision.HIGHEST) / s2
     elif LA.use_fast_inverse(P.dtype):

@@ -164,8 +164,8 @@ def posterior_factors(cparams: dict, data: dict, *, kernel: str, jitter: float =
     Km = LA.mask_gram(Kn, m)
     ym = (data["y"] * m)[:, None]
     if LA.use_fast_inverse(Km.dtype):
-        if LA.block_path_enabled(Km):
-            L, W = LA.chol_winv_pair(Km)  # fused diag-block kernel path
+        if LA.block_path_enabled(Km) or LA.recursive_pair_enabled(Km):
+            L, W = LA.chol_winv_pair(Km)  # fused diag-block / recursive path
         else:
             L = LA.cholesky(Km)
             W = LA.tri_inv_blocked(L)

@@ -84,7 +84,9 @@ def _common_terms(cparams: dict, data: dict, *, kernel: str, jitter: float, chun
     # solve work was being repeated n_chunks times. With GPSAT_BLOCK_CHOL
     # the (L, W) pair comes from the fused diag-block Pallas walk
     # (differentiable chol_winv — SGPR gradients flow through the factor).
-    use_block = LA.use_fast_inverse(X.dtype) and LA.block_path_enabled(Kuu, pad_ok=True)
+    use_block = LA.use_fast_inverse(X.dtype) and (
+        LA.block_path_enabled(Kuu, pad_ok=True) or LA.recursive_pair_enabled(Kuu)
+    )
     if use_block:
         L, Winv = LA.chol_winv_padded(Kuu)
     elif LA.use_fast_inverse(X.dtype):

@@ -139,7 +139,7 @@ def _chol_Kuu(cparams: dict, *, kernel: str, jitter: float):
     Z = cparams["inducing_points"]
     Kuu = LA.add_diag(K.gram(kernel, Z, Z, cparams["lengthscales"], cparams["kernel_variance"]), jitter)
     if LA.use_fast_inverse(Kuu.dtype):
-        if LA.block_path_enabled(Kuu, pad_ok=True):
+        if LA.block_path_enabled(Kuu, pad_ok=True) or LA.recursive_pair_enabled(Kuu):
             return LA.chol_winv_padded(Kuu)
         # f32 fast path: materialized W makes every whitening solve a
         # matmul — reused across all chunks of the chunked ELBO

@@ -193,7 +193,9 @@ def vff_common(cparams: dict, data: dict, *, kernel: str, a, b, M: int):
     P = KufKfu / s2 + Kuu
     from gpsat_tpu.ops import linalg as LA
 
-    if LA.use_fast_inverse(P.dtype) and LA.block_path_enabled(P, pad_ok=True):
+    if LA.use_fast_inverse(P.dtype) and (
+        LA.block_path_enabled(P, pad_ok=True) or LA.recursive_pair_enabled(P)
+    ):
         L, WP = LA.chol_winv_padded(P)  # fused diag-block kernel path
         c = jnp.matmul(WP, KufY, precision=jax.lax.Precision.HIGHEST) / s2
     elif LA.use_fast_inverse(P.dtype):

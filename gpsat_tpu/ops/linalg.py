@@ -146,15 +146,12 @@ def chol_winv_recursive(K: Array, base: int = 32):
     return _rec(K, base=base)
 
 
-def recursive_path_enabled(K: Array) -> bool:
-    """Trace-time gate for the recursive factor pair in the fused LML.
-
-    GPSAT_RECURSIVE_CHOL: '1' = on for non-CPU backends, 'force' = on
-    anywhere, '0' = off. Any N and dtype are legal (the recursion splits
-    at n//2; ragged sizes land in the base case)."""
+def _recursive_gate(flag_name: str, default: str = "0") -> bool:
+    """Shared trace-time gate semantics for the recursive factor paths:
+    '1' = on for non-CPU backends, 'force' = on anywhere, '0' = off."""
     import os
 
-    flag = os.environ.get("GPSAT_RECURSIVE_CHOL", "0")
+    flag = os.environ.get(flag_name, default)
     if flag not in ("1", "force"):
         return False
     if flag == "force":
@@ -165,6 +162,23 @@ def recursive_path_enabled(K: Array) -> bool:
         return _be.get_backend().platform not in ("cpu",)
     except Exception:  # noqa: BLE001 — probe failure must not crash tracing
         return False
+
+
+def recursive_path_enabled(K: Array) -> bool:
+    """Trace-time gate for the recursive factor pair in the fused LML
+    (GPSAT_RECURSIVE_CHOL). Any N and dtype are legal (the recursion
+    splits at n//2; ragged sizes land in the base case)."""
+    return _recursive_gate("GPSAT_RECURSIVE_CHOL")
+
+
+def recursive_pair_enabled(K: Array) -> bool:
+    """Trace-time gate for routing the SHARED (L, W = L^-1) factor pair —
+    chol_winv / chol_winv_pair / chol_winv_padded, i.e. the SGPR/SVGP/
+    VFF/ASVGP Kuu-and-B factors and GPR's posterior factors — through the
+    recursive kernel (GPSAT_RECURSIVE_PAIR). Kept separate from
+    GPSAT_RECURSIVE_CHOL (the fused-LML hot path) so each can be measured
+    and defaulted independently."""
+    return _recursive_gate("GPSAT_RECURSIVE_PAIR")
 
 
 def chol_inv(K: Array, T: int = 64):
@@ -413,6 +427,8 @@ def _chol_winv_batched(K: Array):
 
 
 def _chol_winv_unbatched(K: Array):
+    if recursive_pair_enabled(K):
+        return chol_winv_recursive(K)
     L = cholesky(K)
     return L, tri_inv_blocked(L)
 
@@ -431,6 +447,10 @@ def _chol_winv_pair_vmap(axis_size, in_batched, K):
     if not k_batched:
         out = _chol_winv_unbatched(K)
         return out, (False, False)
+    if recursive_pair_enabled(K):
+        # the recursive kernel is batch-native (matmuls broadcast, the
+        # base scan carries [B, base, base]) — no panel driver needed
+        return chol_winv_recursive(K), (True, True)
     return _chol_winv_batched(K), (True, True)
 
 
@@ -487,6 +507,8 @@ def chol_winv_padded(K: Array, T: int = _BLOCK_T):
     Differentiable: pad/slice are linear, chol_winv carries the VJP.
     """
     N = K.shape[-1]
+    if recursive_pair_enabled(K):
+        return chol_winv(K)  # recursive primal handles any N — skip the pad
     pad = (-N) % T
     if pad == 0:
         return chol_winv(K)
