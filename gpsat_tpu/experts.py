@@ -677,6 +677,11 @@ class LocalExpertOI:
                     coords_scale=ip.get("coords_scale"),
                     obs_mean=ip.get("obs_mean"),
                     max_batch_size=max_batch_size,
+                    # dense exact GPR keeps ~8 [B, Nmax, Nmax] buffers live;
+                    # cap B per program so large-tile buckets fit HBM
+                    # (batching.auto_batch_cap). Chunked/sparse cores stay
+                    # uncapped — their working set is O(B M (M+C)).
+                    memory_cap=str(getattr(lane_core, "name", "")).startswith("GPR["),
                 )
 
                 init_cparams = self._initial_cparams(lane_core, ip, constraints=lane_constraints)

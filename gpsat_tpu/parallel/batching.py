@@ -20,6 +20,30 @@ import numpy as np
 
 LANE = 128
 
+# HBM-aware cap on experts per program. The exact-GPR fused value+grad
+# graph keeps ~LIVE_FACTOR simultaneous [B, Nmax, Nmax] f32 buffers live
+# (K, L, W, squared-distance grams and their adjoints); a dense bucket of
+# many large tiles must split into several programs or the device OOMs.
+# The reference never hits this (one expert at a time); here it's the
+# price of batching. Override budget via GPSAT_HBM_BUDGET_GB (default 10
+# of a v5e's 16 GB — headroom for predict buffers + L-BFGS state), or
+# disable with GPSAT_AUTO_BATCH_CAP=0.
+_LIVE_FACTOR = 8
+_F32_BYTES = 4
+
+
+def auto_batch_cap(nmax: int) -> Optional[int]:
+    """Max experts per [B, nmax, nmax] program under the HBM budget
+    (None = uncapped). No effect at nmax <= 512 with the default budget
+    (cap 4768 there) — only large-tile buckets split."""
+    import os
+
+    if os.environ.get("GPSAT_AUTO_BATCH_CAP", "1") == "0":
+        return None
+    budget_gb = float(os.environ.get("GPSAT_HBM_BUDGET_GB", "10"))
+    cap = int(budget_gb * 1e9 / (_LIVE_FACTOR * nmax * nmax * _F32_BYTES))
+    return max(cap, 1)
+
 
 def round_up(n: int, multiple: int = LANE) -> int:
     return int(-(-n // multiple) * multiple)
@@ -74,6 +98,7 @@ def assemble_tiles(
     coords_scale=None,
     obs_mean: Optional[str] = None,
     max_batch_size: Optional[int] = None,
+    memory_cap: bool = False,
     dtype=np.float64,
 ) -> List[TileBatch]:
     """Build padded TileBatches from per-expert row-index sets.
@@ -90,6 +115,10 @@ def assemble_tiles(
     obs_mean: None (no de-meaning) or 'local' (subtract per-tile mean,
         ref: base_model.py:195-198).
     max_batch_size: optional cap on experts per batch (memory control).
+    memory_cap: apply the HBM-aware auto_batch_cap per bucket. Set by the
+        orchestrator for cores with [B, Nmax, Nmax]-sized live buffers
+        (dense exact GPR); chunked/sparse cores (SGPR/SVGP at large N)
+        must leave it off — their working set is O(B M (M+C)).
     expert_locs: optional [E, D] raw expert locations; scaled like coords
         and carried per tile (cores that need a reference point, e.g. the
         VFF domain center, read them from batch.expert_loc).
@@ -163,7 +192,10 @@ def assemble_tiles(
 
     for gi in order:
         bkt = bucket_size(int(sizes[gi]))
-        if current and (bkt != current_bucket or (max_batch_size and len(current) >= max_batch_size)):
+        cap = auto_batch_cap(bkt) if memory_cap else None
+        if max_batch_size:
+            cap = max_batch_size if cap is None else min(cap, max_batch_size)
+        if current and (bkt != current_bucket or (cap and len(current) >= cap)):
             flush(current)
             current = []
         current_bucket = bkt

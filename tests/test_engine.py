@@ -289,3 +289,53 @@ class TestCarryCompaction:
         res = run_tile_batch_carry(b, {"likelihood_variance": 0.1}, head, tail, core)
         assert res["converged"].all()
         assert "opt_state" not in res
+
+
+class TestAutoBatchCap:
+    """HBM-aware split of dense large-tile buckets (batching.auto_batch_cap)."""
+
+    def _problem(self, n_experts=20, n_obs=200, seed=0):
+        rng = np.random.default_rng(seed)
+        coords = rng.uniform(-1, 1, size=(n_experts * n_obs, 2))
+        obs = rng.normal(size=len(coords))
+        tiles = [np.arange(e * n_obs, (e + 1) * n_obs) for e in range(n_experts)]
+        preds = [coords[t[:1]] for t in tiles]
+        return coords, obs, tiles, preds
+
+    def test_default_budget_leaves_canonical_buckets_alone(self):
+        # N=512 tiles must not split under the default budget (the bench
+        # runs B=512 there, measured on-chip)
+        assert batching.auto_batch_cap(512) >= 512
+        # large tiles do get a cap well under a pipeline-sized expert count
+        assert 1 <= batching.auto_batch_cap(4096) < 64
+
+    def test_bucket_splits_under_budget(self, monkeypatch):
+        coords, obs, tiles, preds = self._problem()
+        # 200-obs tiles -> Nmax=256; cap = 0.02e9/(8*256^2*4) = 9 experts
+        monkeypatch.setenv("GPSAT_HBM_BUDGET_GB", "0.02")
+        batches = batching.assemble_tiles(coords, obs, tiles, preds, memory_cap=True)
+        assert [b.B for b in batches] == [9, 9, 2]
+        assert all(b.Nmax == 256 for b in batches)
+        # every expert lands exactly once
+        got = np.sort(np.concatenate([b.expert_index for b in batches]))
+        np.testing.assert_array_equal(got, np.arange(20))
+
+    def test_off_by_default_for_sparse_cores(self, monkeypatch):
+        # chunked/sparse cores (SGPR large-N) assemble without the cap
+        coords, obs, tiles, preds = self._problem()
+        monkeypatch.setenv("GPSAT_HBM_BUDGET_GB", "0.02")
+        batches = batching.assemble_tiles(coords, obs, tiles, preds)
+        assert [b.B for b in batches] == [20]
+
+    def test_disable_flag_restores_single_bucket(self, monkeypatch):
+        coords, obs, tiles, preds = self._problem()
+        monkeypatch.setenv("GPSAT_HBM_BUDGET_GB", "0.02")
+        monkeypatch.setenv("GPSAT_AUTO_BATCH_CAP", "0")
+        batches = batching.assemble_tiles(coords, obs, tiles, preds, memory_cap=True)
+        assert [b.B for b in batches] == [20]
+
+    def test_explicit_max_batch_size_wins_when_tighter(self, monkeypatch):
+        coords, obs, tiles, preds = self._problem()
+        monkeypatch.setenv("GPSAT_HBM_BUDGET_GB", "0.02")
+        batches = batching.assemble_tiles(coords, obs, tiles, preds, max_batch_size=4, memory_cap=True)
+        assert [b.B for b in batches] == [4, 4, 4, 4, 4]
