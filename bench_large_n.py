@@ -130,7 +130,8 @@ def main():
     # orchestrator's max_batch_size plays the same role in production)
     b_for = {1024: 64, 4096: 32, 8192: 16, 16384: 8, 32768: 4, 65536: 2, 131072: 1}
 
-    for N in (int(s) for s in args.sweep.split(",")):
+    # --sweep '' skips the N-sweep (rerun a single extra leg on its own)
+    for N in (int(s) for s in args.sweep.split(",") if s.strip()):
         B = b_for.get(N, max(1, 2 ** 21 // N))
         res, dt, first = run_point(N, B, args.max_iter, dtype)
         it_mean = float(res["num_iter"].mean())

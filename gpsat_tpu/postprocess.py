@@ -286,9 +286,19 @@ def glue_local_predictions(
     R: float = 3,
     pred_loc_cols: List[str] = ["pred_loc_x", "pred_loc_y"],
     xprt_loc_cols: List[str] = ["x", "y"],
-    vars_to_glue: List[str] = ["f*", "f*_var", "y_var"],
+    vars_to_glue: Optional[List[str]] = None,
 ) -> pd.DataFrame:
-    """Convenience wrapper with the standard preds-table column names."""
+    """Convenience wrapper with the standard preds-table column names.
+
+    ``f*`` follows the reference schema (gpflow_models.py:236-271): it is
+    the DE-MEANED posterior, with the subtracted per-expert mean stored as
+    ``f_bar``. By default ``f_bar`` is glued too (when present) so callers
+    can reconstruct the physical field as ``f* + f_bar``.
+    """
+    if vars_to_glue is None:
+        vars_to_glue = ["f*", "f*_var", "y_var"]
+        if "f_bar" in preds_df.columns:
+            vars_to_glue.append("f_bar")
     return glue_local_predictions_2d(
         preds_df, pred_loc_cols, xprt_loc_cols, vars_to_glue, inference_radius, R
     )
