@@ -66,8 +66,7 @@ if os.environ.get("GPSAT_DEMO_CPU"):
 
 import numpy as np
 import pandas as pd
-import matplotlib
-matplotlib.use("Agg")
+%matplotlib inline
 import matplotlib.pyplot as plt
 
 print("backend:", jax.devices()[0].platform, "| scale:", SCALE)
