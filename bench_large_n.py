@@ -96,6 +96,12 @@ def main():
                     help="mixed-bucket leg: ragged batch through the real bucketizer")
     ap.add_argument("--svgp-bernoulli", action="store_true",
                     help="non-Gaussian large-N lane: SVGP Bernoulli, chunked ELBO")
+    ap.add_argument("--chunk-sweep", default="",
+                    help="comma list of chunk sizes to sweep at --chunk-n "
+                         "(each in remat and no-remat mode) to tune the "
+                         "chunked-scan policy, e.g. 2048,4096,8192")
+    ap.add_argument("--chunk-n", type=int, default=65536,
+                    help="tile size N for --chunk-sweep points")
     ap.add_argument("--precision", default="highest", choices=["highest", "high"],
                     help="emulation passes for the conditioning-SAFE accumulation "
                          "matmuls only (ops/precision.py): highest=6-pass (default), "
@@ -150,6 +156,31 @@ def main():
             "iters_mean_max": [round(it_mean), it_max],
             "seconds": round(dt, 2), "first_call_s": round(first, 1),
         }), flush=True)
+
+    if args.chunk_sweep:
+        # chunk-size x remat-policy sweep at one large-N point: picks the
+        # chunked lax.scan policy (models/sgpr.py _common_terms). remat=0
+        # stashes per-chunk residuals (~O(M*N) HBM) to skip the backward
+        # recompute — legal whenever B*M*N stays inside HBM.
+        N = args.chunk_n
+        B = b_for.get(N, max(1, 2 ** 21 // N))
+        for chunk in (int(s) for s in args.chunk_sweep.split(",") if s.strip()):
+            for remat in ("1", "0"):
+                os.environ["GPSAT_CHUNK_REMAT"] = remat
+                res, dt, first = run_point(N, B, args.max_iter, dtype, chunk_size=chunk)
+                it_max = int(res["num_iter"].max())
+                tflops = B * it_max * sgpr_iter_flops(N, M_INDUCING, 2) / dt / 1e12
+                print(json.dumps({
+                    "metric": "sgpr_chunk_sweep", "N": N, "B": B, "M": M_INDUCING,
+                    "chunk": chunk, "remat": remat == "1",
+                    "experts_per_sec": round(B / dt, 2),
+                    "achieved_tflops": round(tflops, 2),
+                    "pct_of_f32_matmul_ceiling": round(100.0 * tflops / V5E_F32_HIGHEST_TFLOPS, 1),
+                    "converged": f"{int(res['converged'].sum())}/{B}",
+                    "iters_mean_max": [round(float(res["num_iter"].mean())), it_max],
+                    "seconds": round(dt, 2), "first_call_s": round(first, 1),
+                }), flush=True)
+        os.environ.pop("GPSAT_CHUNK_REMAT", None)
 
     if args.mixed:
         # mixed shape buckets through the REAL bucketizer: raw tile sizes

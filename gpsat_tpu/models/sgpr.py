@@ -40,6 +40,14 @@ CHUNK_THRESHOLD = 8192
 DEFAULT_CHUNK = 4096
 
 
+def _chunk_remat() -> bool:
+    """Trace-time gate: rematerialize chunk forwards in the backward pass
+    (default). GPSAT_CHUNK_REMAT=0 trades HBM for the recompute FLOPs."""
+    import os
+
+    return os.environ.get("GPSAT_CHUNK_REMAT", "1") != "0"
+
+
 def _resolve_chunk(N: int, chunk_size) -> int:
     """0/None = never chunk; 'auto' = chunk when N >= CHUNK_THRESHOLD.
     Shapes are static under jit, so this is a trace-time decision."""
@@ -142,7 +150,13 @@ def _common_terms(cparams: dict, data: dict, *, kernel: str, jitter: float, chun
             jnp.zeros((M, 1), dtype=X.dtype),
             jnp.zeros((), dtype=X.dtype),
         )
-        (AAT, Aerr, ymsq), _ = jax.lax.scan(jax.checkpoint(body), init, (Xc, ymc, mc))
+        # remat (default) recomputes each chunk's forward during backward:
+        # peak memory stays O(M*C) but costs ~1/3 extra FLOPs. With
+        # GPSAT_CHUNK_REMAT=0 the scan stashes per-chunk residuals instead
+        # (~O(M*N) total) — worth it when the batch is small enough that
+        # HBM has room (bench_large_n --chunk-sweep measures the trade).
+        body_fn = jax.checkpoint(body) if _chunk_remat() else body
+        (AAT, Aerr, ymsq), _ = jax.lax.scan(body_fn, init, (Xc, ymc, mc))
     else:
         Kuf = K.gram(kernel, Z, X, ls, kv) * m[None, :]
         A = solve_L(Kuf) / sigma

@@ -219,6 +219,51 @@ def test_chunked_matches_unchunked():
         np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(p0[k]), rtol=1e-10)
 
 
+def test_chunk_remat_knob_value_and_grad_identical():
+    """GPSAT_CHUNK_REMAT=0 (stash chunk residuals instead of recomputing
+    them in the backward pass) is a pure memory/FLOPs trade: bound and
+    gradients must be bit-comparable to the remat default."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpsat_tpu.models import sgpr
+
+    rng = np.random.default_rng(1)
+    N, M, D = 512, 16, 2
+    X = rng.uniform(0, 5, (N, D))
+    y = np.sin(X[:, 0]) + 0.1 * rng.normal(size=N)
+    data = {"X": jnp.asarray(X), "y": jnp.asarray(y), "mask": jnp.ones(N)}
+    cp = {
+        "lengthscales": jnp.asarray([1.0, 1.3]),
+        "kernel_variance": jnp.asarray(0.8),
+        "likelihood_variance": jnp.asarray(0.05),
+        "inducing_points": jnp.asarray(X[rng.choice(N, M, replace=False)]),
+    }
+
+    def value_and_grad():
+        f = lambda c: sgpr.elbo(c, data, kernel="Matern32", chunk_size=128)
+        return float(f(cp)), jax.grad(f)(cp)
+
+    old = os.environ.pop("GPSAT_CHUNK_REMAT", None)
+    try:
+        e_remat, g_remat = value_and_grad()
+        os.environ["GPSAT_CHUNK_REMAT"] = "0"
+        e_stash, g_stash = value_and_grad()
+    finally:
+        os.environ.pop("GPSAT_CHUNK_REMAT", None)
+        if old is not None:
+            os.environ["GPSAT_CHUNK_REMAT"] = old
+
+    np.testing.assert_allclose(e_stash, e_remat, rtol=1e-13)
+    for k in g_remat:
+        np.testing.assert_allclose(
+            np.asarray(g_stash[k]), np.asarray(g_remat[k]), rtol=1e-10, atol=1e-12
+        )
+
+
 def test_large_n_tile_fits_and_fits_well():
     """A single N=16384 tile runs through the host SGPR model with the
     auto-chunked bound (the large-N regime the reference claims via
