@@ -183,8 +183,24 @@ def recursive_pair_enabled(K: Array) -> bool:
     VFF/ASVGP Kuu-and-B factors and GPR's posterior factors — through the
     recursive kernel (GPSAT_RECURSIVE_PAIR). Kept separate from
     GPSAT_RECURSIVE_CHOL (the fused-LML hot path) so each can be measured
-    and defaulted independently."""
-    return _recursive_gate("GPSAT_RECURSIVE_PAIR")
+    and defaulted independently.
+
+    DEFAULT ON for non-CPU backends when the factor side is at least
+    GPSAT_RECURSIVE_PAIR_MIN (default 128). Same-session TPU zoo A/B
+    (B=128, N=512, BENCH_MODELS logs r4): SGPR 160 -> 220 experts/s
+    (M=128 factors), VFF 82 -> 121 (P=361), ASVGP 80 -> 155, GPR ~neutral
+    — but SVGP's collapsed solver (M=64 factors) REGRESSED 160 -> 113:
+    below ~128 the recursion is nearly all sequential base-scan steps and
+    dispatch with no cross-block matmul tree to win on, so small factors
+    stay on the XLA expander. 'force' bypasses both the backend and size
+    gates (CPU parity tests)."""
+    import os
+
+    if os.environ.get("GPSAT_RECURSIVE_PAIR", "1") == "force":
+        return True
+    if int(K.shape[-1]) < int(os.environ.get("GPSAT_RECURSIVE_PAIR_MIN", "128")):
+        return False
+    return _recursive_gate("GPSAT_RECURSIVE_PAIR", default="1")
 
 
 def chol_inv(K: Array, T: int = 64):

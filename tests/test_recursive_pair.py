@@ -73,6 +73,30 @@ def test_chol_winv_gradients_match(monkeypatch):
     assert rel < 1e-4, f"gradient mismatch {rel:.2e}"
 
 
+def test_pair_size_gate(monkeypatch):
+    """Default-on gating: small factors (< GPSAT_RECURSIVE_PAIR_MIN) stay
+    on the XLA expander — the measured cutover is SVGP's M=64 regressing
+    while SGPR's M=128 wins (see recursive_pair_enabled docstring).
+    'force' bypasses the size gate; the CPU backend gate keeps '1' off
+    here either way."""
+    import jax.numpy as jnp
+
+    from gpsat_tpu.ops import linalg as LA
+
+    small, big = jnp.zeros((64, 64)), jnp.zeros((128, 128))
+    monkeypatch.delenv("GPSAT_RECURSIVE_PAIR", raising=False)
+    assert not LA.recursive_pair_enabled(small)  # size gate (and CPU backend)
+    monkeypatch.setenv("GPSAT_RECURSIVE_PAIR", "force")
+    assert LA.recursive_pair_enabled(small)  # force bypasses both gates
+    monkeypatch.setenv("GPSAT_RECURSIVE_PAIR", "1")
+    monkeypatch.setenv("GPSAT_RECURSIVE_PAIR_MIN", "96")
+    assert not LA.recursive_pair_enabled(small)  # below threshold
+    # 128 >= 96 passes the size gate; on CPU the backend gate still says no
+    assert not LA.recursive_pair_enabled(big)
+    monkeypatch.setenv("GPSAT_RECURSIVE_PAIR", "0")
+    assert not LA.recursive_pair_enabled(big)
+
+
 def test_sgpr_objective_parity_under_pair(monkeypatch):
     """SGPR collapsed bound value+grad: flag off vs force agree (the Kuu
     and B factors route through the pair in f32 fast-inverse mode)."""
