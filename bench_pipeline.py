@@ -112,6 +112,16 @@ def main():
     run_from_config(cfg)
     elapsed = time.perf_counter() - t0
 
+    # host/device split (VERDICT r3 item 1): host-attributable phase time
+    # vs time blocked on device results (device execute + relay link —
+    # inseparable through the tunnel). Phases overlap the device under the
+    # one-deep async bucket pipeline, so host_s + device_fetch_s need not
+    # equal wall; the residual is Python glue + dispatch.
+    from gpsat_tpu.experts import get_phase_timers
+
+    phases = {k: round(v, 2) for k, v in sorted(get_phase_timers().items())}
+    host_s = round(sum(v for k, v in phases.items() if k.startswith("host_") or k == "polish"), 2)
+
     with TableStore(store_path, mode="r") as ts:
         rd = ts.select("run_details", set_index=False)
         n_preds = len(ts.select("preds", columns=["f*"], set_index=False))
@@ -129,6 +139,9 @@ def main():
             f"{n_preds} predictions, wall {elapsed:.1f}s incl. compile + IO)"
         ),
         "vs_baseline": round(eps / 1.0, 2),
+        "host_s": host_s,
+        "device_fetch_s": phases.get("device_fetch", 0.0),
+        "phases_s": phases,
     }
     print(json.dumps(out))
 

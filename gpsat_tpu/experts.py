@@ -112,6 +112,42 @@ class LocalExpertData:
 # config persistence (ref: GPSat/utils.py:1136-1327)
 # --------------------------------------------------------------------------
 
+# --- run()-scope phase accounting -----------------------------------------
+# Host-attributable phases are timed explicitly around their call sites;
+# "device_fetch" is the time the host spends BLOCKED on device results
+# (device execute + relay/link under the TPU tunnel — the two cannot be
+# separated reliably through the relay, CLAUDE.md). bench_pipeline.py
+# publishes the split in BENCH_PIPELINE_rNN.json (VERDICT r3 item 1).
+# Overlap note: under the one-deep async bucket pipeline the device runs
+# while host phases of the previous bucket execute, so phase sums can
+# legitimately exceed none / undershoot wall; each number is the total
+# time spent IN that phase, wall is the end-to-end truth.
+_PHASES: dict = {}
+
+
+class _phase:
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+
+    def __exit__(self, *exc):
+        _PHASES[self.name] = _PHASES.get(self.name, 0.0) + time.perf_counter() - self.t0
+        return False
+
+
+def reset_phase_timers() -> None:
+    _PHASES.clear()
+
+
+def get_phase_timers() -> dict:
+    """Seconds per phase accumulated since reset_phase_timers() (run()
+    resets at entry): host_load / host_select / host_assembly /
+    host_load_params / host_store / device_fetch / polish / host_model."""
+    return dict(_PHASES)
+
+
 def _comparable_config_str(oi_config, skip_keys=()) -> str:
     """Canonical JSON of a config restricted to the keys config matching
     should care about: run_kwargs/misc (and any skip_valid_checks_on keys)
@@ -390,6 +426,7 @@ class LocalExpertOI:
             )
         )
         t_start = time.perf_counter()
+        reset_phase_timers()
 
         # minutes-long TPU compiles of the batch programs are reused across
         # process restarts (opt out: GPSAT_NO_COMPILE_CACHE=1)
@@ -596,7 +633,8 @@ class LocalExpertOI:
         total = len(xprt_locs)
         done = 0
         for key, grp in groups.items():
-            df = self.data.load(where=grp["where"] if grp["where"] else None, reset_index=True)
+            with _phase("host_load"):
+                df = self.data.load(where=grp["where"] if grp["where"] else None, reset_index=True)
 
             coords_all = df[coords_col].values.astype(float)
             obs_all = df[obs_col if isinstance(obs_col, str) else obs_col[0]].values.astype(float)
@@ -605,16 +643,18 @@ class LocalExpertOI:
             # for the euclidean entry (scipy fallback), vectorized numpy
             # for the rest — replaces the reference's per-expert KDTree
             # queries (ref: dataloader.py:2354-2447)
-            sel_ix = sel.local_select_indices_all(
-                df, xprt_locs.iloc[grp["rows"]], self.data.local_select or []
-            )
+            with _phase("host_select"):
+                sel_ix = sel.local_select_indices_all(
+                    df, xprt_locs.iloc[grp["rows"]], self.data.local_select or []
+                )
 
             # per-expert prediction locations, batched where possible
             # (grid-hash radius filter of the fixed fine grid — one index
             # build for the whole group instead of a full-grid mask per
             # expert, ref: prediction_locations.py:18-43 numba workload)
             if predict:
-                pcs = self.pred_loc.batch_call(xprt_locs.iloc[grp["rows"]])
+                with _phase("host_select"):
+                    pcs = self.pred_loc.batch_call(xprt_locs.iloc[grp["rows"]])
             else:
                 pcs = [np.zeros((0, len(coords_col)))] * len(grp["rows"])
 
@@ -667,32 +707,34 @@ class LocalExpertOI:
                 l_tiles = [tile_indices[j] for j in lane_sel]
                 l_preds = [pred_coords[j] for j in lane_sel]
                 l_rows = [row_ids[j] for j in lane_sel]
-                tiles = batching.assemble_tiles(
-                    coords_all,
-                    obs_all,
-                    l_tiles,
-                    l_preds,
-                    expert_index=np.asarray(l_rows),
-                    expert_locs=xprt_locs[coords_col].values[np.asarray(l_rows)],
-                    coords_scale=ip.get("coords_scale"),
-                    obs_mean=ip.get("obs_mean"),
-                    max_batch_size=max_batch_size,
-                    # dense exact GPR keeps ~8 [B, Nmax, Nmax] buffers live;
-                    # cap B per program so large-tile buckets fit HBM
-                    # (batching.auto_batch_cap). Chunked/sparse cores stay
-                    # uncapped — their working set is O(B M (M+C)).
-                    memory_cap=str(getattr(lane_core, "name", "")).startswith("GPR["),
-                )
+                with _phase("host_assembly"):
+                    tiles = batching.assemble_tiles(
+                        coords_all,
+                        obs_all,
+                        l_tiles,
+                        l_preds,
+                        expert_index=np.asarray(l_rows),
+                        expert_locs=xprt_locs[coords_col].values[np.asarray(l_rows)],
+                        coords_scale=ip.get("coords_scale"),
+                        obs_mean=ip.get("obs_mean"),
+                        max_batch_size=max_batch_size,
+                        # dense exact GPR keeps ~8 [B, Nmax, Nmax] buffers live;
+                        # cap B per program so large-tile buckets fit HBM
+                        # (batching.auto_batch_cap). Chunked/sparse cores stay
+                        # uncapped — their working set is O(B M (M+C)).
+                        memory_cap=str(getattr(lane_core, "name", "")).startswith("GPR["),
+                    )
 
                 init_cparams = self._initial_cparams(lane_core, ip, constraints=lane_constraints)
 
                 def store_res(res, bt, B):
                     nonlocal done
-                    self._store_batch(
-                        res, lane_core, xprt_locs, coords_col, l_preds, l_rows,
-                        store_path, table_suffix, optimise, lane_name,
-                        device_name, config_id, bt, predict,
-                    )
+                    with _phase("host_store"):
+                        self._store_batch(
+                            res, lane_core, xprt_locs, coords_col, l_preds, l_rows,
+                            store_path, table_suffix, optimise, lane_name,
+                            device_name, config_id, bt, predict,
+                        )
                     done += len(res["expert_index"])
                     cprint(f"{done} / {total} experts done ({bt:.2f}s for batch of {B})", c="OKCYAN")
 
@@ -707,7 +749,8 @@ class LocalExpertOI:
                         return
                     fin, pb, t0p = pending
                     pending = None
-                    res = fin()
+                    with _phase("device_fetch"):
+                        res = fin()
                     if optimise and self.optim_kwargs.get("polish") in ("f64", True):
                         # accuracy tail: short f64 re-optimization from the
                         # f32 optima + f64 predict on the CPU backend
@@ -715,11 +758,12 @@ class LocalExpertOI:
                         # ~2e-3 to ~1e-6 on predictions)
                         from gpsat_tpu.parallel.engine import polish_tile_batch
 
-                        res = polish_tile_batch(
-                            pb, res, lane_core,
-                            max_iter=int(self.optim_kwargs.get("polish_max_iter", 150)),
-                            fixed_params=tuple(self.optim_kwargs.get("fixed_params", ())),
-                        )
+                        with _phase("polish"):
+                            res = polish_tile_batch(
+                                pb, res, lane_core,
+                                max_iter=int(self.optim_kwargs.get("polish_max_iter", 150)),
+                                fixed_params=tuple(self.optim_kwargs.get("fixed_params", ())),
+                            )
                     store_res(res, time.perf_counter() - t0p, pb.B)
 
                 for b in tiles:
@@ -729,15 +773,17 @@ class LocalExpertOI:
                         # (e.g. load_params={'nearest': True}): the previous
                         # bucket must be on disk before this one loads
                         flush_pending()
-                    per_expert_init = self._load_params_for_batch(
-                        b, xprt_locs, coords_col, init_cparams, lane_core, store_path, table_suffix
-                    )
+                    with _phase("host_load_params"):
+                        per_expert_init = self._load_params_for_batch(
+                            b, xprt_locs, coords_col, init_cparams, lane_core, store_path, table_suffix
+                        )
                     if per_expert_init is None:
                         continue  # load failure policy: skip batch experts
                     if lane_runner is None:
-                        res = self._run_host_batch(
-                            b, lane_core, per_expert_init, lane_constraints, coords_col, xprt_locs, optimise, predict
-                        )
+                        with _phase("host_model"):
+                            res = self._run_host_batch(
+                                b, lane_core, per_expert_init, lane_constraints, coords_col, xprt_locs, optimise, predict
+                            )
                         store_res(res, time.perf_counter() - t0, b.B)
                     elif lane_head is not None:
                         # compaction is a host-synchronous path (the tail
@@ -746,25 +792,28 @@ class LocalExpertOI:
                         if isinstance(lane_head, tuple) and lane_head[-1] == "carry":
                             from gpsat_tpu.parallel.engine import run_tile_batch_carry
 
-                            res = run_tile_batch_carry(
-                                b, per_expert_init, lane_head[0], lane_head[1],
-                                lane_core, mesh=mesh, pad_multiple=pad_multiple,
-                            )
+                            with _phase("device_fetch"):
+                                res = run_tile_batch_carry(
+                                    b, per_expert_init, lane_head[0], lane_head[1],
+                                    lane_core, mesh=mesh, pad_multiple=pad_multiple,
+                                )
                         else:
                             from gpsat_tpu.parallel.engine import run_tile_batch_two_stage
 
-                            res = run_tile_batch_two_stage(
-                                b, per_expert_init, lane_head, lane_runner, lane_core,
-                                mesh=mesh, pad_multiple=pad_multiple,
-                            )
+                            with _phase("device_fetch"):
+                                res = run_tile_batch_two_stage(
+                                    b, per_expert_init, lane_head, lane_runner, lane_core,
+                                    mesh=mesh, pad_multiple=pad_multiple,
+                                )
                         if optimise and self.optim_kwargs.get("polish") in ("f64", True):
                             from gpsat_tpu.parallel.engine import polish_tile_batch
 
-                            res = polish_tile_batch(
-                                b, res, lane_core,
-                                max_iter=int(self.optim_kwargs.get("polish_max_iter", 150)),
-                                fixed_params=tuple(self.optim_kwargs.get("fixed_params", ())),
-                            )
+                            with _phase("polish"):
+                                res = polish_tile_batch(
+                                    b, res, lane_core,
+                                    max_iter=int(self.optim_kwargs.get("polish_max_iter", 150)),
+                                    fixed_params=tuple(self.optim_kwargs.get("fixed_params", ())),
+                                )
                         store_res(res, time.perf_counter() - t0, b.B)
                     else:
                         fin = run_tile_batch_async(
@@ -775,7 +824,11 @@ class LocalExpertOI:
                         pending = (fin, b, t0)
                 flush_pending()
 
-        cprint(f"'run': {time.perf_counter() - t_start:.3f} seconds", c="OKGREEN")
+        wall = time.perf_counter() - t_start
+        if _PHASES:
+            split = ", ".join(f"{k} {v:.2f}s" for k, v in sorted(_PHASES.items()))
+            cprint(f"phases: {split}", c="OKBLUE")
+        cprint(f"'run': {wall:.3f} seconds", c="OKGREEN")
         return None
 
     # ---- table building ----
