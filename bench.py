@@ -129,6 +129,7 @@ def main(B: int = None):
     elapsed = time.perf_counter() - t0
 
     conv = int(res["converged"].sum())
+    stall_exits = int(np.asarray(res.get("stalled", 0)).sum())
     it_mean = float(res["num_iter"].mean())
     it_max = int(res["num_iter"].max())
     eps = B / elapsed
@@ -154,6 +155,11 @@ def main(B: int = None):
         "vs_baseline": round(eps / REFERENCE_EXPERTS_PER_SEC, 2),
         "achieved_tflops": round(tflops, 2),
         "pct_of_f32_matmul_ceiling": round(100.0 * tflops / V5E_F32_HIGHEST_TFLOPS, 1),
+        # tunnel-proof fields (VERDICT r4 item 7): steady_s is the timed
+        # post-compile repeat; stall_exits counts lanes whose L-BFGS exit
+        # was the flat-optimum stall guard rather than a tolerance
+        "steady_s": round(elapsed, 3),
+        "stall_exits": stall_exits,
     }
     print(json.dumps(out))
 

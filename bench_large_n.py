@@ -153,6 +153,7 @@ def main():
             "achieved_tflops": round(tflops, 2),
             "pct_of_f32_matmul_ceiling": round(100.0 * tflops / V5E_F32_HIGHEST_TFLOPS, 1),
             "converged": f"{int(res['converged'].sum())}/{B}",
+            "stall_exits": int(np.asarray(res.get("stalled", 0)).sum()),
             "iters_mean_max": [round(it_mean), it_max],
             "seconds": round(dt, 2), "first_call_s": round(first, 1),
         }), flush=True)
@@ -177,6 +178,7 @@ def main():
                     "achieved_tflops": round(tflops, 2),
                     "pct_of_f32_matmul_ceiling": round(100.0 * tflops / V5E_F32_HIGHEST_TFLOPS, 1),
                     "converged": f"{int(res['converged'].sum())}/{B}",
+                    "stall_exits": int(np.asarray(res.get("stalled", 0)).sum()),
                     "iters_mean_max": [round(float(res["num_iter"].mean())), it_max],
                     "seconds": round(dt, 2), "first_call_s": round(first, 1),
                 }), flush=True)
@@ -226,6 +228,7 @@ def main():
             "experts_per_sec": round(len(sizes) / dt, 2),
             "points_per_sec": round(sum(sizes) / dt, 0),
             "converged": f"{conv}/{len(sizes)}",
+            "stall_exits": sum(int(np.asarray(r.get("stalled", 0)).sum()) for r in results),
             "seconds": round(dt, 2),
         }), flush=True)
 
@@ -262,6 +265,7 @@ def main():
             "experts_per_sec": round(B / dt, 2),
             "points_per_sec": round(B * N / dt, 0),
             "converged": f"{int(res['converged'].sum())}/{B}",
+            "stall_exits": int(np.asarray(res.get("stalled", 0)).sum()),
             "iters_mean_max": [round(float(res["num_iter"].mean())), int(res["num_iter"].max())],
             "elbo": [round(float(v), 1) for v in np.asarray(res["objective"])],
             "seconds": round(dt, 2), "first_call_s": round(first, 1),

@@ -149,6 +149,7 @@ def main():
             "experts_per_sec": round(B / steady, 1),
             "B": B, "N": N, "P": P,
             "converged": f"{int(np.asarray(res['converged']).sum())}/{B}",
+            "stall_exits": int(np.asarray(res.get("stalled", 0)).sum()),
             "iters_mean": round(float(np.asarray(res["num_iter"]).mean()), 1),
             "first_call_s": round(first, 1),
             "steady_s": round(steady, 2),

@@ -127,6 +127,7 @@ def main():
         n_preds = len(ts.select("preds", columns=["f*"], set_index=False))
     n_run = int((rd["num_obs"] >= 10).sum())
     conv = int(rd["optimise_success"].sum())
+    stall_exits = int(rd["stalled"].sum()) if "stalled" in rd else 0
     eps = n_run / elapsed
     import sys
     print(f"iters mean/max: {rd['num_iter'].mean():.0f}/{rd['num_iter'].max()}", file=sys.stderr)
@@ -142,6 +143,7 @@ def main():
         "host_s": host_s,
         "device_fetch_s": phases.get("device_fetch", 0.0),
         "phases_s": phases,
+        "stall_exits": stall_exits,
     }
     print(json.dumps(out))
 

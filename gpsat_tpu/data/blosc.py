@@ -238,7 +238,13 @@ def blosc_decode(buf: bytes) -> bytes:
     if nbytes == 0:
         return b""
     if flags & 0x02:  # memcpyed: header + raw payload
+        if len(buf) < _HDR + nbytes:
+            raise ValueError(
+                f"truncated memcpyed blosc frame: {len(buf)} < {_HDR + nbytes} bytes"
+            )
         return bytes(buf[_HDR : _HDR + nbytes])
+    if blocksize == 0:
+        raise ValueError("corrupt blosc header: blocksize 0 with nbytes > 0")
     if flags & 0x04:
         raise NotImplementedError(
             "blosc bit-shuffle filter not supported (zarr's default is "

@@ -214,7 +214,12 @@ def read_zarr(path: str, variables: Optional[Sequence[str]] = None, decode_cf: b
 
 def write_zarr_array(array_dir: str, values: np.ndarray, dims: Sequence[str], chunks=None, compress=True, attrs: Optional[dict] = None):
     """compress: False/None, True/"zlib", "zstd", or "blosc" (zarr's
-    default layout: lz4 + byte-shuffle frames via data/blosc.py)."""
+    default layout: lz4 + byte-shuffle frames via data/blosc.py).
+
+    The advertised blosc config (cname/clevel/shuffle) is nominal: frames
+    come from the in-repo greedy lz4 encoder, not c-blosc at clevel 5.
+    Self-describing frame headers make this irrelevant to any conformant
+    reader; only byte-identity with c-blosc output is not implied."""
     values = np.ascontiguousarray(values)
     codec = {True: "zlib", False: None, None: None}.get(compress, compress)
     assert codec in (None, "zlib", "zstd", "blosc"), f"unsupported codec: {codec}"

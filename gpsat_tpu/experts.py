@@ -122,7 +122,13 @@ class LocalExpertData:
 # while host phases of the previous bucket execute, so phase sums can
 # legitimately exceed none / undershoot wall; each number is the total
 # time spent IN that phase, wall is the end-to-end truth.
-_PHASES: dict = {}
+# Timers are scoped per run(): each run() pushes its own fresh dict (also
+# exposed as `oi.phase_timers`), so two runs in one process — sequential,
+# nested, or a later get_phase_timers() read — never clobber each other
+# (ADVICE r4). The module-level accessors remain as thin wrappers reading
+# the most recently STARTED run, which is what bench_pipeline consumes.
+_PHASE_STACK: list = []
+_LAST_PHASES: dict = {}
 
 
 class _phase:
@@ -131,21 +137,19 @@ class _phase:
 
     def __enter__(self):
         self.t0 = time.perf_counter()
+        self.timers = _PHASE_STACK[-1] if _PHASE_STACK else _LAST_PHASES
 
     def __exit__(self, *exc):
-        _PHASES[self.name] = _PHASES.get(self.name, 0.0) + time.perf_counter() - self.t0
+        self.timers[self.name] = self.timers.get(self.name, 0.0) + time.perf_counter() - self.t0
         return False
 
 
-def reset_phase_timers() -> None:
-    _PHASES.clear()
-
-
 def get_phase_timers() -> dict:
-    """Seconds per phase accumulated since reset_phase_timers() (run()
-    resets at entry): host_load / host_select / host_assembly /
-    host_load_params / host_store / device_fetch / polish / host_model."""
-    return dict(_PHASES)
+    """Seconds per phase for the most recently started run():
+    host_load / host_select / host_assembly / host_load_params /
+    host_store / device_fetch / polish / host_model. Prefer the
+    per-instance `LocalExpertOI.phase_timers` when holding the object."""
+    return dict(_LAST_PHASES)
 
 
 def _comparable_config_str(oi_config, skip_keys=()) -> str:
@@ -398,7 +402,25 @@ class LocalExpertOI:
         return make_core_for_model(model_cls, kernel=kernel, bijectors=bijectors, init_params=ip)
 
     # ---- the sweep ----
-    def run(
+    def run(self, *args, **kwargs):
+        """Run the sweep (see _run for the full signature).
+
+        Thin wrapper owning this run's phase-timer dict: timers accumulate
+        into `self.phase_timers` (fresh per call), so concurrent or
+        back-to-back runs in one process never clobber each other; the
+        module-level get_phase_timers() reads the most recently started
+        run for bench_pipeline.
+        """
+        global _LAST_PHASES
+        self.phase_timers = {}
+        _LAST_PHASES = self.phase_timers
+        _PHASE_STACK.append(self.phase_timers)
+        try:
+            return self._run(*args, **kwargs)
+        finally:
+            _PHASE_STACK.pop()
+
+    def _run(
         self,
         store_path: str = None,
         store_every: int = 10,
@@ -426,7 +448,6 @@ class LocalExpertOI:
             )
         )
         t_start = time.perf_counter()
-        reset_phase_timers()
 
         # minutes-long TPU compiles of the batch programs are reused across
         # process restarts (opt out: GPSAT_NO_COMPILE_CACHE=1)
@@ -825,8 +846,9 @@ class LocalExpertOI:
                 flush_pending()
 
         wall = time.perf_counter() - t_start
-        if _PHASES:
-            split = ", ".join(f"{k} {v:.2f}s" for k, v in sorted(_PHASES.items()))
+        timers = _PHASE_STACK[-1] if _PHASE_STACK else _LAST_PHASES
+        if timers:
+            split = ", ".join(f"{k} {v:.2f}s" for k, v in sorted(timers.items()))
             cprint(f"phases: {split}", c="OKBLUE")
         cprint(f"'run': {wall:.3f} seconds", c="OKGREEN")
         return None
@@ -864,6 +886,7 @@ class LocalExpertOI:
                 # float column: NaN marks host models that hide their
                 # iteration count (run_details must never fabricate it)
                 "num_iter": [float(num_iter)],
+                "stalled": [False],
                 "model": [model_name[:64]],
                 "device": [device[:64]],
                 "config_id": [config_id],
@@ -1133,6 +1156,7 @@ class LocalExpertOI:
 
         res = {
             "expert_index": [], "num_obs": [], "objective": [], "converged": [], "num_iter": [],
+            "stalled": [],
             "f_mean": [], "f_var": [], "y_var": [], "pred_mask": [], "obs_mean": [],
         }
         pvals = {p: [] for p in host_core.param_names}
@@ -1221,6 +1245,10 @@ class LocalExpertOI:
             res["objective"].append(obj)
             res["converged"].append(ok)
             res["num_iter"].append(ni)
+            _r = getattr(model, "_last_opt_result", None)
+            res["stalled"].append(
+                bool(np.asarray(_r.stalled)) if getattr(_r, "stalled", None) is not None else False
+            )
             res["f_mean"].append(fm)
             res["f_var"].append(fv)
             res["y_var"].append(yv)
@@ -1310,6 +1338,12 @@ class LocalExpertOI:
                 # float column: NaN marks host models that hide their
                 # iteration count (run_details must never fabricate it)
                 "num_iter": np.asarray(res["num_iter"], dtype=float),
+                # exit reason was the L-BFGS stall guard (flat-optimum
+                # straggler), not a tolerance — lets bench rows count
+                # stall_exits without a prose paragraph per artifact
+                "stalled": np.asarray(
+                    res.get("stalled", np.zeros(B, dtype=bool)), dtype=bool
+                ),
                 "model": np.full(B, model_name[:64], dtype=object),
                 "device": np.full(B, device_name[:64], dtype=object),
                 "config_id": np.full(B, config_id),

@@ -182,7 +182,14 @@ def _minimize_lbfgs_single_eval(
         )
         done = jnp.logical_or(gnorm <= tol_grad, jnp.logical_or(f_small, stuck_done))
         failed = jnp.logical_or(c["step"] < 1e-12, jnp.logical_not(jnp.isfinite(f_new)))
-        return dict(x=x, f=f_new, g=g_new, S=S, Y=Y, rho=rho, count=count, step=step, fhist=fhist, acc=acc, it=c["it"] + 1, done=done, failed=failed)
+        # exit-reason telemetry: a lane whose ONLY exit trigger is the
+        # rejected-tie stall guard (flat-optimum straggler) is labeled
+        # `stalled` so benchmark rows can count stall_exits instead of
+        # needing a prose paragraph per artifact (VERDICT r4 weak #6)
+        stalled = jnp.logical_and(
+            stuck_done, jnp.logical_not(jnp.logical_or(gnorm <= tol_grad, f_small))
+        )
+        return dict(x=x, f=f_new, g=g_new, S=S, Y=Y, rho=rho, count=count, step=step, fhist=fhist, acc=acc, it=c["it"] + 1, done=done, failed=failed, stalled=stalled)
 
     if init_state is None:
         init = dict(
@@ -201,6 +208,7 @@ def _minimize_lbfgs_single_eval(
             # must exit immediately instead of burning rejection cycles
             done=jnp.max(jnp.abs(g0)) <= tol_grad,
             failed=jnp.logical_not(jnp.isfinite(f0)),
+            stalled=jnp.asarray(False),
         )
     else:
         # resume where a previous call stopped; fresh budget, re-anchored
@@ -213,6 +221,7 @@ def _minimize_lbfgs_single_eval(
             "it": jnp.asarray(0),
             "done": jnp.logical_or(init_state["done"], jnp.max(jnp.abs(g0)) <= tol_grad),
             "failed": jnp.logical_or(init_state["failed"], jnp.logical_not(jnp.isfinite(f0))),
+            "stalled": init_state.get("stalled", jnp.asarray(False)),
         }
     out = jax.lax.while_loop(cond, body, init)
     res = LBFGSResult(
@@ -222,6 +231,7 @@ def _minimize_lbfgs_single_eval(
         num_iter=out["it"],
         final_value=out["f"],
         final_grad_norm=jnp.max(jnp.abs(out["g"])),
+        stalled=out["stalled"],
     )
     return (res, out) if return_state else res
 
@@ -233,6 +243,9 @@ class LBFGSResult(NamedTuple):
     num_iter: jnp.ndarray  # int
     final_value: jnp.ndarray
     final_grad_norm: jnp.ndarray
+    # exit reason was the stall guard (flat-optimum straggler), not a
+    # gradient/factr tolerance: counted as `stall_exits` in bench rows
+    stalled: jnp.ndarray = False
 
 
 def minimize_lbfgs(
@@ -367,4 +380,6 @@ def minimize_lbfgs(
         num_iter=it,
         final_value=val,
         final_grad_norm=gnorm,
+        # loop exited via the consecutive-no-decrease guard, not a tolerance
+        stalled=jnp.logical_and(stall >= _STALL_LIMIT, jnp.logical_not(done)),
     )

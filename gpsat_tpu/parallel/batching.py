@@ -34,8 +34,11 @@ _F32_BYTES = 4
 
 def auto_batch_cap(nmax: int) -> Optional[int]:
     """Max experts per [B, nmax, nmax] program under the HBM budget
-    (None = uncapped). No effect at nmax <= 512 with the default budget
-    (cap 4768 there) — only large-tile buckets split."""
+    (None = uncapped). At nmax=512 under the default 10 GB budget the cap
+    is ~1192 (10e9 / (8 live buffers * 512^2 * 4 bytes)): default-shape
+    benches (B <= 1024) never split, but very wide dense-GPR buckets do
+    (the pan-Arctic pipeline's 1664-expert bucket splits in two — 8 live
+    [1664, 512, 512] f32 buffers would be ~14 GB, over a v5e's 16 GB)."""
     import os
 
     if os.environ.get("GPSAT_AUTO_BATCH_CAP", "1") == "0":

@@ -74,11 +74,13 @@ def _fit_predict_one(
         converged = res.converged
         num_iter = res.num_iter
         final_obj = res.final_value
+        stalled = res.stalled
     else:
         u_opt = uparams0
         converged = jnp.asarray(True)
         num_iter = jnp.asarray(0)
         final_obj = (core.report_objective or core.objective)(uparams0, data)
+        stalled = jnp.asarray(False)
 
     cparams = core.forward(u_opt)
     if optimise and core.finalize_params is not None:
@@ -90,6 +92,7 @@ def _fit_predict_one(
         "objective": final_obj,
         "converged": converged,
         "num_iter": num_iter,
+        "stalled": stalled,
     }
     if return_state and state is not None:
         out["opt_state"] = state
@@ -265,6 +268,8 @@ def _adam_fit_predict_one(
         "objective": final_obj,
         "converged": converged,
         "num_iter": num_iter,
+        # Adam's persistence-based early stop IS its convergence criterion
+        "stalled": jnp.asarray(False),
     }
 
 
@@ -473,6 +478,7 @@ def run_tile_batch_async(
             "objective": host["objective"][live],
             "converged": host["converged"][live],
             "num_iter": host["num_iter"][live],
+            "stalled": host["stalled"][live],
             "f_mean": host["pred"]["f_mean"][live],
             "f_var": host["pred"]["f_var"][live],
             "y_var": host["pred"]["y_var"][live],
@@ -577,6 +583,8 @@ def run_tile_batch_carry(
     }
     sub_state["done"] = sub_state["done"].astype(bool)
     sub_state["failed"] = sub_state["failed"].astype(bool)
+    if "stalled" in sub_state:
+        sub_state["stalled"] = sub_state["stalled"].astype(bool)
 
     out2 = runner_tail(
         jnp.asarray(sub_batch.X),
@@ -593,6 +601,7 @@ def run_tile_batch_carry(
     head_iters = out["num_iter"][unconv]
     out["objective"][unconv] = out2["objective"][live]
     out["converged"][unconv] = out2["converged"][live]
+    out["stalled"][unconv] = out2["stalled"][live]
     out["num_iter"][unconv] = head_iters + out2["num_iter"][live]
     out["f_mean"][unconv] = out2["pred"]["f_mean"][live]
     out["f_var"][unconv] = out2["pred"]["f_var"][live]
