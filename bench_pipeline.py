@@ -119,8 +119,14 @@ def main():
     # equal wall; the residual is Python glue + dispatch.
     from gpsat_tpu.experts import get_phase_timers
 
-    phases = {k: round(v, 2) for k, v in sorted(get_phase_timers().items())}
+    raw = get_phase_timers()
+    run_wall = raw.pop("run_wall", elapsed)
+    phases = {k: round(v, 2) for k, v in sorted(raw.items())}
     host_s = round(sum(v for k, v in phases.items() if k.startswith("host_") or k == "polish"), 2)
+    # residual = orchestrator wall not inside any instrumented phase
+    # (pure-Python glue between phases; should be small once dispatch,
+    # fetch, and all host phases are timed)
+    unattributed_s = round(max(0.0, run_wall - sum(raw.values())), 2)
 
     with TableStore(store_path, mode="r") as ts:
         rd = ts.select("run_details", set_index=False)
@@ -142,6 +148,9 @@ def main():
         "vs_baseline": round(eps / 1.0, 2),
         "host_s": host_s,
         "device_fetch_s": phases.get("device_fetch", 0.0),
+        "device_dispatch_s": phases.get("device_dispatch", 0.0),
+        "unattributed_s": unattributed_s,
+        "run_wall_s": round(run_wall, 1),
         "phases_s": phases,
         "stall_exits": stall_exits,
     }

@@ -837,16 +837,25 @@ class LocalExpertOI:
                                 )
                         store_res(res, time.perf_counter() - t0, b.B)
                     else:
-                        fin = run_tile_batch_async(
-                            b, per_expert_init, lane_runner, lane_core,
-                            mesh=mesh, pad_multiple=pad_multiple,
-                        )
+                        # dispatch blocks on trace/compile (remote compile
+                        # service on the tunnel), host->device transfer of
+                        # the tile buffers, and the relay queue — the link
+                        # leg of the wall, distinct from device_fetch
+                        # (blocked-on-results) and the host_* phases
+                        with _phase("device_dispatch"):
+                            fin = run_tile_batch_async(
+                                b, per_expert_init, lane_runner, lane_core,
+                                mesh=mesh, pad_multiple=pad_multiple,
+                            )
                         flush_pending()  # store previous bucket while device runs this one
                         pending = (fin, b, t0)
                 flush_pending()
 
         wall = time.perf_counter() - t_start
         timers = _PHASE_STACK[-1] if _PHASE_STACK else _LAST_PHASES
+        # not a phase: lets consumers compute the unattributed residual
+        # (wall - sum of phases) without re-timing run() themselves
+        timers["run_wall"] = wall
         if timers:
             split = ", ".join(f"{k} {v:.2f}s" for k, v in sorted(timers.items()))
             cprint(f"phases: {split}", c="OKBLUE")
