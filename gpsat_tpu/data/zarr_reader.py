@@ -12,8 +12,9 @@ the zarr v2 on-disk format is just JSON metadata + per-chunk binary files:
   <store>/<array>/<i>.<j>...         chunk files, C-order, possibly
                                      zlib/gzip-compressed
 
-This module reads that format directly (codecs: none, zlib, gzip — the
-stdlib set; blosc raises with guidance) and converts an xarray-style
+This module reads that format directly (codecs: none, zlib, gzip, zstd,
+and blosc frames — any cname blosclz/lz4/lz4hc/snappy/zlib/zstd with
+byte- or bit-shuffle, via data/blosc.py) and converts an xarray-style
 group to the same DataFrame contract as data/netcdf.read_netcdf: dims
 become index levels (coordinate arrays supply the values), data variables
 broadcast over the dim product in C order. A writer is included so tests

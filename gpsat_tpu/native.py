@@ -30,7 +30,7 @@ _LIB_PATHS = [
 # added the lz4/unshuffle codec kernels). Mismatch or missing symbol =>
 # treat the library as absent and use the numpy/scipy fallbacks, with a
 # rebuild hint.
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 
 
 def _load_checked(paths):
@@ -76,6 +76,8 @@ if _lib is not None:
     _lib.gpsat_lz4_decompress.argtypes = [_u8, ctypes.c_int64, _u8, ctypes.c_int64]
     _lib.gpsat_lz4_decompress.restype = ctypes.c_int64
     _lib.gpsat_byte_unshuffle.argtypes = [_u8, ctypes.c_int64, ctypes.c_int64, _u8]
+    _lib.gpsat_blosclz_decompress.argtypes = [_u8, ctypes.c_int64, _u8, ctypes.c_int64]
+    _lib.gpsat_blosclz_decompress.restype = ctypes.c_int64
 
 
 def _dp(a):
@@ -212,6 +214,28 @@ def lz4_decompress(buf: bytes, dst_len: int) -> bytes:
     )
     if n != dst_len:
         raise ValueError(f"corrupt lz4 block: decoded {n} of {dst_len} bytes")
+    return dst.tobytes()
+
+
+def blosclz_decompress(buf: bytes, dst_len: int) -> bytes:
+    """blosclz stream decode (native C++; pure-Python fallback).
+
+    blosclz is c-blosc's built-in default codec — PyTables-era HDF5 and
+    older zarr stores carry it (ref: GPSat/dataloader.py:60-66 reads any
+    such store through xarray/numcodecs).
+    """
+    if _lib is None:
+        from gpsat_tpu.data.blosc import _blosclz_decompress_py
+
+        return _blosclz_decompress_py(buf, dst_len)
+    src = np.frombuffer(buf, dtype=np.uint8)
+    dst = np.empty(dst_len, dtype=np.uint8)
+    n = _lib.gpsat_blosclz_decompress(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(src),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), dst_len,
+    )
+    if n != dst_len:
+        raise ValueError(f"corrupt blosclz stream: decoded {n} of {dst_len} bytes")
     return dst.tobytes()
 
 

@@ -55,7 +55,7 @@ extern "C" {
 // v3 added the lz4/unshuffle codec kernels); a stale prebuilt .so then
 // falls back to the numpy/scipy paths instead of being called with
 // shifted pointer arguments.
-int64_t gpsat_abi_version() { return 3; }
+int64_t gpsat_abi_version() { return 4; }
 
 // Euclidean-ball mask: out[i] = ||locs[i,:] - ref||_2 < max_dist.
 // Per-dimension prefilter then full norm, matching the numba kernel's
@@ -293,6 +293,72 @@ void gpsat_byte_unshuffle(const uint8_t* src, int64_t len, int64_t typesize,
     for (int64_t i = 0; i < n; ++i) d[i * typesize] = s[i];
   }
   std::memcpy(dst + m, src + m, len - m);
+}
+
+// blosclz stream decompression (c-blosc 1.21 / blosclz 2.x format, a
+// FastLZ derivative: 5-bit-masked initial literal token; match tokens
+// carry a 3-bit length (7 = extended, +bytes while 255) and a 5-bit
+// offset high byte; code==255 with ofs==31<<8 switches to an explicit
+// big-endian 16-bit far distance beyond MAX_DISTANCE; distance 0 is an
+// RLE run of the previous byte). Returns bytes written or -1 on
+// malformed input; bounds-checked like gpsat_lz4_decompress. Mirrors
+// the pure-Python _blosclz_decompress_py, which is oracle-tested
+// against libblosc 1.21.3 output.
+int64_t gpsat_blosclz_decompress(const uint8_t* src, int64_t src_len,
+                                 uint8_t* dst, int64_t dst_len) {
+  const int64_t kMaxDistance = 8191;
+  const uint8_t* ip = src;
+  const uint8_t* const iend = src + src_len;
+  uint8_t* op = dst;
+  uint8_t* const oend = dst + dst_len;
+  if (src_len == 0) return 0;
+  uint32_t ctrl = (*ip++) & 31u;
+  for (;;) {
+    if (ctrl >= 32u) {
+      int64_t len = (int64_t)(ctrl >> 5u) - 1;
+      int64_t ofs = (int64_t)(ctrl & 31u) << 8u;
+      if (len == 7 - 1) {
+        uint8_t code;
+        do {
+          if (ip >= iend) return -1;
+          code = *ip++;
+          len += code;
+        } while (code == 255);
+      }
+      if (ip >= iend) return -1;
+      const uint8_t code = *ip++;
+      len += 3;
+      int64_t ref = (op - dst) - ofs - code;
+      if (code == 255 && ofs == (31 << 8)) {
+        if (ip + 1 >= iend) return -1;
+        ofs = ((int64_t)ip[0] << 8) | (int64_t)ip[1];
+        ip += 2;
+        ref = (op - dst) - ofs - kMaxDistance;
+      }
+      if (len > oend - op) return -1;
+      if (ref - 1 < 0) return -1;
+      bool more = ip < iend;
+      if (more) ctrl = *ip++;
+      if (ref == op - dst) {  // RLE run of the previous byte
+        std::memset(op, dst[ref - 1], (size_t)len);
+        op += len;
+      } else {
+        const uint8_t* m = dst + ref - 1;
+        for (int64_t i = 0; i < len; ++i) op[i] = m[i];  // overlap-legal
+        op += len;
+      }
+      if (!more) break;
+    } else {
+      ctrl++;
+      if ((int64_t)ctrl > oend - op || (int64_t)ctrl > iend - ip) return -1;
+      std::memcpy(op, ip, ctrl);
+      op += ctrl;
+      ip += ctrl;
+      if (ip >= iend) break;
+      ctrl = *ip++;
+    }
+  }
+  return op - dst;
 }
 
 }  // extern "C"

@@ -9,6 +9,7 @@ memcpy fallbacks) — the same hand-built-format approach as the PyTables
 fixtures.
 """
 
+import os
 import struct
 
 import numpy as np
@@ -145,17 +146,84 @@ def test_blosc_hand_built_header_fields():
 
 def test_blosc_unsupported_paths_raise():
     data = b"x" * 64
-    frame = bytearray(blosc_encode(np.arange(400.0).tobytes(), 8, shuffle=1))
-    frame[2] |= 0x04  # claim bit-shuffle
-    with pytest.raises(NotImplementedError, match="bit-shuffle"):
-        blosc_decode(bytes(frame))
-    # snappy codec id in a hand-built non-memcpy frame
-    hdr = bytes([2, 1, (2 << 5) | 0x10, 1]) + struct.pack("<III", 8, 8, 16 + 4 + 4 + 6)
-    bad = hdr + struct.pack("<I", 20) + struct.pack("<I", 6) + b"snappy"
-    with pytest.raises(NotImplementedError, match="snappy"):
+    # codec ids 5-7 are unassigned in the v1 format
+    hdr = bytes([2, 1, (5 << 5) | 0x10, 1]) + struct.pack("<III", 8, 8, 16 + 4 + 4 + 6)
+    bad = hdr + struct.pack("<I", 20) + struct.pack("<I", 6) + b"zzzzzz"
+    with pytest.raises(NotImplementedError, match="codec id 5"):
         blosc_decode(bad)
     with pytest.raises(ValueError, match="header"):
         blosc_decode(data[:8])
+
+
+# --------------------------------------------------------------------------
+# bit-shuffle filter + blosclz/snappy codecs (VERDICT r4 item 4)
+# --------------------------------------------------------------------------
+
+_FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures", "blosc")
+
+
+def _fixture_names():
+    return sorted(
+        f[: -len(".frame")] for f in os.listdir(_FIXDIR) if f.endswith(".frame")
+    )
+
+
+@pytest.mark.parametrize("name", _fixture_names())
+def test_fixture_frames_decode(name):
+    """Byte-for-byte decode of GENUINE c-blosc 1.21.3 frames (committed
+    fixtures from tools/gen_blosc_fixtures.py): bitshuffle across lz4/
+    lz4hc/zlib/blosclz incl. ragged (unshuffled-block) and multi-block
+    shapes, blosclz byte-shuffle, snappy, and a memcpyed frame that
+    still carries the bit-shuffle flag."""
+    with open(os.path.join(_FIXDIR, name + ".frame"), "rb") as f:
+        frame = f.read()
+    with open(os.path.join(_FIXDIR, name + ".raw"), "rb") as f:
+        raw = f.read()
+    assert blosc_decode(frame) == raw
+
+
+@pytest.mark.parametrize("typesize,n", [(2, 160), (4, 1024), (8, 800), (4, 1027)])
+def test_bit_shuffle_round_trip(typesize, n):
+    from gpsat_tpu.data.blosc import _bit_shuffle, _bit_unshuffle
+
+    rng = np.random.default_rng(n)
+    block = rng.integers(0, 256, n * typesize + 3, dtype=np.uint8).tobytes()
+    assert _bit_unshuffle(_bit_shuffle(block, typesize), typesize) == block
+    if n % 8:  # c-blosc convention: non-multiple-of-8 elements pass through
+        assert _bit_shuffle(block, typesize) == block
+
+
+def test_bitshuffle_encode_round_trip():
+    data = (np.sin(np.arange(5000) * 0.01) * 100).astype(np.float32).tobytes()
+    frame = blosc_encode(data, 4, cname="lz4", shuffle=2)
+    assert frame[2] & 0x04
+    assert blosc_decode(frame) == data
+    # bitshuffle makes slowly-varying float streams far more compressible
+    # than no filter — proof it is really applied, not just flagged
+    assert len(frame) < 0.8 * len(blosc_encode(data, 4, cname="lz4", shuffle=0))
+
+
+def test_blosclz_python_decoder_cases():
+    from gpsat_tpu.data.blosc import _blosclz_decompress_py
+
+    # hand-built stream: 3-byte literal run + RLE run of the last byte
+    # token 0x02 = literal run of 3; match token: len=(ctrl>>5)-1+3, ofs
+    # bits zero + code 0 -> ref == op -> RLE of previous byte, len 4
+    stream = bytes([0x02, ord("a"), ord("b"), ord("c"), (2 << 5), 0])
+    assert _blosclz_decompress_py(stream, 7) == b"abccccc"
+    with pytest.raises(ValueError, match="truncated match"):
+        _blosclz_decompress_py(bytes([0x02, 97, 98, 99, (7 << 5)]), 64)
+
+
+def test_snappy_python_decoder_cases():
+    from gpsat_tpu.data.blosc import _snappy_decompress_py
+
+    # preamble varint 9, literal "ab" (tag len-1=1 -> 0x04), copy1
+    # len 7 offset 2 -> tag kind 1: ((7-4)&7)<<2 | 1 = 0x0D, offset byte 2
+    stream = bytes([9, 0x04, ord("a"), ord("b"), 0x0D, 2])
+    assert _snappy_decompress_py(stream, 9) == b"ababababa"
+    with pytest.raises(ValueError, match="preamble"):
+        _snappy_decompress_py(bytes([5, 0x00, ord("x")]), 2)
 
 
 def test_blosc_truncated_frame_raises():
@@ -190,6 +258,84 @@ def test_zarr_blosc_store_round_trip(tmp_path):
     assert meta["compressor"]["cname"] == "lz4"
     df = read_zarr(str(tmp_path / "obs.zarr"))
     np.testing.assert_array_equal(df["z"].values.reshape(5, 6), z)
+
+
+def test_zarr_bitshuffle_store_reads(tmp_path):
+    """A zarr store whose chunks are Blosc(shuffle=BITSHUFFLE) frames —
+    the real CryoSat/S3 archive layout — opens through read_zarr."""
+    import json
+
+    from gpsat_tpu.data.zarr_reader import read_zarr, write_zarr
+
+    rng = np.random.default_rng(5)
+    lon = np.linspace(-30.0, 30.0, 8)
+    lat = np.linspace(60.0, 80.0, 4)
+    z = rng.normal(size=(4, 8))
+    store = tmp_path / "bitshuf.zarr"
+    write_zarr(
+        str(store),
+        data_vars={"z": (("lat", "lon"), z)},
+        coords={"lon": lon, "lat": lat},
+        compress="blosc",
+    )
+    # re-encode every chunk of every array with the bit-shuffle filter
+    # and advertise shuffle=2 in .zarray, mimicking numcodecs output
+    for sub in os.listdir(store):
+        adir = store / sub
+        zpath = adir / ".zarray"
+        if not zpath.exists():
+            continue
+        meta = json.load(open(zpath))
+        itemsize = np.dtype(meta["dtype"]).itemsize
+        for chunk in os.listdir(adir):
+            if chunk.startswith("."):
+                continue
+            raw = blosc_decode(open(adir / chunk, "rb").read())
+            with open(adir / chunk, "wb") as f:
+                f.write(blosc_encode(raw, itemsize, cname="lz4", shuffle=2))
+        meta["compressor"]["shuffle"] = 2
+        json.dump(meta, open(zpath, "w"))
+    df = read_zarr(str(store))
+    np.testing.assert_array_equal(df["z"].values.reshape(4, 8), z)
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/lib/x86_64-linux-gnu/libblosc.so.1"),
+    reason="system libblosc not present",
+)
+def test_blosc_live_oracle_round_trip():
+    """When the real c-blosc is present, cross-check both directions on
+    fresh data (the committed fixtures cover the no-libblosc case)."""
+    import ctypes
+
+    lib = ctypes.CDLL("libblosc.so.1")
+    lib.blosc_compress_ctx.restype = ctypes.c_int
+    lib.blosc_compress_ctx.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_size_t, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+    ]
+    lib.blosc_decompress_ctx.restype = ctypes.c_int
+    lib.blosc_decompress_ctx.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+    ]
+    data = (np.sin(np.arange(3000) * 0.004) * 40).astype(np.float64).tobytes()
+    for cname in (b"blosclz", b"lz4", b"snappy", b"zlib", b"zstd"):
+        for shuffle in (0, 1, 2):
+            src = ctypes.create_string_buffer(data, len(data))
+            dst = ctypes.create_string_buffer(len(data) + 64)
+            n = lib.blosc_compress_ctx(
+                5, shuffle, 8, len(data), src, dst, len(data) + 64, cname, 0, 1
+            )
+            assert n > 0
+            assert blosc_decode(dst.raw[:n]) == data
+    for cname in ("lz4", "zlib", "zstd"):
+        for shuffle in (0, 1, 2):
+            frame = blosc_encode(data, 8, cname=cname, shuffle=shuffle)
+            fbuf = ctypes.create_string_buffer(frame, len(frame))
+            obuf = ctypes.create_string_buffer(len(data))
+            n = lib.blosc_decompress_ctx(fbuf, obuf, len(data), 1)
+            assert n == len(data) and obuf.raw[: len(data)] == data
 
 
 def test_zarr_blosc_through_dataloader(tmp_path):
