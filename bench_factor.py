@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--B", type=int, default=512)
     ap.add_argument("--N", type=int, default=512)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--sweep", action="store_true",
+                    help="sweep (base, micro) of the recursive factor pair: "
+                         "the sequential diagonal chain is N/micro carry "
+                         "round-trips, so larger micro trades dispatch "
+                         "latency for a bigger unrolled step body")
     args = ap.parse_args()
 
     import os
@@ -102,6 +107,37 @@ def main():
             "best_ms": round(best * 1e3, 2), "median_ms": round(med * 1e3, 2),
             "tflops_at_best": round(fl / best / 1e12, 2), "check": round(out, 2),
         }), flush=True)
+
+    if args.sweep:
+        # sequential-depth sweep (VERDICT r4 item 3): N/micro carry steps
+        # dominate the wall at this shape, so the winning (base, micro)
+        # becomes the GPSAT_CHOL_BASE/GPSAT_CHOL_MICRO default
+        import functools
+
+        for base, micro in [(32, 8), (32, 16), (32, 32), (64, 16), (64, 32), (128, 32)]:
+            if args.N % base or base % micro:
+                continue
+
+            @jax.jit
+            def pair_bm(K, _b=base, _m=micro):
+                L, W = jax.vmap(functools.partial(
+                    LA.chol_winv_recursive, base=_b, micro=_m))(K)
+                return jnp.sum(L) + jnp.sum(W)
+
+            try:
+                best, med, out = _time(pair_bm, Kd, reps)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"metric": f"factor_rec_b{base}_m{micro}",
+                                  "error": repr(e)[:300]}), flush=True)
+                continue
+            print(json.dumps({
+                "metric": f"factor_rec_b{base}_m{micro}", "B": B, "N": N,
+                "seq_steps": N // micro,
+                "best_ms": round(best * 1e3, 2), "median_ms": round(med * 1e3, 2),
+                "tflops_at_best": round(flops_pair / best / 1e12, 2),
+                "check": round(out, 2),
+            }), flush=True)
+        return
 
     # one fused value+grad program at fixed hypers, default vs block path
     from gpsat_tpu.ops.fused_lml import masked_gpr_lml_fused

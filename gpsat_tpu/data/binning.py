@@ -115,10 +115,17 @@ def bin_data_by(
     bin_2d: bool = True,
     limit: int = 10_000,
     verbose: bool = False,
-) -> pd.DataFrame:
+    return_xarray: bool = False,
+):
     """Bin per unique combination of ``by_cols``; returns a long DataFrame
     indexed by (y, x[, by_cols...]) with one column per statistic, NaN
-    cells included (drop with .dropna())."""
+    cells included (drop with .dropna()).
+
+    ``return_xarray=True`` returns the reference's native surface instead —
+    an ``xarray.Dataset`` with dims (y, x[, by_cols...]) and one variable
+    per statistic (ref: GPSat/dataprepper.py:23-223 returns xr.Dataset).
+    Requires xarray to be installed; raises ImportError with guidance
+    otherwise (xarray is an optional dependency of this package)."""
     if col_funcs:
         DL.add_cols(df, col_funcs)
 
@@ -178,7 +185,21 @@ def bin_data_by(
 
     out = pd.concat(frames, axis=0)
     idx_cols = ([y_col, x_col] if bin_2d else [x_col]) + by_cols
-    return out.set_index(idx_cols)
+    out = out.set_index(idx_cols)
+    if return_xarray:
+        try:
+            import xarray  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "bin_data_by(return_xarray=True) requires xarray, which is "
+                "an optional dependency of gpsat_tpu (not in the base image). "
+                "Install xarray, or use the default long-DataFrame return "
+                "(df.to_xarray() later is equivalent)."
+            ) from e
+        # long (y, x[, by]) MultiIndex frame -> Dataset with those dims and
+        # one variable per statistic — the reference's native surface
+        return out.to_xarray()
+    return out
 
 
 class BinData:

@@ -137,13 +137,25 @@ def tri_inv_blocked(L: Array, T: int = 64) -> Array:
     return jnp.concatenate(rows, axis=0)
 
 
-def chol_winv_recursive(K: Array, base: int = 32):
+def chol_winv_recursive(K: Array, base: int | None = None, micro: int | None = None):
     """(L, W = L^-1) via the statically-unrolled recursive factor pair
     (ops/recursive_chol.py): no While loops, no triangular solves — the
-    base-block rank-1 chains fuse and everything else is MXU matmuls."""
+    base-block rank-1 chains fuse and everything else is MXU matmuls.
+
+    base/micro default from GPSAT_CHOL_BASE / GPSAT_CHOL_MICRO (32 / 8),
+    the A/B knobs for the sequential-depth sweep (bench_factor.py): the
+    diagonal chain runs N/base base blocks x base/micro scan steps, so
+    raising micro trades While-loop dispatches for a bigger unrolled
+    step body."""
+    import os
+
     from gpsat_tpu.ops.recursive_chol import chol_winv_recursive as _rec
 
-    return _rec(K, base=base)
+    if base is None:
+        base = int(os.environ.get("GPSAT_CHOL_BASE", "32"))
+    if micro is None:
+        micro = int(os.environ.get("GPSAT_CHOL_MICRO", "8"))
+    return _rec(K, base=base, micro=micro)
 
 
 def _recursive_gate(flag_name: str, default: str = "0") -> bool:

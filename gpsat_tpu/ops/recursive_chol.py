@@ -95,8 +95,10 @@ def _chol_base(A, micro: int = _MICRO):
     rank-1 scan: measured 43.6 ms for the N=512 pair at rank 1). Column
     blocks come out as scan outputs (no dynamic-update-slice)."""
     n = A.shape[-1]
+    while micro > 2 and (n <= micro or n % micro):
+        micro //= 2  # ragged leaf: halve the rank until it divides n
     if n <= micro or n % micro:
-        return _chol_tiny(A)  # ragged leaf sizes take the static path
+        return _chol_tiny(A)  # truly ragged (odd/tiny) leaf: static path
     rows = jnp.arange(n)
     micro_ar = jnp.arange(micro)
 

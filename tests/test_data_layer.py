@@ -139,6 +139,28 @@ class TestBinning:
         assert set(out["date"]) == {0, 1}
         assert len(out) == 2 * 25  # 5x5 grid per date value
 
+    def test_bin_data_by_return_xarray(self):
+        # divergence #6 closer: reference's bin_data_by returns xr.Dataset
+        # (GPSat/dataprepper.py:23-223); optional-import adapter here
+        df = self._df()
+        kw = dict(
+            by_cols="date", val_col="v", x_range=[0, 10], y_range=[0, 10],
+            grid_res=2.0, bin_statistic=["mean", "count"],
+        )
+        try:
+            import xarray  # noqa: F401
+        except ImportError:
+            with pytest.raises(ImportError, match="xarray"):
+                binning.bin_data_by(df, return_xarray=True, **kw)
+            return
+        ds = binning.bin_data_by(df, return_xarray=True, **kw)
+        long = binning.bin_data_by(df, **kw)
+        assert set(ds.data_vars) == {"v_mean", "v_count"}
+        assert set(ds.dims) == {"y", "x", "date"}
+        # round-trip: Dataset back to the long frame is identical
+        back = ds.to_dataframe().reorder_levels(long.index.names).sort_index()
+        pd.testing.assert_frame_equal(back, long.sort_index(), check_like=True)
+
     def test_bin_pipeline_write(self, tmp_path):
         df = self._df()
         src = str(tmp_path / "raw.h5")
