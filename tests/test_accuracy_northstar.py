@@ -84,3 +84,53 @@ def test_f32_plus_polish_meets_1e5_north_star():
     # (~1e-3-level; guards against silent catastrophic conditioning loss)
     draw = np.max(np.abs(np.asarray(res32["f_mean"], np.float64) - np.asarray(gold["f_mean"], np.float64)))
     assert draw <= 5e-2, f"raw f32 f_mean off gold by {draw:.2e}"
+
+
+def test_sgpr_chunked_polish_meets_north_star():
+    """The polish tier on the CHUNKED SGPR path (VERDICT r4 item 2).
+
+    Small-scale CI twin of bench_large_n.py --polish-check: f32 coarse
+    (production config, chunk-accumulated lax.scan factors) -> f64 polish
+    (warm-start re-opt + f64 predict) vs an f64/zoom gold run. Guards the
+    large-N accuracy tier at the reference's SGPR oracle tolerance
+    (GPSat tests/test_localexperts.py:229-251 uses 1e-4; the polish is
+    expected to land well under it)."""
+    from gpsat_tpu.experts import bijectors_from
+    from gpsat_tpu.models.sgpr import make_sgpr_core
+    from gpsat_tpu.parallel.batching import cast_batch
+    from gpsat_tpu.parallel.engine import (
+        make_batched_runner,
+        polish_tile_batch,
+        run_tile_batch,
+    )
+
+    B, N, P, D, M, chunk = 2, 1024, 16, 2, 32, 256
+    batch64, _ = _make_batch(B, N, P, D, np.float64)
+    batch32 = cast_batch(batch64, np.float32)
+
+    gold_core = make_sgpr_core(
+        kernel="Matern32", bijectors=bijectors_from(None),
+        num_inducing_points=M, chunk_size=chunk,
+    )
+    gold_runner = make_batched_runner(
+        gold_core, fixed_params=("inducing_points",), max_iter=200,
+        linesearch="zoom", tol_grad=1e-6, tol_f=1e-11,
+    )
+    gold = run_tile_batch(batch64, {"smart_init": True}, gold_runner, gold_core)
+
+    core32 = make_sgpr_core(
+        kernel="Matern32", bijectors=bijectors_from(None),
+        num_inducing_points=M, chunk_size=chunk, jitter=1e-5,
+    )
+    r32 = make_batched_runner(
+        core32, fixed_params=("inducing_points",), max_iter=200,
+        linesearch="single_eval", tol_grad=1e-3, tol_f=1e-6,
+    )
+    res32 = run_tile_batch(batch32, {"smart_init": True}, r32, core32)
+
+    polished = polish_tile_batch(batch64, res32, core=gold_core, max_iter=100)
+
+    dmean = np.max(np.abs(np.asarray(polished["f_mean"]) - np.asarray(gold["f_mean"])))
+    dvar = np.max(np.abs(np.asarray(polished["f_var"]) - np.asarray(gold["f_var"])))
+    assert dmean <= 1e-5, f"SGPR polished f_mean off gold by {dmean:.2e}"
+    assert dvar <= 1e-5, f"SGPR polished f_var off gold by {dvar:.2e}"
