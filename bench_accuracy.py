@@ -120,6 +120,10 @@ def main():
     jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_default_matmul_precision", "highest")
 
+    from gpsat_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
+
     cpu0 = jax.devices("cpu")[0]
     accel = [d for d in jax.devices() if d.platform != "cpu"]
     f32_dev = accel[0] if accel else cpu0

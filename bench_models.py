@@ -115,6 +115,10 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
 
+    from gpsat_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from gpsat_tpu.parallel.engine import (
         make_batched_adam_runner,
         make_batched_runner,
@@ -151,6 +155,9 @@ def main():
             "converged": f"{int(np.asarray(res['converged']).sum())}/{B}",
             "stall_exits": int(np.asarray(res.get("stalled", 0)).sum()),
             "iters_mean": round(float(np.asarray(res["num_iter"]).mean()), 1),
+            # the vmapped while_loop bills every lane until the slowest
+            # converges, so iters_max is what the batch actually pays
+            "iters_max": int(np.asarray(res["num_iter"]).max()),
             "first_call_s": round(first, 1),
             "steady_s": round(steady, 2),
             "note": note,

@@ -142,19 +142,23 @@ def chol_winv_recursive(K: Array, base: int | None = None, micro: int | None = N
     (ops/recursive_chol.py): no While loops, no triangular solves — the
     base-block rank-1 chains fuse and everything else is MXU matmuls.
 
-    base/micro default from GPSAT_CHOL_BASE / GPSAT_CHOL_MICRO (32 / 8),
+    base/micro default from GPSAT_CHOL_BASE / GPSAT_CHOL_MICRO (64 / 32),
     the A/B knobs for the sequential-depth sweep (bench_factor.py): the
     diagonal chain runs N/base base blocks x base/micro scan steps, so
     raising micro trades While-loop dispatches for a bigger unrolled
-    step body."""
+    step body. (64, 32) is the same-session default-bench winner on v5e
+    (BENCH_AB_CHOL_r05.log: 333-341 experts/s vs 320-328 at the old
+    (32, 8) default; (64, 16) and (128, 32) are both ~9% SLOWER than
+    (32, 8) — sequential depth alone does not decide it, the scan-step
+    shape does)."""
     import os
 
     from gpsat_tpu.ops.recursive_chol import chol_winv_recursive as _rec
 
     if base is None:
-        base = int(os.environ.get("GPSAT_CHOL_BASE", "32"))
+        base = int(os.environ.get("GPSAT_CHOL_BASE", "64"))
     if micro is None:
-        micro = int(os.environ.get("GPSAT_CHOL_MICRO", "8"))
+        micro = int(os.environ.get("GPSAT_CHOL_MICRO", "32"))
     return _rec(K, base=base, micro=micro)
 
 
