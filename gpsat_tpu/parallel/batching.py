@@ -14,6 +14,7 @@ computation (tests/test_ops.py padding-invariance).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -102,6 +103,7 @@ def assemble_tiles(
     obs_mean: Optional[str] = None,
     max_batch_size: Optional[int] = None,
     memory_cap: bool = False,
+    coalesce: Optional[bool] = None,
     dtype=np.float64,
 ) -> List[TileBatch]:
     """Build padded TileBatches from per-expert row-index sets.
@@ -125,6 +127,14 @@ def assemble_tiles(
     expert_locs: optional [E, D] raw expert locations; scaled like coords
         and carried per tile (cores that need a reference point, e.g. the
         VFF domain center, read them from batch.expert_loc).
+    coalesce: pad EVERY tile to one global (nmax, pmax) so the whole
+        expert set compiles to a single program shape and dispatches in
+        the fewest device round trips (HBM cap still splits oversized
+        batches, but the splits share one compiled program). Trades extra
+        padded FLOPs on small tiles for fewer dispatches — a win when the
+        wall is link/relay latency, not device compute (the measured
+        pan-Arctic regime, BENCH_PIPELINE_r05.json). Default from
+        GPSAT_COALESCE_BUCKETS (off).
     """
     E = len(tile_indices)
     assert len(pred_coords) == E
@@ -144,6 +154,13 @@ def assemble_tiles(
     sizes = np.array([len(ix) for ix in tile_indices])
     order = np.argsort(sizes, kind="stable")  # group similar sizes together
 
+    if coalesce is None:
+        coalesce = os.environ.get("GPSAT_COALESCE_BUCKETS", "0") == "1"
+    forced_nmax = forced_pmax = None
+    if coalesce and E:
+        forced_nmax = bucket_size(int(sizes.max()))
+        forced_pmax = bucket_size(int(max(max(len(pc), 1) for pc in pred_coords)), multiple=8)
+
     batches: List[TileBatch] = []
     current: List[int] = []
     current_bucket = None
@@ -151,10 +168,10 @@ def assemble_tiles(
     def flush(group: List[int]):
         if not group:
             return
-        nmax = bucket_size(int(max(sizes[g] for g in group)))
+        nmax = forced_nmax or bucket_size(int(max(sizes[g] for g in group)))
         # prediction axis shares the power-of-two bucket rule so buckets
         # reuse compiled programs (predict is cheap; compiles are not)
-        pmax = bucket_size(int(max(max(len(pred_coords[g]), 1) for g in group)), multiple=8)
+        pmax = forced_pmax or bucket_size(int(max(max(len(pred_coords[g]), 1) for g in group)), multiple=8)
         B = len(group)
         D = coords.shape[1]
         X = np.zeros((B, nmax, D), dtype=dtype)
@@ -192,6 +209,23 @@ def assemble_tiles(
                 expert_loc=None if expert_locs is None else expert_locs[np.asarray(group)],
             )
         )
+
+    if forced_nmax is not None:
+        # one global shape: if the HBM cap forces k programs, split EVENLY
+        # and pad every split to the same B so all k share one compiled
+        # executable (remote compiles are minutes through the relay; a
+        # ragged 1192+472 split would compile twice, 832+832 once)
+        cap = auto_batch_cap(forced_nmax) if memory_cap else None
+        if max_batch_size:
+            cap = max_batch_size if cap is None else min(cap, max_batch_size)
+        group = [int(g) for g in order]
+        k = -(-len(group) // cap) if (cap and len(group) > cap) else 1
+        B_prog = -(-len(group) // k)
+        for i in range(k):
+            flush(group[i * B_prog : (i + 1) * B_prog])
+        if k > 1:
+            batches[-1] = pad_batch_to(batches[-1], B_prog)
+        return batches
 
     for gi in order:
         bkt = bucket_size(int(sizes[gi]))

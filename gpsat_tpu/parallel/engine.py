@@ -533,12 +533,14 @@ def run_tile_batch_carry(
     runner_tail: make_batched_runner(core, max_iter=rest, take_state=True,
                  return_state=True, ...)
     """
-    # result rows must align positionally with batch rows: dead tiles are
-    # only ever appended (pad_batch_to), so require an all-live input here
-    assert (np.asarray(batch.expert_index) >= 0).all(), (
-        "run_tile_batch_carry requires an unpadded (all-live) batch; "
-        "padding happens internally"
-    )
+    # result rows must align positionally with batch rows, so strip any
+    # pre-padded dead tiles (e.g. from the coalesce-buckets assembler)
+    # up front; padding happens internally
+    live_in = np.flatnonzero(np.asarray(batch.expert_index) >= 0)
+    if len(live_in) != batch.B:
+        from gpsat_tpu.parallel.batching import take_batch as _take
+
+        batch = _take(batch, live_in)
     fin = run_tile_batch_async(
         batch, init_cparams, runner_head, core, mesh=mesh, pad_multiple=pad_multiple,
         keep_state=True,

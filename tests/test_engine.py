@@ -339,3 +339,86 @@ class TestAutoBatchCap:
         monkeypatch.setenv("GPSAT_HBM_BUDGET_GB", "0.02")
         batches = batching.assemble_tiles(coords, obs, tiles, preds, max_batch_size=4, memory_cap=True)
         assert [b.B for b in batches] == [4, 4, 4, 4, 4]
+
+
+class TestCoalesceBuckets:
+    """GPSAT_COALESCE_BUCKETS: pad everything to one (Nmax, Pmax) so the
+    sweep dispatches in the fewest relay round trips (link-bound regime,
+    BENCH_PIPELINE_r05.json attribution)."""
+
+    def _ragged(self, seed=3):
+        rng = np.random.default_rng(seed)
+        # two size groups straddling the 128 bucket edge: 100-obs and
+        # 200-obs tiles -> default buckets Nmax 128 and 256
+        sizes = [100, 100, 100, 200, 200, 200]
+        coords = rng.uniform(-1, 1, size=(sum(sizes), 2))
+        # vary in BOTH dims so lengthscales are identified (an unidentified
+        # direction amplifies benign reduction-order noise unboundedly)
+        obs = np.sin(3 * coords[:, 0]) * np.cos(3 * coords[:, 1]) + 0.1 * rng.normal(size=len(coords))
+        tiles, off = [], 0
+        for s in sizes:
+            tiles.append(np.arange(off, off + s))
+            off += s
+        # ragged prediction counts too (pmax multiple is 8)
+        preds = [coords[t[: 3 + (i % 2) * 10]] for i, t in enumerate(tiles)]
+        return coords, obs, tiles, preds
+
+    def test_single_program_shape(self):
+        coords, obs, tiles, preds = self._ragged()
+        default = batching.assemble_tiles(coords, obs, tiles, preds)
+        assert sorted(b.Nmax for b in default) == [128, 256]
+        one = batching.assemble_tiles(coords, obs, tiles, preds, coalesce=True)
+        assert len(one) == 1 and one[0].Nmax == 256 and one[0].Pmax == 16
+        got = np.sort(one[0].expert_index)
+        np.testing.assert_array_equal(got, np.arange(6))
+
+    def test_env_knob(self, monkeypatch):
+        coords, obs, tiles, preds = self._ragged()
+        monkeypatch.setenv("GPSAT_COALESCE_BUCKETS", "1")
+        batches = batching.assemble_tiles(coords, obs, tiles, preds)
+        assert len(batches) == 1 and batches[0].Nmax == 256
+
+    def test_hbm_split_shares_shape(self, monkeypatch):
+        # the HBM cap may still split the batch, but every split must keep
+        # the one global (Nmax, Pmax) so they share a compiled program
+        coords, obs, tiles, preds = self._ragged()
+        monkeypatch.setenv("GPSAT_HBM_BUDGET_GB", "0.008")
+        # cap at Nmax=256: 0.008e9/(8*256^2*4) = 3 experts per program
+        batches = batching.assemble_tiles(
+            coords, obs, tiles, preds, coalesce=True, memory_cap=True
+        )
+        assert len(batches) == 2
+        assert all(b.Nmax == 256 and b.Pmax == 16 for b in batches)
+        got = np.sort(np.concatenate([b.expert_index for b in batches]))
+        np.testing.assert_array_equal(got, np.arange(6))
+
+    def test_numerically_identical(self):
+        # padding 100-obs tiles out to Nmax=256 must not change any result
+        # (mask_gram padding invariance, end to end through the engine)
+        coords, obs, tiles, preds = self._ragged()
+        runner = make_batched_runner(CORE, max_iter=300)
+
+        def collect(batches):
+            out = {}
+            for b in batches:
+                res = run_tile_batch(b, {}, runner, CORE)
+                for i, e in enumerate(res["expert_index"]):
+                    P = len(preds[e])
+                    out[int(e)] = (
+                        np.asarray(res["lengthscales"][i]),
+                        np.asarray(res["objective"][i]),
+                        np.asarray(res["f_mean"][i][:P]),
+                    )
+            return out
+
+        a = collect(batching.assemble_tiles(coords, obs, tiles, preds))
+        b = collect(batching.assemble_tiles(coords, obs, tiles, preds, coalesce=True))
+        assert a.keys() == b.keys()
+        # padding to a wider Nmax changes XLA reduction order, so allow
+        # f64 roundoff through the optimizer trajectory — not bit equality
+        for e in a:
+            # hyper optima wander a hair more than the objective/predictions
+            # (roundoff enters the L-BFGS trajectory, not just the final eval)
+            np.testing.assert_allclose(a[e][0], b[e][0], rtol=1e-4, atol=1e-8)
+            np.testing.assert_allclose(a[e][1], b[e][1], rtol=1e-8, atol=1e-10)
+            np.testing.assert_allclose(a[e][2], b[e][2], rtol=1e-5, atol=1e-7)

@@ -71,6 +71,7 @@ def _expected_tables(res, xprt_locs, coords_col, pred_coords, row_ids, per_exper
                     "parameters_optimised": [True],
                     "optimise_success": [bool(res["converged"][i])],
                     "num_iter": [float(res["num_iter"][i])],
+                    "stalled": [bool(res.get("stalled", np.zeros(len(res["expert_index"]), dtype=bool))[i])],
                     "model": ["GPR"],
                     "device": ["tpu"],
                     "config_id": [0],
