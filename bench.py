@@ -130,6 +130,7 @@ def main(B: int = None):
 
     conv = int(res["converged"].sum())
     stall_exits = int(np.asarray(res.get("stalled", 0)).sum())
+    failed_exits = int(np.asarray(res.get("failed", 0)).sum())
     it_mean = float(res["num_iter"].mean())
     it_max = int(res["num_iter"].max())
     eps = B / elapsed
@@ -160,6 +161,7 @@ def main(B: int = None):
         # was the flat-optimum stall guard rather than a tolerance
         "steady_s": round(elapsed, 3),
         "stall_exits": stall_exits,
+        "failed_exits": failed_exits,
     }
     print(json.dumps(out))
 

@@ -161,6 +161,7 @@ def main():
             "pct_of_f32_matmul_ceiling": round(100.0 * tflops / V5E_F32_HIGHEST_TFLOPS, 1),
             "converged": f"{int(res['converged'].sum())}/{B}",
             "stall_exits": int(np.asarray(res.get("stalled", 0)).sum()),
+            "failed_exits": int(np.asarray(res.get("failed", 0)).sum()),
             "iters_mean_max": [round(it_mean), it_max],
             "seconds": round(dt, 2), "first_call_s": round(first, 1),
         }), flush=True)
@@ -186,6 +187,7 @@ def main():
                     "pct_of_f32_matmul_ceiling": round(100.0 * tflops / V5E_F32_HIGHEST_TFLOPS, 1),
                     "converged": f"{int(res['converged'].sum())}/{B}",
                     "stall_exits": int(np.asarray(res.get("stalled", 0)).sum()),
+            "failed_exits": int(np.asarray(res.get("failed", 0)).sum()),
                     "iters_mean_max": [round(float(res["num_iter"].mean())), it_max],
                     "seconds": round(dt, 2), "first_call_s": round(first, 1),
                 }), flush=True)
@@ -273,6 +275,7 @@ def main():
             "points_per_sec": round(B * N / dt, 0),
             "converged": f"{int(res['converged'].sum())}/{B}",
             "stall_exits": int(np.asarray(res.get("stalled", 0)).sum()),
+            "failed_exits": int(np.asarray(res.get("failed", 0)).sum()),
             "iters_mean_max": [round(float(res["num_iter"].mean())), int(res["num_iter"].max())],
             "elbo": [round(float(v), 1) for v in np.asarray(res["objective"])],
             "seconds": round(dt, 2), "first_call_s": round(first, 1),

@@ -154,6 +154,7 @@ def main():
             "B": B, "N": N, "P": P,
             "converged": f"{int(np.asarray(res['converged']).sum())}/{B}",
             "stall_exits": int(np.asarray(res.get("stalled", 0)).sum()),
+            "failed_exits": int(np.asarray(res.get("failed", 0)).sum()),
             "iters_mean": round(float(np.asarray(res["num_iter"]).mean()), 1),
             # the vmapped while_loop bills every lane until the slowest
             # converges, so iters_max is what the batch actually pays

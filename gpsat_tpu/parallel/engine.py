@@ -75,12 +75,14 @@ def _fit_predict_one(
         num_iter = res.num_iter
         final_obj = res.final_value
         stalled = res.stalled
+        failed = res.failed
     else:
         u_opt = uparams0
         converged = jnp.asarray(True)
         num_iter = jnp.asarray(0)
         final_obj = (core.report_objective or core.objective)(uparams0, data)
         stalled = jnp.asarray(False)
+        failed = jnp.asarray(False)
 
     cparams = core.forward(u_opt)
     if optimise and core.finalize_params is not None:
@@ -93,6 +95,10 @@ def _fit_predict_one(
         "converged": converged,
         "num_iter": num_iter,
         "stalled": stalled,
+        # linesearch collapse / non-finite objective — the third exit
+        # class next to converged and stalled (benchmark rows surface it
+        # as failed_exits so straggler lanes self-explain)
+        "failed": failed,
     }
     if return_state and state is not None:
         out["opt_state"] = state
@@ -270,6 +276,7 @@ def _adam_fit_predict_one(
         "num_iter": num_iter,
         # Adam's persistence-based early stop IS its convergence criterion
         "stalled": jnp.asarray(False),
+        "failed": jnp.logical_not(jnp.isfinite(final_obj)),
     }
 
 
@@ -479,6 +486,7 @@ def run_tile_batch_async(
             "converged": host["converged"][live],
             "num_iter": host["num_iter"][live],
             "stalled": host["stalled"][live],
+            "failed": host["failed"][live] if "failed" in host else np.zeros(int(live.sum()), dtype=bool),
             "f_mean": host["pred"]["f_mean"][live],
             "f_var": host["pred"]["f_var"][live],
             "y_var": host["pred"]["y_var"][live],
@@ -604,6 +612,8 @@ def run_tile_batch_carry(
     out["objective"][unconv] = out2["objective"][live]
     out["converged"][unconv] = out2["converged"][live]
     out["stalled"][unconv] = out2["stalled"][live]
+    if "failed" in out and "failed" in out2:
+        out["failed"][unconv] = out2["failed"][live]
     out["num_iter"][unconv] = head_iters + out2["num_iter"][live]
     out["f_mean"][unconv] = out2["pred"]["f_mean"][live]
     out["f_var"][unconv] = out2["pred"]["f_var"][live]
