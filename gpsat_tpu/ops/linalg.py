@@ -137,6 +137,29 @@ def tri_inv_blocked(L: Array, T: int = 64) -> Array:
     return jnp.concatenate(rows, axis=0)
 
 
+import contextlib as _contextlib
+import contextvars as _contextvars
+
+# trace-time (base, micro) override for the recursive factor pair — lets a
+# CORE pin the blocking that wins at ITS factor shape without threading
+# parameters through the custom_vjp/custom-vmap wrappers. Same-session zoo
+# A/B (BENCH_MODELS_r05.log): the global (64, 32) default wins for GPR
+# N=512 and SVGP, but ASVGP's ~[Mtot, Mtot] spline Gram runs ~19% faster
+# at (32, 8) — asvgp._factors sets this around its chol_winv_padded call.
+_CHOL_BLOCKING = _contextvars.ContextVar("gpsat_chol_blocking", default=None)
+
+
+@_contextlib.contextmanager
+def chol_blocking(base: int, micro: int):
+    """Override the recursive factor pair's (base, micro) for calls traced
+    inside this context (trace-time; compiled programs bake it in)."""
+    tok = _CHOL_BLOCKING.set((int(base), int(micro)))
+    try:
+        yield
+    finally:
+        _CHOL_BLOCKING.reset(tok)
+
+
 def chol_winv_recursive(K: Array, base: int | None = None, micro: int | None = None):
     """(L, W = L^-1) via the statically-unrolled recursive factor pair
     (ops/recursive_chol.py): no While loops, no triangular solves — the
@@ -155,10 +178,11 @@ def chol_winv_recursive(K: Array, base: int | None = None, micro: int | None = N
 
     from gpsat_tpu.ops.recursive_chol import chol_winv_recursive as _rec
 
+    ctx = _CHOL_BLOCKING.get()
     if base is None:
-        base = int(os.environ.get("GPSAT_CHOL_BASE", "64"))
+        base = ctx[0] if ctx else int(os.environ.get("GPSAT_CHOL_BASE", "64"))
     if micro is None:
-        micro = int(os.environ.get("GPSAT_CHOL_MICRO", "32"))
+        micro = ctx[1] if ctx else int(os.environ.get("GPSAT_CHOL_MICRO", "32"))
     return _rec(K, base=base, micro=micro)
 
 
