@@ -286,11 +286,7 @@ def _factors(cparams: dict, data: dict, knots_list, *, D: int, kernel: str = "Ma
     if LA.use_fast_inverse(P.dtype) and (
         LA.block_path_enabled(P, pad_ok=True) or LA.recursive_pair_enabled(P)
     ):
-        # ASVGP's [Mtot, Mtot] spline Gram factors ~19% faster under
-        # (32, 8) recursive blocking than the global (64, 32) default
-        # (same-session zoo A/B, BENCH_MODELS_r05.log) — pin it here
-        with LA.chol_blocking(32, 8):
-            L, WP = LA.chol_winv_padded(P)  # fused diag-block kernel path
+        L, WP = LA.chol_winv_padded(P)  # fused diag-block kernel path
         c = jnp.matmul(WP, KufY, precision=jax.lax.Precision.HIGHEST) / s2
     elif LA.use_fast_inverse(P.dtype):
         # f32 fast path: blocked P-factor inverse puts the c-solve (and its

@@ -140,19 +140,25 @@ def tri_inv_blocked(L: Array, T: int = 64) -> Array:
 import contextlib as _contextlib
 import contextvars as _contextvars
 
-# trace-time (base, micro) override for the recursive factor pair — lets a
-# CORE pin the blocking that wins at ITS factor shape without threading
-# parameters through the custom_vjp/custom-vmap wrappers. Same-session zoo
-# A/B (BENCH_MODELS_r05.log): the global (64, 32) default wins for GPR
-# N=512 and SVGP, but ASVGP's ~[Mtot, Mtot] spline Gram runs ~19% faster
-# at (32, 8) — asvgp._factors sets this around its chol_winv_padded call.
+# trace-time (base, micro) override for the recursive factor pair.
+# CAVEAT (measured, BENCH_MODELS_r05.log): this must wrap the code that
+# TRANSFORMS/TRACES the program (e.g. the engine's runner call), not a
+# model-internal call site — custom-vmap rule application is deferred to
+# transform time, so a `with` inside a core's math never reaches it (an
+# ASVGP-internal pin measurably did nothing: steady 1.05/1.07 s == the
+# 1.01 s default, while env GPSAT_CHOL_BASE/MICRO did change the graph).
+# The r5 zoo A/B verdict stands on the env knobs: global (64, 32) default
+# (GPR +7%, SVGP wash); ASVGP's apparent (32, 8) win decomposed into an
+# f32-trajectory iteration-count artifact (iters_max 20 vs 23) plus a
+# <= 3% per-iteration residual — no per-core pin shipped.
 _CHOL_BLOCKING = _contextvars.ContextVar("gpsat_chol_blocking", default=None)
 
 
 @_contextlib.contextmanager
 def chol_blocking(base: int, micro: int):
     """Override the recursive factor pair's (base, micro) for calls traced
-    inside this context (trace-time; compiled programs bake it in)."""
+    inside this context (trace-time; compiled programs bake it in). Wrap
+    the jit/vmap TRACING call, not model-internal math (see caveat above)."""
     tok = _CHOL_BLOCKING.set((int(base), int(micro)))
     try:
         yield
